@@ -1,0 +1,206 @@
+"""Deduplication for training-data pipelines.
+
+Four tiers, cheapest → most semantic, all shuffle-frugal:
+
+- exact: hash text → groupBy hash (one shuffle of (hash, id) pairs).
+- n-gram Jaccard: shingle → inverted-index self-join on shingle hash →
+  pairwise Jaccard. A document-frequency cap on shingles bounds the
+  quadratic blowup of stop-shingles (same idea as dropping stop-words):
+  a shingle appearing in >max_df docs generates no candidate pairs.
+- MinHash + LSH: k permuted min-hashes over shingle hashes (pure
+  column expressions via transform/array_min — JVM-side), banded into
+  b buckets; only same-bucket docs become candidate pairs, then exact
+  Jaccard verifies. This is the 100 TB path: candidate generation is
+  linear in docs × bands, never all-pairs.
+- SimHash: 60-bit sign-of-weighted-bit-sums fingerprint; near-dups =
+  fingerprints within small Hamming distance (block them by band for
+  candidate generation).
+
+Permutation constants are fixed (deterministic) so the DuckDB oracle
+can generate identical signatures from the same constants.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from openmetrics_spark.functions.hashing import portable_hash60
+from openmetrics_spark.llm.text import tokens
+
+# Fixed MinHash permutation constants: h_i(x) = (A[i]*x + B[i]) mod P.
+# P = 2^61-1 (Mersenne), A/B from a fixed LCG seed — public technique
+# (Broder '97 min-wise permutations).
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    out = []
+    state = seed
+    for _ in range(k):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = state % (MINHASH_P - 1) + 1
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct hashed n-gram token shingles (array<long>).
+
+    Token n-grams joined with a space, hashed with the portable 60-bit
+    hash so SQL oracles can reproduce them.
+    """
+    tok = tokens(text_col)
+    # shingle i = tokens[i..i+n-1]; build via transform over an index
+    # range. Guard: Spark's sequence(1, 0) DESCENDS, so short docs
+    # must produce an explicit empty array.
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
+    return F.array_distinct(F.transform(grams, lambda g: _hash_expr(g)))
+
+
+def _hash_expr(c: Column) -> Column:
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_signature(shingle_col: Column, k: int, seed: int = 7) -> Column:
+    """Array of k min-hash values (null-safe: empty shingle set → all
+    MINHASH_P sentinels). Pure column expressions — codegen'd."""
+    consts = minhash_constants(k, seed)
+    mins = [
+        F.coalesce(
+            F.array_min(
+                F.transform(
+                    shingle_col,
+                    lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
+                )
+            ),
+            F.lit(MINHASH_P),
+        )
+        for a, b in consts
+    ]
+    return F.array(*mins)
+
+
+def lsh_band_keys(sig_col: Column, bands: int, rows_per_band: int) -> Column:
+    """Array of band bucket keys: hash of (band_index, the band's
+    signature slice). array<long>."""
+    keys = []
+    for b in range(bands):
+        band = F.slice(sig_col, b * rows_per_band + 1, rows_per_band)
+        keys.append(
+            _hash_expr(F.concat_ws("_", F.lit(str(b)), F.concat_ws("_", F.transform(band, lambda x: x.cast("string")))))
+        )
+    return F.array(*keys)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int = 50,
+) -> DataFrame:
+    """All near-duplicate pairs (id_a < id_b, jaccard >= threshold) via
+    an inverted shingle index. ``max_df`` drops stop-shingles (docs
+    sharing only ultra-common shingles are not candidates) — bounds the
+    join fan-out; the Jaccard itself is still computed on FULL shingle
+    sets, so the only approximation is candidate recall."""
+    base = docs.select(
+        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    )
+    posting = base.select("doc", F.explode("sh").alias("s"))
+    rare = (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("s")
+    )
+    posting = posting.join(rare, "s")  # drop stop-shingles
+    pairs = (
+        posting.alias("x")
+        .join(posting.alias("y"), "s")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .distinct()
+    )
+    a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding; candidates verified
+    with exact Jaccard on the shingle sets. Scale path: candidate
+    generation is a groupBy on band keys, not an all-pairs product."""
+    rows = num_hashes // bands
+    base = docs.select(
+        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    banded = base.select(
+        "doc", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
+    )
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), "bk")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sh").alias("sh_a"),
+            F.col("y.sh").alias("sh_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash(text_col: str, bits: int = 60) -> Column:
+    """SimHash fingerprint over token hashes: bit b of the output is 1
+    iff sum over tokens of (+1 if bit b of token-hash set else -1) > 0.
+    Pure column expressions; 60 bits keeps everything in signed longs."""
+    tok = tokens(text_col)
+    th = F.transform(tok, lambda t: _hash_expr(t))
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(
+            th,
+            F.lit(0).cast("long"),
+            lambda s, x, b=b: s
+            + F.when(F.shiftright(x, b) % 2 == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return acc

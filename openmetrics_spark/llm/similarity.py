@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_topk``: exact top-k cosine neighbors for a (small) query
+  set: broadcast the queries, one pass over the candidate table, per
+  query a TakeOrdered-style window. The baseline and the verifier for
+  the approximate paths.
+- ``lsh_topk``: random-hyperplane LSH — bucket vectors by the sign
+  pattern of dot products with fixed hyperplanes; only same-bucket
+  candidates are scored. At 100 TB the bucket join replaces the cross
+  product; recall is tunable by planes/probes.
+
+Dot products use ``zip_with`` + ``aggregate`` higher-order functions —
+JVM-side, no Python. Cast to double FIRST so the sum order and
+precision are reproducible by SQL oracles (same left-to-right fold).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dvec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors (excluding self) for every id in
+    ``query_ids`` (a one-column DF of ids). Queries are broadcast —
+    the big side streams through unshuffled; the only shuffle is the
+    per-query top-k (tiny)."""
+    q = (
+        embeddings.join(query_ids, on=id_col, how="left_semi")
+        .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "rank",
+            "neighbor_id",
+            F.round(F.col("cos"), 6).alias("cos"),
+        )
+    )
+
+
+def hyperplanes(dim: int, planes: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (LCG-driven,
+    library-free so any oracle can regenerate them)."""
+    out = []
+    state = seed
+    for _ in range(planes):
+        v = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            # uniform in [-1, 1)
+            v.append((state / float(1 << 62)) - 1.0)
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        out.append([x / n for x in v])
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id (long) of a vector vs the hyperplanes."""
+    acc = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        acc = acc + F.when(dot(vec, plane) > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return acc
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's
+    LSH bucket. One equi-join on bucket id instead of a cross join."""
+    hp = hyperplanes(dim, planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), hp))
+    q = base.join(
+        query_ids.select(F.col(query_ids.columns[0]).alias("vid")), "vid", "left_semi"
+    ).select(
+        F.col("vid").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

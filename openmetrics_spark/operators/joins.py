@@ -1,0 +1,259 @@
+"""Time-aware joins.
+
+The reference's join layer is all event-time, state+timer machinery;
+these are the batch (DataFrame) twins:
+
+- ``asof_join`` — TemporalJoinFunction / UserJoin semantics: each left
+  (fact) row is enriched with the latest right (dimension) row whose
+  timestamp is <= the fact's (reference:
+  pipeline/.../common/functions/TemporalJoinFunction.java:25-207,
+  userjoin/UserJoin.java:36-358).
+- ``interval_join`` — the explicit-FK portion of the inferred-reference
+  join: right rows match left rows within an event-time interval
+  (reference: pipeline/.../common/functions/inferred/BaseInferred.java,
+  explicit-id path :304-481).
+- ``nearest_join`` — the inference portion's tie-break rule: among
+  candidates in the window, pick the TEMPORALLY NEAREST left row
+  (reference: BaseInferred.java:605-650 binary-searched nearest match).
+- ``inferred_join`` — the full scope-fallback join: try the most
+  specific ancestor key first, fall back scope by scope, nearest-in-
+  time within each scope (reference: BaseInferred.java:39-734 and the
+  three instances ViewResponseInsertion/InsertionImpression/
+  ImpressionAction ProcessFunction.java).
+
+Scale notes: ``asof_join`` uses the union+last_value trick — ONE
+shuffle+sort of |L|+|R| rows, no range-explosion, no per-key loop; this
+is the standard scalable as-of on MPP engines. ``nearest_join`` joins
+on equi-keys first (so Catalyst plans a hash/SMJ join, never a
+nested-loop), filters to the window, then takes min_by(|Δt|) — with a
+map-side partial aggregate. ``inferred_join`` runs one nearest_join
+per scope on the still-unmatched remainder, which shrinks every stage.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: Sequence[str],
+    tolerance_ms: int | None = None,
+) -> DataFrame:
+    """Left-outer as-of (backward, inclusive): attach the most recent
+    right row with ``right_ts <= left_ts`` per ``on`` key.
+
+    Union both sides, sort once per key by (ts, side) with the right
+    side winning ties, and carry the last non-null right payload
+    forward. |L|+|R| rows through one shuffle — never a range join.
+    """
+    from pyspark.sql import Window
+
+    lms = F.unix_millis(F.col(left_ts))
+    rms = F.unix_millis(F.col(right_ts))
+    payload = F.struct(rms.alias("__rms"), *[F.col(c) for c in right_cols])
+
+    l_tag = left.select(
+        *on,
+        lms.alias("__ms"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__lrow"),
+        F.lit(None).cast(
+            right.select(payload.alias("__rpay")).schema["__rpay"].dataType
+        ).alias("__rpay"),
+    )
+    r_tag = right.select(
+        *on,
+        rms.alias("__ms"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(
+            left.select(
+                F.struct(*[F.col(c) for c in left.columns]).alias("__lrow")
+            ).schema["__lrow"].dataType
+        ).alias("__lrow"),
+        payload.alias("__rpay"),
+    )
+    unioned = l_tag.unionByName(r_tag)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("__ms", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    matched = unioned.withColumn(
+        "__match", F.last("__rpay", ignorenulls=True).over(w)
+    ).filter(F.col("__side") == 1)
+    if tolerance_ms is not None:
+        matched = matched.withColumn(
+            "__match",
+            F.when(
+                F.col("__ms") - F.col("__match.__rms") <= F.lit(tolerance_ms),
+                F.col("__match"),
+            ),
+        )
+    out_cols = [F.col(f"__lrow.{c}").alias(c) for c in left.columns] + [
+        F.col(f"__match.{c}").alias(c) for c in right_cols
+    ]
+    return matched.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    lower_ms: int,
+    upper_ms: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Join right rows to left rows with
+    ``left_ts + lower_ms <= right_ts <= left_ts + upper_ms`` (all in
+    epoch millis), equi on ``on``. The equi keys make it a hash/SMJ
+    join with the range as a residual filter — no NLJ."""
+    lms = F.unix_millis(left[left_ts])
+    rms = F.unix_millis(right[right_ts])
+    cond = [left[c] == right[c] for c in on] + [
+        rms >= lms + F.lit(lower_ms),
+        rms <= lms + F.lit(upper_ms),
+    ]
+    joined = left.join(right, cond, how)
+    return joined
+
+
+@dataclass(frozen=True)
+class Scope:
+    """One inference scope: the equi-keys to match on, most → least
+    specific, mirroring getLeftJoinIds orderings (reference:
+    pipeline/.../inferred/ImpressionActionProcessFunction.java:38-56)."""
+
+    keys: tuple[str, ...]
+
+
+def nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    window_before_ms: int,
+    window_after_ms: int,
+    left_payload: Sequence[str],
+    right_id: str,
+) -> DataFrame:
+    """For each right row, the single temporally-nearest left row with
+    ``right_ts - window_before_ms <= left_ts <= right_ts +
+    window_after_ms``, equi on ``on``. Ties (same |Δt|) break toward
+    the EARLIER left row, then smallest payload — deterministic.
+
+    Returns right_id + ``__lpick`` struct (null if no candidate).
+    """
+    lms = F.unix_millis(left[left_ts]).alias("__lms")
+    rms = F.unix_millis(right[right_ts]).alias("__rms")
+    l = left.select(*on, lms, F.struct(*[left[c] for c in left_payload]).alias("__lrow"))
+    r = right.select(*on, rms, right[right_id].alias(right_id))
+    cond = [l[c] == r[c] for c in on] + [
+        F.col("__lms") >= F.col("__rms") - F.lit(window_before_ms),
+        F.col("__lms") <= F.col("__rms") + F.lit(window_after_ms),
+    ]
+    cand = r.join(l, cond, "inner")
+    dist = F.abs(F.col("__lms") - F.col("__rms"))
+    pick = cand.groupBy(right_id).agg(
+        F.min_by(
+            "__lrow", F.struct(dist.alias("d"), F.col("__lms"), F.col("__lrow"))
+        ).alias("__lpick")
+    )
+    return pick
+
+
+def inferred_join(
+    left: DataFrame,
+    right: DataFrame,
+    scopes: Sequence[Scope],
+    fk: tuple[str, str] | None,
+    left_ts: str,
+    right_ts: str,
+    window_before_ms: int,
+    window_after_ms: int,
+    left_payload: Sequence[str],
+    right_id: str,
+    right_outer: bool = False,
+) -> DataFrame:
+    """Scope-fallback nearest-in-time join (the batch oracle of the
+    reference's BaseInferred state machine).
+
+    1. If ``fk=(right_fk_col, left_pk_col)`` is given, right rows whose
+       FK is set join directly on it (the "explicit id join").
+    2. Remaining right rows fall through ``scopes`` in order; each
+       scope is a :func:`nearest_join` on that scope's equi-keys within
+       the window. A right row matched at scope i never reaches scope
+       i+1.
+    3. ``right_outer=True`` keeps unmatched right rows with a null
+       payload (the view→insertion instance); else they are dropped
+       (inner, like insertion→impression and impression→action).
+
+    Returns: right columns + ``__lpick`` struct of ``left_payload``.
+    """
+    right = right.withColumn("__rid", F.col(right_id))
+    remaining = right
+    picks: list[DataFrame] = []
+
+    if fk is not None:
+        rfk, lpk = fk
+        with_fk = remaining.filter(F.col(rfk).isNotNull())
+        remaining = remaining.filter(F.col(rfk).isNull())
+        l = left.select(
+            F.col(lpk).alias("__lpk"),
+            F.struct(*[F.col(c) for c in left_payload]).alias("__lrow"),
+            F.unix_millis(F.col(left_ts)).alias("__lms"),
+        )
+        r = with_fk.select("__rid", F.col(rfk).alias("__rfk"))
+        m = (
+            r.join(l, F.col("__rfk") == F.col("__lpk"), "inner")
+            .groupBy("__rid")
+            .agg(
+                F.min_by("__lrow", F.struct("__lms", "__lrow")).alias("__lpick")
+            )
+        )
+        picks.append(m)
+        matched_ids = m.select(F.col("__rid"))
+        remaining = remaining.unionByName(
+            with_fk.join(matched_ids, with_fk["__rid"] == matched_ids["__rid"], "left_anti")
+        )
+
+    for scope in scopes:
+        cand_right = remaining.filter(
+            F.struct(*[F.col(k) for k in scope.keys]).isNotNull()
+            & F.lit(True)
+        )
+        for k in scope.keys:
+            cand_right = cand_right.filter(F.col(k).isNotNull())
+        m = nearest_join(
+            left,
+            cand_right,
+            scope.keys,
+            left_ts,
+            right_ts,
+            window_before_ms,
+            window_after_ms,
+            left_payload,
+            "__rid",
+        )
+        picks.append(m)
+        remaining = remaining.join(
+            m.select("__rid"), on="__rid", how="left_anti"
+        )
+
+    all_picks = picks[0]
+    for p in picks[1:]:
+        all_picks = all_picks.unionByName(p)
+
+    how = "left" if right_outer else "inner"
+    return right.join(all_picks, on="__rid", how=how).drop("__rid")

@@ -1,0 +1,278 @@
+"""Training-data-pipeline queries over ``documents`` and
+``embeddings`` — the beyond-reference operator set (dedup, text
+analysis, similarity search) designed for 100 TB corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmetrics_spark.llm.dedup import ngram_jaccard_pairs
+from openmetrics_spark.llm.similarity import brute_topk, cosine, _dvec
+from openmetrics_spark.llm.text import (
+    LANG_MARKERS,
+    fingerprint,
+    marker_hits,
+    quality_score,
+    token_count,
+    tokens,
+    unique_token_count,
+)
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import table
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+_EXACT_DEDUP_ORACLE = """
+SELECT md5(text) AS text_hash, min(doc_id) AS canonical_id,
+       count(*) AS n_rows
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("doc_exact_dedup", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle of (hash, id) pairs; canonical = min id."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# token stats / quality
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "['the','and','of','to','a','in','is','that','it','for','on','with','as','this']"
+
+_TOKEN_STATS_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(tok) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(tok)) AS BIGINT) AS n_unique,
+       round(
+         0.5 * (CASE WHEN len(tok) > 0
+                     THEN CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)
+                     ELSE 0 END)
+         + 0.5 * least(
+             (CASE WHEN len(tok) > 0
+                   THEN CAST(len(list_filter(tok, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(tok)
+                   ELSE 0 END) * 5, 1.0),
+         6) AS quality
+FROM t
+"""
+
+
+@register("doc_token_stats", oracle=_TOKEN_STATS_ORACLE, headline=True, tags=("llm", "text"))
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality scoring, all JVM-side expressions."""
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    return docs.select(
+        "doc_id",
+        token_count(tok).alias("n_tokens"),
+        unique_token_count(tok).alias("n_unique"),
+        quality_score("text", tok).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID scoring
+# ---------------------------------------------------------------------------
+
+
+def _lang_sql_list(lang: str) -> str:
+    return "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+_LANG_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(tok, x -> list_contains({_lang_sql_list('en')}, x))) AS BIGINT) AS en_hits,
+    CAST(len(list_filter(tok, x -> list_contains({_lang_sql_list('de')}, x))) AS BIGINT) AS de_hits,
+    CAST(len(list_filter(tok, x -> list_contains({_lang_sql_list('fr')}, x))) AS BIGINT) AS fr_hits,
+    CAST(len(list_filter(tok, x -> list_contains({_lang_sql_list('es')}, x))) AS BIGINT) AS es_hits
+  FROM t
+)
+SELECT doc_id, en_hits, de_hits, fr_hits, es_hits,
+  CASE WHEN en_hits >= greatest(de_hits, fr_hits, es_hits) THEN 'en'
+       WHEN de_hits >= greatest(fr_hits, es_hits) THEN 'de'
+       WHEN fr_hits >= es_hits THEN 'fr'
+       ELSE 'es' END AS guess
+FROM h
+"""
+
+
+@register("doc_lang_guess", oracle=_LANG_ORACLE, tags=("llm", "text"))
+def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language voting (n-gram-heuristic language ID).
+    Ties break by the fixed priority en > de > fr > es."""
+    docs = table(spark, sf_dir, "documents")
+    tok = tokens("text")
+    h = docs.select(
+        "doc_id",
+        marker_hits(tok, LANG_MARKERS["en"]).alias("en_hits"),
+        marker_hits(tok, LANG_MARKERS["de"]).alias("de_hits"),
+        marker_hits(tok, LANG_MARKERS["fr"]).alias("fr_hits"),
+        marker_hits(tok, LANG_MARKERS["es"]).alias("es_hits"),
+    )
+    guess = (
+        F.when(
+            F.col("en_hits")
+            >= F.greatest("de_hits", "fr_hits", "es_hits"),
+            "en",
+        )
+        .when(F.col("de_hits") >= F.greatest("fr_hits", "es_hits"), "de")
+        .when(F.col("fr_hits") >= F.col("es_hits"), "fr")
+        .otherwise("es")
+    )
+    return h.withColumn("guess", guess)
+
+
+# ---------------------------------------------------------------------------
+# fingerprinting
+# ---------------------------------------------------------------------------
+
+_FP_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(('0x' || substr(md5(array_to_string(tok[1:64], ' ')), 1, 15)) AS BIGINT) AS fp
+FROM t
+"""
+
+
+@register("doc_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text"))
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized 64-token-prefix fingerprint (rolling-hash family)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint("text", 64).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (inverted index + stop-shingle cap)
+# ---------------------------------------------------------------------------
+
+_JACCARD_SQL_HASH = "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+3)], ' ')), 1, 15)) AS BIGINT)"
+
+_JACCARD_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= 3
+), p AS (
+  SELECT doc_id, unnest(sh) AS s FROM g
+), rare AS (
+  SELECT s FROM p GROUP BY s HAVING count(*) <= 50
+), pr AS (
+  SELECT p.doc_id, p.s FROM p JOIN rare USING (s)
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+  FROM pr x JOIN pr y USING (s)
+  WHERE x.doc_id < y.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM pairs
+  JOIN g a ON a.doc_id = doc_a
+  JOIN g b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("ngram_jaccard_neardup", oracle=_JACCARD_ORACLE, headline=True, tags=("llm", "dedup"))
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram shingle Jaccard near-dup pairs (≥0.5) via an inverted
+    shingle index with a document-frequency cap (50) on stop-shingles
+    — bounds candidate fan-out; Jaccard still uses full shingle sets."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), s AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, v) AS raw_cos
+  FROM q, e WHERE e.vec_id != query_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+
+
+@register("ann_brute_topk", oracle=_ANN_ORACLE, headline=True, tags=("llm", "similarity"))
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
+    broadcast queries × one streaming pass over candidates."""
+    emb = table(spark, sf_dir, "embeddings")
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    out = brute_topk(emb, "vec_id", "embedding", q_ids, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+_NEARDUP_EMB_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+"""
+
+
+@register("embedding_neardup", oracle=_NEARDUP_EMB_ORACLE, tags=("llm", "dedup"))
+def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (≥0.95), blocked by label
+    — the blocking key stands in for an LSH bucket at this scale; the
+    lsh_topk operator is the unblocked scale path."""
+    emb = table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"), F.col("v").alias("vb")
+    )
+    return (
+        a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn("raw_cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("raw_cos") >= 0.95)
+        .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos"))
+    )

@@ -1,0 +1,466 @@
+"""Event-stream queries over the ``events`` table — each instantiates
+one operator family from the reference pipeline (SURVEY §2) on the
+driver's event stream: (event_id, ts, user_id, event_type, value,
+props).
+
+The mapping: ``user_id`` plays (platform, log_user_id); ``event_type``
+plays the typed-stream split; ``value`` plays counts/GMV; ``props``
+plays Properties.struct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmetrics_spark.operators.counters import (
+    last_time_and_count,
+    sliding_counter,
+    top_n,
+)
+from openmetrics_spark.operators.dedup import keep_first, pick_best
+from openmetrics_spark.operators.joins import asof_join
+from openmetrics_spark.operators.metrics import cumulate_metrics, tumbling_metrics
+from openmetrics_spark.operators.sessions import session_rollup
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import table
+
+MIN15 = 15 * 60 * 1000
+HOUR = 60 * 60 * 1000
+HOUR4 = 4 * HOUR
+DAY = 24 * HOUR
+WEEK = 7 * DAY
+
+# ---------------------------------------------------------------------------
+# dedup — KeepFirstRow (reference: common/functions/KeepFirstRow.java:13-49)
+# ---------------------------------------------------------------------------
+
+_KEEP_FIRST_ORACLE = """
+SELECT user_id, event_type, event_id AS first_event_id,
+       epoch_ms(ts) AS first_ms, value
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, event_type ORDER BY ts, event_id
+  ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("keep_first_dedup", oracle=_KEEP_FIRST_ORACLE, tags=("dedup",))
+def keep_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, type) wins — KeepFirstRow semantics.
+    Implemented as min_by aggregation (map-side combinable), not a
+    row_number window: shuffle is O(keys), not O(events)."""
+    ev = table(spark, sf_dir, "events")
+    first = keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return first.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.unix_millis("ts").alias("first_ms"),
+        "value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# sliding counters (reference: common/functions/SlidingHourlyCounter.java,
+# SlidingDailyCounter.java — 1 h / 15 m and 1-7-30 d / 4 h)
+# ---------------------------------------------------------------------------
+
+_SLIDING_HOURLY_ORACLE = """
+WITH b AS (
+  SELECT user_id, (epoch_ms(ts) // 900000) * 900000 AS bucket_ms,
+         count(*) AS bn
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT user_id, bucket_ms + i * 900000 AS emit_ms,
+       CAST(sum(bn) AS BIGINT) AS n
+FROM b, range(1, 5) r(i)
+GROUP BY 1, 2
+"""
+
+
+@register("sliding_hourly_counter", oracle=_SLIDING_HOURLY_ORACLE, headline=True, tags=("counter",))
+def sliding_hourly_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1 h count per user at every 15 m emit boundary —
+    SlidingHourlyCounter semantics. Pre-tumbles to 15 m buckets before
+    the 4× window expansion, so raw events shuffle once."""
+    ev = table(spark, sf_dir, "events")
+    return sliding_counter(ev, ["user_id"], "ts", HOUR, MIN15)
+
+
+_SLIDING_DAILY_ORACLE = """
+WITH b AS (
+  SELECT event_type, (epoch_ms(ts) // 14400000) * 14400000 AS bucket_ms,
+         count(*) AS bn
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT event_type, bucket_ms + i * 14400000 AS emit_ms,
+       CAST(sum(bn) AS BIGINT) AS n
+FROM b, range(1, 7) r(i)
+GROUP BY 1, 2
+"""
+
+
+@register("sliding_daily_counter", oracle=_SLIDING_DAILY_ORACLE, tags=("counter",))
+def sliding_daily_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1 d count per event type at every 4 h emit boundary —
+    the SlidingDailyCounter shape (1/7/30 d buckets share the 4 h
+    tumble; this instantiates the 1 d bucket)."""
+    ev = table(spark, sf_dir, "events")
+    return sliding_counter(ev, ["event_type"], "ts", DAY, HOUR4)
+
+
+_LTC_ORACLE = """
+WITH mx AS (SELECT max(epoch_ms(ts)) AS anchor FROM events)
+SELECT user_id,
+       max(epoch_ms(ts)) AS last_ms,
+       CAST(sum(CASE WHEN epoch_ms(ts) > anchor - 604800000
+                      AND epoch_ms(ts) <= anchor THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_horizon
+FROM events, mx
+GROUP BY user_id
+"""
+
+
+@register("last_time_and_count", oracle=_LTC_ORACLE, tags=("counter",))
+def last_time_and_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per user: last event time + trailing-7 d count anchored at the
+    dataset max — LastTimeAndCount semantics (reference:
+    common/functions/LastTimeAndCount.java:36-299; 90 d in prod)."""
+    ev = table(spark, sf_dir, "events")
+    return last_time_and_count(ev, ["user_id"], "ts", WEEK)
+
+
+# ---------------------------------------------------------------------------
+# sessionization (reference: FlatResponseInsertion session cogroup,
+# job/join/FlatOutputJob.java:998-1044 — EventTimeSessionWindows 1 d gap)
+# ---------------------------------------------------------------------------
+
+_SESSION_ORACLE = """
+WITH o AS (
+  SELECT user_id, epoch_ms(ts) AS ms, value,
+         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), s AS (
+  SELECT user_id, ms, value,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM s
+GROUP BY user_id, sess
+"""
+
+
+@register("session_rollup_30m", oracle=_SESSION_ORACLE, headline=True, tags=("session",))
+def session_rollup_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 m-gap sessions per user with per-session rollups — the batch
+    twin of the reference's event-time session-window cogroup."""
+    ev = table(spark, sf_dir, "events")
+    return session_rollup(
+        ev,
+        ["user_id"],
+        "ts",
+        30 * 60 * 1000,
+        aggs=[F.round(F.sum("value"), 2).alias("total_value")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (reference: common/functions/TemporalJoinFunction.java:25-207,
+# userjoin/UserJoin.java — latest dimension row <= fact time)
+# ---------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, epoch_ms(ts) AS click_ms, max(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_ms(ts)
+)
+SELECT purchase_id, p.user_id AS user_id, purchase_ms,
+       CASE WHEN purchase_ms - click_ms <= 3600000 THEN click_id END AS click_id,
+       CASE WHEN purchase_ms - click_ms <= 3600000 THEN click_ms END AS click_ms
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.purchase_ms >= c.click_ms
+"""
+
+
+@register("asof_attribution", oracle=_ASOF_ORACLE, headline=True, tags=("join",))
+def asof_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attach the most recent prior click (≤1 h) to every purchase —
+    as-of join semantics (TemporalJoinFunction / UserJoin). The Spark
+    implementation is the union+last_value trick: one shuffle of
+    |purchases|+|clicks| rows, no range explosion."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.unix_millis("ts").alias("purchase_ms"),
+    )
+    # collapse same-millisecond clicks deterministically (max id), so
+    # as-of tie-breaks are engine-independent
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.unix_millis("ts").alias("click_ms"))
+        .agg(F.max("event_id").alias("click_id"))
+        .withColumn("click_ts", F.timestamp_millis(F.col("click_ms")))
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_id", "click_ms"],
+        tolerance_ms=3600000,
+    )
+    return joined.select("purchase_id", "user_id", "purchase_ms", "click_id", "click_ms")
+
+
+# ---------------------------------------------------------------------------
+# interval join (reference: inferred/BaseInferred.java explicit-id windowed
+# join; FlatOutputJob join windows [-10m,0]/[-30m,0]/[-1d,0])
+# ---------------------------------------------------------------------------
+
+_INTERVAL_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS pms
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id AS cuser, epoch_ms(ts) AS cms
+  FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id, user_id,
+       CAST(sum(CASE WHEN cms IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks
+FROM p LEFT JOIN c
+  ON user_id = cuser AND cms >= pms - 3600000 AND cms < pms
+GROUP BY purchase_id, user_id
+"""
+
+
+@register("interval_click_counts", oracle=_INTERVAL_ORACLE, tags=("join",))
+def interval_click_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks within the hour before each purchase — the windowed
+    explicit-id join shape of the inferred-reference join ([-1h, 0)
+    here; the reference uses [-10m,0]/[-30m,0]/[-1d,0])."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.unix_millis("ts").alias("pms"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cuser"), F.unix_millis("ts").alias("cms")
+    )
+    j = p.join(
+        c,
+        (p.user_id == c.cuser)
+        & (c.cms >= p.pms - F.lit(3600000))
+        & (c.cms < p.pms),
+        "left",
+    )
+    return j.groupBy("purchase_id", "user_id").agg(
+        F.sum(F.when(F.col("cms").isNotNull(), 1).otherwise(0)).alias("n_clicks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# pick-best merge (reference: common/functions/CombineDeliveryLog.java:22-210
+# — merge rows sharing a key in a short window, highest priority wins)
+# ---------------------------------------------------------------------------
+
+_PICK_BEST_ORACLE = """
+SELECT user_id, bucket_ms, event_id, value
+FROM (
+  SELECT user_id, (epoch_ms(ts) // 900000) * 900000 AS bucket_ms,
+         event_id, value,
+         row_number() OVER (
+           PARTITION BY user_id, (epoch_ms(ts) // 900000) * 900000
+           ORDER BY value DESC, event_id
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
+@register("pick_best_15m", oracle=_PICK_BEST_ORACLE, tags=("dedup",))
+def pick_best_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best (max-value) event per user per 15 m bucket —
+    CombineDeliveryLog's pick-highest-priority-within-window semantics
+    as a map-side-combinable aggregation."""
+    ev = table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        "user_id",
+        ((F.unix_millis("ts") / MIN15).cast("long") * MIN15).alias("bucket_ms"),
+        "event_id",
+        "value",
+    )
+    return pick_best(
+        bucketed,
+        ["user_id", "bucket_ms"],
+        [(-F.col("value")).alias("neg_value"), F.col("event_id")],
+    )
+
+
+# ---------------------------------------------------------------------------
+# content metrics (reference: job/contentmetrics resources/*.sql — unified
+# stream + TUMBLE hourly/daily + CUMULATE)
+# ---------------------------------------------------------------------------
+
+_HOURLY_METRICS_ORACLE = """
+SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue
+FROM events
+GROUP BY 1
+"""
+
+
+@register("hourly_event_metrics", oracle=_HOURLY_METRICS_ORACLE, headline=True, tags=("metrics",))
+def hourly_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified event stream → hourly tumbling metric sums (the
+    reference's 1_create_unified_event_stream.sql +
+    2/3/4 hourly content metrics, re-keyed to the events table)."""
+    ev = table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    aggs = {
+        "n_views": F.sum(F.when(t == "view", 1).otherwise(0)),
+        "n_clicks": F.sum(F.when(t == "click", 1).otherwise(0)),
+        "n_purchases": F.sum(F.when(t == "purchase", 1).otherwise(0)),
+        "n_signups": F.sum(F.when(t == "signup", 1).otherwise(0)),
+        "n_errors": F.sum(F.when(t == "error", 1).otherwise(0)),
+        "revenue": F.round(
+            F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)), 2
+        ),
+    }
+    return tumbling_metrics(ev, [], "ts", HOUR, aggs)
+
+
+_DAILY_METRICS_ORACLE = """
+SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_ms,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue
+FROM events
+GROUP BY 1
+"""
+
+
+@register("daily_event_metrics", oracle=_DAILY_METRICS_ORACLE, tags=("metrics",))
+def daily_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling metrics incl. exact distinct users (the
+    reference's daily content metrics, 5/6/7_...sql)."""
+    ev = table(spark, sf_dir, "events")
+    aggs = {
+        "n_events": F.count(F.lit(1)),
+        "n_users": F.countDistinct("user_id"),
+        "revenue": F.round(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            2,
+        ),
+    }
+    return tumbling_metrics(ev, [], "ts", DAY, aggs)
+
+
+_CUMULATE_ORACLE = """
+WITH h AS (
+  SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
+         count(*) AS ne,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+  FROM events
+  GROUP BY 1
+)
+SELECT (window_ms // 86400000) * 86400000 AS period_ms, window_ms,
+       CAST(sum(ne) OVER w AS BIGINT) AS n_events,
+       round(sum(rev) OVER w, 2) AS revenue
+FROM h
+WINDOW w AS (PARTITION BY window_ms // 86400000 ORDER BY window_ms
+             ROWS UNBOUNDED PRECEDING)
+"""
+
+
+@register("cumulate_hourly", oracle=_CUMULATE_ORACLE, tags=("metrics",))
+def cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUMULATE(1 h step, 1 d period): intra-day cumulative totals at
+    each hour — emulation of the reference's
+    10_create_view_cumulated_content_metrics.sql (Flink CUMULATE).
+    Running sum runs over the per-hour aggregate, not raw events."""
+    ev = table(spark, sf_dir, "events")
+    aggs = {
+        "n_events": F.count(F.lit(1)),
+        "revenue": F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        ),
+    }
+    out = cumulate_metrics(ev, [], "ts", HOUR, DAY, aggs)
+    return out.select(
+        "period_ms", "window_ms", "n_events", F.round("revenue", 2).alias("revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# top-n (reference: job/counter/TopNEmitter.java + top-query computation
+# CounterJob.java:393-455)
+# ---------------------------------------------------------------------------
+
+_TOP_TYPES_ORACLE = """
+SELECT event_type, n FROM (
+  SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+) ORDER BY n DESC, event_type LIMIT 3
+"""
+
+
+@register("top_event_types", oracle=_TOP_TYPES_ORACLE, tags=("counter",))
+def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types by frequency — TopNEmitter as
+    TakeOrderedAndProject over a pre-aggregate."""
+    ev = table(spark, sf_dir, "events")
+    return top_n(ev, ["event_type"], F.count(F.lit(1)), 3, tiebreak=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# semi-structured props (reference: Properties.struct free-form payloads,
+# job/join/OtherContentIdsConverter.java — extract typed keys from JSON)
+# ---------------------------------------------------------------------------
+
+_PROPS_ORACLE = """
+SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       count(*) AS n,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1
+"""
+
+
+@register("props_json_metrics", oracle=_PROPS_ORACLE, tags=("props",))
+def props_json_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extract a typed key from the free-form JSON props column and
+    aggregate on it (OtherContentIdsConverter's job: pull configured
+    property keys out of Properties.struct)."""
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,56 @@
+"""SparkSession factory.
+
+Local test harness runs on ``local[N]`` (single JVM), but every conf
+here is chosen to also make sense on a large multi-executor cluster:
+AQE on (runtime coalesce + skew-join handling), shuffle partitions
+sized explicitly, Arrow enabled for the Pandas-UDF slow path, UTC
+session timezone so results compare bit-for-bit against UTC-naive
+oracles (DuckDB).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "openmetrics_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    On a real cluster, drop ``master`` and submit with
+    ``--conf spark.sql.adaptive.enabled=true`` etc.; the session-level
+    confs below are cluster-size independent.
+    """
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # Shuffle sizing: ~1 partition per core locally. On a 1000-executor
+        # cluster this would be set to ~2-3x total cores (or left to AQE
+        # initialPartitionNum) — AQE coalesces down from there.
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching. Non-negotiable at 100 TB.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow for any pandas_udf / applyInPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic oracle comparison: UTC everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Parquet TIMESTAMP(NANOS) (pandas-written test data) is not a
+        # Spark type; read it as long and normalize in tables.py.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Quiet the UI in headless runs.
+        .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
+        # Broadcast threshold: generous — dimension tables (region,
+        # nation, supplier, content) should always broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,69 @@
+"""Loaders for the driver-generated test tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file each under an sf dir.
+
+``load_tables`` registers every table as a temp view so queries can be
+written in either the DataFrame API or Spark SQL; Catalyst produces the
+same plan either way.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one test table. Plain parquet scan: column pruning and
+    predicate pushdown happen automatically downstream.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
+    long (session conf ``nanosAsLong``); normalize it to a proper
+    TimestampType here. Integer division (``div``) keeps full precision
+    — ``/`` would go through double and lose sub-second digits at
+    epoch-nanos magnitude.
+    """
+    try:
+        # the driver may hand us a session built without these confs;
+        # both are session-level and safe to set idempotently. UTC
+        # matters for timestamp→date casts matching UTC-naive oracles.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """Read the given tables (default: all) and register temp views."""
+    out: dict[str, DataFrame] = {}
+    for name in names or TABLE_NAMES:
+        df = table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

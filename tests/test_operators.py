@@ -1,0 +1,107 @@
+"""Operator unit tests on tiny hand-built frames — the analog of the
+reference's operator-harness tests (SURVEY §5: drive explicit
+elements, assert emissions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmetrics_spark.operators.counters import last_time_and_count, sliding_counter
+from openmetrics_spark.operators.dedup import keep_first, pick_best
+from openmetrics_spark.operators.joins import asof_join, interval_join
+from openmetrics_spark.operators.sessions import session_rollup
+
+
+def _ev(spark, rows):
+    df = spark.createDataFrame(rows, "id long, key string, ms long, v double")
+    return df.withColumn("ts", F.timestamp_millis("ms"))
+
+
+def test_keep_first_picks_earliest_with_tiebreak(spark):
+    df = _ev(
+        spark,
+        [
+            (1, "a", 1000, 1.0),
+            (2, "a", 500, 2.0),
+            (3, "a", 500, 3.0),  # same ts as id=2 → id wins ties
+            (4, "b", 100, 4.0),
+        ],
+    )
+    out = keep_first(df, ["key"], ["ms", "id"]).orderBy("key").collect()
+    assert [(r.key, r.id) for r in out] == [("a", 2), ("b", 4)]
+
+
+def test_pick_best_max_value(spark):
+    df = _ev(spark, [(1, "a", 0, 5.0), (2, "a", 1, 9.0), (3, "b", 2, 1.0)])
+    out = pick_best(df, ["key"], [(-F.col("v")).alias("nv"), F.col("id")])
+    got = {(r.key, r.id) for r in out.collect()}
+    assert got == {("a", 2), ("b", 3)}
+
+
+def test_sliding_counter_trailing_window(spark):
+    # one event at t=0 (bucket 0): with window=4*slide it must appear in
+    # emits at slide*1..4 only
+    df = _ev(spark, [(1, "a", 0, 1.0)])
+    out = sliding_counter(df, ["key"], "ts", window_ms=4000, slide_ms=1000)
+    emits = sorted(r.emit_ms for r in out.collect())
+    assert emits == [1000, 2000, 3000, 4000]
+    assert all(r.n == 1 for r in out.collect())
+
+
+def test_sliding_counter_sums_buckets(spark):
+    df = _ev(spark, [(1, "a", 0, 1.0), (2, "a", 1500, 1.0)])  # buckets 0 and 1000
+    out = {r.emit_ms: r.n for r in sliding_counter(df, ["key"], "ts", 2000, 1000).collect()}
+    # emit at 2000 covers buckets {0,1000} → 2; emit 1000 covers {0} → 1;
+    # emit 3000 covers {1000, 2000} → 1
+    assert out == {1000: 1, 2000: 2, 3000: 1}
+
+
+def test_last_time_and_count_horizon(spark):
+    df = _ev(spark, [(1, "a", 0, 1.0), (2, "a", 10_000, 1.0), (3, "b", 4000, 1.0)])
+    # anchor = 10_000; horizon 5000 → (5000, 10000]
+    out = {r.key: (r.last_ms, r.n_horizon) for r in last_time_and_count(df, ["key"], "ts", 5000).collect()}
+    assert out == {"a": (10_000, 1), "b": (4000, 0)}
+
+
+def test_session_rollup_gap(spark):
+    df = _ev(
+        spark,
+        [(1, "a", 0, 1.0), (2, "a", 1000, 2.0), (3, "a", 10_000, 3.0)],
+    )
+    out = session_rollup(df, ["key"], "ts", gap_ms=5000).orderBy("session_start_ms").collect()
+    assert [(r.session_start_ms, r.session_end_ms, r.n_events) for r in out] == [
+        (0, 1000, 2),
+        (10_000, 10_000, 1),
+    ]
+
+
+def test_asof_join_backward_inclusive_with_tolerance(spark):
+    left = _ev(spark, [(1, "a", 1000, 0.0), (2, "a", 5000, 0.0), (3, "b", 100, 0.0)])
+    right = (
+        _ev(spark, [(10, "a", 1000, 0.0), (11, "a", 1200, 0.0)])
+        .select("key", F.col("id").alias("rid"), "ts")
+    )
+    out = asof_join(
+        left,
+        right,
+        on=["key"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["rid"],
+        tolerance_ms=2000,
+    )
+    got = {r.id: r.rid for r in out.collect()}
+    # id=1 matches rid=10 (same ms, inclusive); id=2 sees rid=11 at 1200
+    # but 5000-1200=3800 > tolerance → null; id=3 has no right rows
+    assert got == {1: 10, 2: None, 3: None}
+
+
+def test_interval_join_bounds(spark):
+    left = _ev(spark, [(1, "a", 1000, 0.0)]).select("id", "key", F.col("ts").alias("lts"))
+    right = _ev(
+        spark, [(10, "a", 999, 0.0), (11, "a", 1000, 0.0), (12, "a", 3000, 0.0), (13, "a", 3001, 0.0)]
+    ).select(F.col("id").alias("rid"), F.col("key").alias("rkey"), F.col("ts").alias("rts"))
+    r2 = right.withColumnRenamed("rkey", "key")
+    out = interval_join(left, r2, ["key"], "lts", "rts", 0, 2000)
+    got = sorted(r.rid for r in out.collect())
+    assert got == [11, 12]

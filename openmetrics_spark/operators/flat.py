@@ -1,0 +1,316 @@
+"""Flat-event operators: delivery-log combining, tiny projections with
+cart fan-out, redundant-impression reduction, and the flat-response-
+insertion session rollup.
+
+These are the batch twins of the reference's FlatOutputJob stages
+(reference: pipeline/.../job/join/FlatOutputJob.java:394-1044).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from openmetrics_spark.operators.dedup import pick_best
+from openmetrics_spark.schemas import CHECKOUT, PURCHASE
+
+
+def combine_delivery_logs(dl: DataFrame) -> DataFrame:
+    """Merge API + SDK delivery logs sharing a client_request_id,
+    keeping the API row (reference: CombineDeliveryLog.java:22-210 —
+    2 s event-time window, API preferred via getTrafficPriority).
+
+    Batch form: group the whole key; the reference's 2 s window exists
+    only to bound streaming state. Rows without a client_request_id
+    pass through untouched.
+    """
+    no_cri = dl.filter(
+        F.col("client_request_id").isNull() | (F.col("client_request_id") == "")
+    )
+    with_cri = dl.filter(
+        F.col("client_request_id").isNotNull() & (F.col("client_request_id") != "")
+    )
+    best = pick_best(
+        with_cri,
+        ["platform_id", "log_user_id", "client_request_id"],
+        [
+            (~F.coalesce(F.col("api_execution"), F.lit(False))).cast("int").alias("sdk_first"),
+            F.col("log_timestamp"),
+            F.col("request_id"),
+        ],
+    )
+    return best.select(*dl.columns).unionByName(no_cri)
+
+
+def to_tiny_view(view: DataFrame) -> DataFrame:
+    """Project a view to its join skeleton (reference:
+    FlatOutputJob.java:756-806 "Tiny events")."""
+    return view.select(
+        "platform_id",
+        "log_user_id",
+        "view_id",
+        F.col("log_timestamp").alias("view_ts"),
+    )
+
+
+def to_tiny_insertions(dl: DataFrame) -> DataFrame:
+    """Explode a (combined) delivery log into one tiny row per
+    response insertion (reference: TinyFlatUtil
+    createTinyFlatResponseInsertions)."""
+    return dl.select(
+        "platform_id",
+        "log_user_id",
+        "view_id",
+        "request_id",
+        F.col("log_timestamp").alias("insertion_ts"),
+        F.explode("response_insertions").alias("ins"),
+    ).select(
+        "platform_id",
+        "log_user_id",
+        "view_id",
+        "request_id",
+        F.col("ins.insertion_id").alias("insertion_id"),
+        F.col("ins.content_id").alias("content_id"),
+        F.col("ins.position").alias("position"),
+        "insertion_ts",
+    )
+
+
+def to_tiny_impressions(imp: DataFrame) -> DataFrame:
+    return imp.select(
+        "platform_id",
+        "log_user_id",
+        "impression_id",
+        "insertion_id",
+        "request_id",
+        "view_id",
+        "content_id",
+        F.col("log_timestamp").alias("impression_ts"),
+    )
+
+
+def to_tiny_actions(act: DataFrame) -> DataFrame:
+    """Tiny actions with cart fan-out: CHECKOUT/PURCHASE actions with a
+    cart emit one row per distinct content id ({action.content_id} ∪
+    cart content ids) with the FK hints CLEARED — the cart content is
+    probably not the impressed content (reference:
+    job/join/ToTinyAction.java:37-72). The action 'primary key'
+    becomes (action_id, content_id). Cart quantity/price ride along
+    for counter/gmv math (reference: CounterUtil.java:6-18)."""
+    has_cart = (
+        F.col("action_type").isin(CHECKOUT, PURCHASE)
+        & (F.size(F.coalesce(F.col("cart"), F.array())) > 0)
+    )
+    plain = act.filter(~has_cart).select(
+        "platform_id",
+        "log_user_id",
+        "action_id",
+        "impression_id",
+        "insertion_id",
+        "request_id",
+        "view_id",
+        "content_id",
+        "action_type",
+        F.col("log_timestamp").alias("action_ts"),
+        F.lit(1).cast("long").alias("quantity"),
+        F.lit(None).cast("long").alias("price_usd_micros_per_unit"),
+    )
+    # distinct content ids = base ∪ cart; dedupe via explode+distinct
+    carted = act.filter(has_cart)
+    base_ids = carted.select(
+        "platform_id",
+        "log_user_id",
+        "action_id",
+        "action_type",
+        F.col("log_timestamp").alias("action_ts"),
+        F.explode(
+            F.array_distinct(
+                F.concat(
+                    F.when(
+                        F.col("content_id").isNotNull() & (F.col("content_id") != ""),
+                        F.array(F.col("content_id")),
+                    ).otherwise(F.array().cast("array<string>")),
+                    F.transform(F.col("cart"), lambda c: c["content_id"]),
+                )
+            )
+        ).alias("fan_content_id"),
+        F.col("cart"),
+    )
+    fanned = base_ids.select(
+        "platform_id",
+        "log_user_id",
+        "action_id",
+        F.lit(None).cast("string").alias("impression_id"),
+        F.lit(None).cast("string").alias("insertion_id"),
+        F.lit(None).cast("string").alias("request_id"),
+        F.lit(None).cast("string").alias("view_id"),
+        F.col("fan_content_id").alias("content_id"),
+        "action_type",
+        "action_ts",
+        # quantity/price from the matching cart entry (1 if only base)
+        F.coalesce(
+            F.element_at(
+                F.filter(F.col("cart"), lambda c: c["content_id"] == F.col("fan_content_id")),
+                1,
+            )["quantity"],
+            F.lit(1),
+        ).alias("quantity"),
+        F.element_at(
+            F.filter(F.col("cart"), lambda c: c["content_id"] == F.col("fan_content_id")),
+            1,
+        )["price_usd_micros_per_unit"].alias("price_usd_micros_per_unit"),
+    )
+    return plain.unionByName(fanned)
+
+
+class RedundantResult(NamedTuple):
+    kept: DataFrame  # canonical impressions
+    redundant: DataFrame  # suppressed impressions (side output)
+    remap: DataFrame  # redundant impression_id -> canonical impression_id
+
+
+_REMAP_SCHEMA = T.StructType(
+    [
+        T.StructField("impression_id", T.StringType()),
+        T.StructField("canonical_impression_id", T.StringType()),
+        T.StructField("is_redundant", T.BooleanType()),
+    ]
+)
+
+
+def reduce_redundant_impressions(tiny_imp: DataFrame, ttl_ms: int) -> RedundantResult:
+    """First impression per redundancy key is canonical until
+    first_ts + ttl; impressions inside that window are redundant; the
+    next impression after the window starts a new canonical epoch
+    (reference: ReduceRedundantTinyImpressions.java:24-249, key per
+    RedundantImpressionKey.java:32-47: (platform, logUser,
+    insertion_id, '') if insertion_id else (platform, logUser,
+    view_id, content_id)).
+
+    The epoch chain ("first, then next after first+ttl") is not
+    expressible with plain window functions; per-key groups are tiny
+    (a user's duplicates of one insertion), so an applyInPandas walk
+    per key is the honest Spark shape — same pattern the streaming
+    twin uses with state.
+    """
+    keyed = tiny_imp.withColumn(
+        "__rkey",
+        F.when(
+            F.col("insertion_id").isNotNull() & (F.col("insertion_id") != ""),
+            F.concat_ws("\x1f", "platform_id", "log_user_id", "insertion_id", F.lit("")),
+        ).otherwise(
+            F.concat_ws(
+                "\x1f",
+                "platform_id",
+                "log_user_id",
+                F.coalesce("view_id", F.lit("")),
+                F.coalesce("content_id", F.lit("")),
+            )
+        ),
+    )
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["impression_ts", "impression_id"])
+        out = []
+        canonical_id = None
+        replace_after = None
+        for _, row in pdf.iterrows():
+            ts = row["impression_ts"]
+            if canonical_id is None or ts > replace_after:
+                canonical_id = row["impression_id"]
+                replace_after = ts + ttl_ms
+                out.append((row["impression_id"], canonical_id, False))
+            else:
+                out.append((row["impression_id"], canonical_id, True))
+        return pd.DataFrame(
+            out, columns=["impression_id", "canonical_impression_id", "is_redundant"]
+        )
+
+    remap = keyed.groupBy("__rkey").applyInPandas(walk, _REMAP_SCHEMA)
+    joined = tiny_imp.join(remap, "impression_id")
+    kept = joined.filter(~F.col("is_redundant")).drop(
+        "is_redundant", "canonical_impression_id"
+    )
+    redundant = joined.filter(F.col("is_redundant")).drop("is_redundant")
+    return RedundantResult(kept, redundant, remap)
+
+
+def repoint_actions(joined_actions: DataFrame, remap: DataFrame) -> DataFrame:
+    """Rewrite actions that reference a redundant impression to the
+    canonical impression id (reference:
+    ReduceRedundantTinyImpressions action re-pointing)."""
+    m = remap.filter(F.col("is_redundant")).select(
+        F.col("impression_id").alias("__old_id"),
+        F.col("canonical_impression_id").alias("__new_id"),
+    )
+    return (
+        joined_actions.join(
+            m, joined_actions["impression_id"] == m["__old_id"], "left"
+        )
+        .withColumn("impression_id", F.coalesce("__new_id", "impression_id"))
+        .drop("__old_id", "__new_id")
+    )
+
+
+def flat_response_insertions(
+    joined_impressions: DataFrame, joined_actions: DataFrame, gap_ms: int
+) -> DataFrame:
+    """Cogroup impressions + actions per (platform, logUser,
+    insertion_id) into one flat record with impression[]/action[]
+    arrays, per event-time session with ``gap_ms`` (reference:
+    FlatOutputJob.java:998-1044, 1 d gap; record build
+    FlatUtil.java:561-607).
+
+    Batch shape: union the two sides with a type tag, sessionize per
+    key, aggregate arrays with collect_list sorted by time.
+    """
+    from openmetrics_spark.operators.sessions import sessionize
+
+    key = ["platform_id", "log_user_id", "insertion_id"]
+    imps = joined_impressions.select(
+        *key,
+        F.col("impression_ts").alias("ms"),
+        F.struct(
+            F.col("impression_id"), F.col("content_id"), F.col("impression_ts")
+        ).alias("imp"),
+        F.lit(None)
+        .cast(
+            "struct<action_id:string,action_type:int,quantity:bigint,action_ts:bigint>"
+        )
+        .alias("act"),
+    )
+    acts = joined_actions.select(
+        *key,
+        F.col("action_ts").alias("ms"),
+        F.lit(None)
+        .cast("struct<impression_id:string,content_id:string,impression_ts:bigint>")
+        .alias("imp"),
+        F.struct(
+            F.col("action_id"), F.col("action_type"), F.col("quantity"), F.col("action_ts")
+        ).alias("act"),
+    )
+    unioned = imps.unionByName(acts).withColumn("ts", F.timestamp_millis("ms"))
+    sess = sessionize(unioned, key, "ts", gap_ms)
+    return (
+        sess.groupBy(*key, "session_start_ms")
+        .agg(
+            F.sort_array(F.collect_list("imp")).alias("impressions"),
+            F.sort_array(F.collect_list("act")).alias("actions"),
+        )
+    )
+
+
+def clear_user_id(df: DataFrame) -> DataFrame:
+    """PII strip: drop/null authenticated user ids anywhere in the
+    schema before any sink (reference: UserInfoUtil.clearUserId,
+    common/functions/UserInfoUtil.java:24-218; applied
+    FlatOutputJob.java:1181-1188)."""
+    out = df
+    for f in df.schema.fields:
+        if f.name == "user_id":
+            out = out.withColumn("user_id", F.lit(None).cast(f.dataType))
+    return out

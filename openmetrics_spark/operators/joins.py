@@ -147,22 +147,40 @@ def nearest_join(
     window_after_ms: int,
     left_payload: Sequence[str],
     right_id: str,
+    content_filter: tuple[str, str] | None = None,
 ) -> DataFrame:
     """For each right row, the single temporally-nearest left row with
     ``right_ts - window_before_ms <= left_ts <= right_ts +
     window_after_ms``, equi on ``on``. Ties (same |Δt|) break toward
     the EARLIER left row, then smallest payload — deterministic.
 
+    ``content_filter=(left_col, right_col)``: when the right row
+    carries a content id, candidates must carry the same one
+    (reference: inferred/ContentId.java:66-95 — content-id narrowed
+    scopes).
+
     Returns right_id + ``__lpick`` struct (null if no candidate).
     """
     lms = F.unix_millis(left[left_ts]).alias("__lms")
     rms = F.unix_millis(right[right_ts]).alias("__rms")
-    l = left.select(*on, lms, F.struct(*[left[c] for c in left_payload]).alias("__lrow"))
-    r = right.select(*on, rms, right[right_id].alias(right_id))
+    lsel = [*on, lms, F.struct(*[left[c] for c in left_payload]).alias("__lrow")]
+    rsel = [*on, rms, right[right_id].alias(right_id)]
+    if content_filter is not None:
+        lc, rc = content_filter
+        lsel.append(left[lc].alias("__lcontent"))
+        rsel.append(right[rc].alias("__rcontent"))
+    l = left.select(*lsel)
+    r = right.select(*rsel)
     cond = [l[c] == r[c] for c in on] + [
         F.col("__lms") >= F.col("__rms") - F.lit(window_before_ms),
         F.col("__lms") <= F.col("__rms") + F.lit(window_after_ms),
     ]
+    if content_filter is not None:
+        cond.append(
+            F.col("__rcontent").isNull()
+            | (F.col("__rcontent") == "")
+            | (F.col("__lcontent") == F.col("__rcontent"))
+        )
     cand = r.join(l, cond, "inner")
     dist = F.abs(F.col("__lms") - F.col("__rms"))
     pick = cand.groupBy(right_id).agg(
@@ -185,6 +203,7 @@ def inferred_join(
     left_payload: Sequence[str],
     right_id: str,
     right_outer: bool = False,
+    content_filter: tuple[str, str] | None = None,
 ) -> DataFrame:
     """Scope-fallback nearest-in-time join (the batch oracle of the
     reference's BaseInferred state machine).
@@ -201,7 +220,14 @@ def inferred_join(
 
     Returns: right columns + ``__lpick`` struct of ``left_payload``.
     """
-    right = right.withColumn("__rid", F.col(right_id))
+    # Truncate lineage once per join: the scope-fallback chain
+    # references `left` and `right` several times each, and in a
+    # multi-stage pipeline each stage's left is the whole upstream
+    # plan — without a cut the analyzer's tree grows exponentially.
+    # (The reference bounds the same blow-up by splitting jobs at
+    # Kafka topics; localCheckpoint is the in-process analog.)
+    left = left.localCheckpoint(eager=False)
+    right = right.withColumn("__rid", F.col(right_id)).localCheckpoint(eager=False)
     remaining = right
     picks: list[DataFrame] = []
 
@@ -228,13 +254,13 @@ def inferred_join(
             with_fk.join(matched_ids, with_fk["__rid"] == matched_ids["__rid"], "left_anti")
         )
 
+    string_cols = {f.name for f in right.schema.fields if f.dataType.simpleString() == "string"}
     for scope in scopes:
-        cand_right = remaining.filter(
-            F.struct(*[F.col(k) for k in scope.keys]).isNotNull()
-            & F.lit(True)
-        )
+        cand_right = remaining
         for k in scope.keys:
             cand_right = cand_right.filter(F.col(k).isNotNull())
+            if k in string_cols:
+                cand_right = cand_right.filter(F.col(k) != "")
         m = nearest_join(
             left,
             cand_right,
@@ -245,6 +271,7 @@ def inferred_join(
             window_after_ms,
             left_payload,
             "__rid",
+            content_filter=content_filter,
         )
         picks.append(m)
         remaining = remaining.join(

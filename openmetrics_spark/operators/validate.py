@@ -1,0 +1,81 @@
+"""Validation splits.
+
+Batch twin of the reference's Validate{View,DeliveryLog,Impression,
+Action,User} operators (reference: pipeline/.../common/functions/
+validate/BaseValidate.java, ValidateImpression.java:13-43): required-
+field checks; invalid rows go to an error side table (with a reason)
+instead of being silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def split_valid(df: DataFrame, rules: dict[str, Column]) -> tuple[DataFrame, DataFrame]:
+    """``rules`` maps error-reason → predicate that must hold.
+
+    Returns (valid, errors); errors carry an ``error_reason`` column
+    (first failing rule, in dict order).
+    """
+    reason = F.lit(None).cast("string")
+    for name, pred in reversed(list(rules.items())):
+        reason = F.when(~pred, F.lit(name)).otherwise(reason)
+    tagged = df.withColumn("error_reason", reason)
+    valid = tagged.filter(F.col("error_reason").isNull()).drop("error_reason")
+    errors = tagged.filter(F.col("error_reason").isNotNull())
+    return valid, errors
+
+
+def _nn(c: str) -> Column:
+    return F.col(c).isNotNull() & (F.col(c) != "")
+
+
+def validate_user(df: DataFrame):
+    return split_valid(df, {"missing_log_user_id": _nn("log_user_id")})
+
+
+def validate_view(df: DataFrame):
+    return split_valid(
+        df,
+        {
+            "missing_log_user_id": _nn("log_user_id"),
+            "missing_view_id": _nn("view_id"),
+        },
+    )
+
+
+def validate_delivery_log(df: DataFrame):
+    return split_valid(
+        df,
+        {
+            "missing_log_user_id": _nn("log_user_id"),
+            "missing_request_id": _nn("request_id"),
+        },
+    )
+
+
+def validate_impression(df: DataFrame):
+    # reference ValidateImpression.java:20-27 — log_user_id AND
+    # (insertion_id OR content_id)
+    return split_valid(
+        df,
+        {
+            "missing_log_user_id": _nn("log_user_id"),
+            "missing_joinable_id": _nn("insertion_id") | _nn("content_id"),
+        },
+    )
+
+
+def validate_action(df: DataFrame):
+    return split_valid(
+        df,
+        {
+            "missing_log_user_id": _nn("log_user_id"),
+            "missing_joinable_id": _nn("impression_id")
+            | _nn("insertion_id")
+            | _nn("content_id")
+            | (F.size(F.coalesce(F.col("cart"), F.array())) > 0),
+        },
+    )

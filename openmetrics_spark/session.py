@@ -31,6 +31,8 @@ def get_spark(app_name: str = "openmetrics_spark", cpus: int | None = None) -> S
         # Shuffle sizing: ~1 partition per core locally. On a 1000-executor
         # cluster this would be set to ~2-3x total cores (or left to AQE
         # initialPartitionNum) — AQE coalesces down from there.
+        # local mode = driver-only JVM; this is the one memory knob
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.default.parallelism", str(cpus))
         # AQE: runtime partition coalescing, skew-join splitting, and

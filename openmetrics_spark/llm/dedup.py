@@ -28,22 +28,14 @@ from pyspark.sql import functions as F
 from openmetrics_spark.functions.hashing import portable_hash60
 from openmetrics_spark.llm.text import tokens
 
-# Fixed MinHash permutation constants: h_i(x) = (A[i]*x + B[i]) mod P.
-# P = 2^61-1 (Mersenne), A/B from a fixed LCG seed — public technique
-# (Broder '97 min-wise permutations).
-MINHASH_P = (1 << 61) - 1
-
-
-def minhash_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
-    out = []
-    state = seed
-    for _ in range(k):
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = state % (MINHASH_P - 1) + 1
-        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = state % MINHASH_P
-        out.append((a, b))
-    return out
+# MinHash "permutations" are independent salted hashes
+# h_i(x) = md5_60(f"{seed}_{i}_{x}") rather than affine (a*x+b) mod p:
+# the affine form over 60-bit shingle hashes overflows int64 (a hard
+# error under ANSI mode, and not reproducible by an int64 SQL oracle),
+# while salted re-hashing is the standard equivalent (Broder '97
+# min-wise independent families) and is bit-identical in any engine
+# with md5. Sentinel for empty shingle sets:
+MINHASH_EMPTY = (1 << 61) - 1
 
 
 def shingles(text_col: str, n: int = 3) -> Column:
@@ -69,19 +61,21 @@ def _hash_expr(c: Column) -> Column:
 
 def minhash_signature(shingle_col: Column, k: int, seed: int = 7) -> Column:
     """Array of k min-hash values (null-safe: empty shingle set → all
-    MINHASH_P sentinels). Pure column expressions — codegen'd."""
-    consts = minhash_constants(k, seed)
+    MINHASH_EMPTY sentinels). Pure column expressions — codegen'd."""
+    # NB: salt must be captured via a closure factory, NOT a default
+    # parameter — pyspark creates a lambda variable for EVERY declared
+    # parameter, so `lambda x, i=i` would receive the array index as i.
+    def salted(i: int):
+        return lambda x: _hash_expr(
+            F.concat_ws("_", F.lit(f"{seed}_{i}"), x.cast("string"))
+        )
+
     mins = [
         F.coalesce(
-            F.array_min(
-                F.transform(
-                    shingle_col,
-                    lambda x, a=a, b=b: (x * F.lit(a) + F.lit(b)) % F.lit(MINHASH_P),
-                )
-            ),
-            F.lit(MINHASH_P),
+            F.array_min(F.transform(shingle_col, salted(i))),
+            F.lit(MINHASH_EMPTY),
         )
-        for a, b in consts
+        for i in range(k)
     ]
     return F.array(*mins)
 
@@ -188,19 +182,67 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def simhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 60,
+    chunk_bits: int = 15,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance, blocked on
+    fingerprint chunks (pigeonhole: any pair within ``max_hamming`` of
+    each other shares at least one of bits//chunk_bits chunks when
+    max_hamming < n_chunks — so candidate generation is a groupBy on
+    chunk keys, never all-pairs)."""
+    n_chunks = bits // chunk_bits
+    mask = (1 << chunk_bits) - 1
+    base = docs.select(
+        F.col(id_col).alias("doc"), simhash(text_col, bits).alias("fp")
+    )
+    chunk_keys = F.array(
+        *[
+            F.shiftright(F.col("fp"), i * chunk_bits).bitwiseAND(F.lit(mask))
+            + F.lit(i * (mask + 1))
+            for i in range(n_chunks)
+        ]
+    )
+    keyed = base.select("doc", "fp", F.explode(chunk_keys).alias("ck"))
+    cand = (
+        keyed.alias("x")
+        .join(keyed.alias("y"), "ck")
+        .filter(F.col("x.doc") < F.col("y.doc"))
+        .select(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.fp").alias("fp_a"),
+            F.col("y.fp").alias("fp_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash(text_col: str, bits: int = 60) -> Column:
     """SimHash fingerprint over token hashes: bit b of the output is 1
     iff sum over tokens of (+1 if bit b of token-hash set else -1) > 0.
     Pure column expressions; 60 bits keeps everything in signed longs."""
     tok = tokens(text_col)
     th = F.transform(tok, lambda t: _hash_expr(t))
+
+    # closure factory, not a default param (see minhash_signature note)
+    def voter(b: int):
+        return lambda s, x: s + F.when(
+            F.shiftright(x, b) % 2 == 1, 1
+        ).otherwise(-1)
+
     acc = F.lit(0).cast("long")
     for b in range(bits):
-        vote = F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda s, x, b=b: s
-            + F.when(F.shiftright(x, b) % 2 == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(th, F.lit(0).cast("long"), voter(b))
         acc = acc + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(0)
     return acc

@@ -8,7 +8,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from openmetrics_spark.llm.dedup import ngram_jaccard_pairs
+from openmetrics_spark.llm.dedup import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_neardup_pairs,
+)
 from openmetrics_spark.llm.similarity import brute_topk, cosine, _dvec
 from openmetrics_spark.llm.text import (
     LANG_MARKERS,
@@ -275,4 +279,109 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("raw_cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("raw_cos") >= 0.95)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup (the 100 TB dedup path: candidate generation is
+# linear in docs x bands, then exact Jaccard verifies candidates)
+# ---------------------------------------------------------------------------
+
+_MH_HASH = (
+    "CAST(('0x' || substr(md5('7_' || CAST(i AS VARCHAR) || '_' "
+    "|| CAST(x AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_MINHASH_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= 3
+), sig AS (
+  SELECT doc_id, sh,
+         list_transform(range(16),
+           i -> list_min(list_transform(sh, x -> {_MH_HASH}))) AS sg
+  FROM g
+), banded AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(4), b ->
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' ||
+             array_to_string(sg[(b*4+1):(b*4+4)], '_')), 1, 15)) AS BIGINT)
+         )) AS bk
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+  FROM banded x JOIN banded y USING (bk)
+  WHERE x.doc_id < y.doc_id
+), scored AS (
+  SELECT doc_a, doc_b,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+  FROM pairs
+  JOIN g a ON a.doc_id = doc_a
+  JOIN g b ON b.doc_id = doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register("minhash_lsh_neardup", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
+def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) banded 4x4 LSH candidate pairs, verified by exact
+    Jaccard >= 0.5. All signature math is salted md5 column expressions
+    (JVM-side), so the DuckDB oracle reproduces identical buckets."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup (Hamming-distance fingerprints, chunk-blocked)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         list_transform(tok,
+           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS th
+  FROM t
+), f AS (
+  SELECT doc_id,
+         CAST(coalesce(list_sum(list_transform(range(60), b ->
+           CASE WHEN coalesce(list_sum(list_transform(th,
+                  x -> CASE WHEN (x >> b) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)), 0) AS BIGINT) AS fp
+  FROM h
+), k AS (
+  SELECT doc_id, fp,
+         unnest(list_transform(range(4),
+           i -> ((fp >> (i*15)) & 32767) + i*32768)) AS ck
+  FROM f
+), pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         x.fp AS fp_a, y.fp AS fp_b
+  FROM k x JOIN k y USING (ck)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 3
+"""
+
+
+@register("simhash_neardup", oracle=_SIMHASH_ORACLE, tags=("llm", "dedup"))
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-60 near-dup pairs within Hamming distance 3, blocked on
+    15-bit fingerprint chunks (pigeonhole guarantees recall at d<=3
+    with 4 chunks)."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_neardup_pairs(
+        docs, "doc_id", "text", bits=60, chunk_bits=15, max_hamming=3
     )

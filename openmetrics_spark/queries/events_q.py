@@ -464,3 +464,97 @@ def props_json_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# inferred-reference join (reference: common/functions/inferred/
+# BaseInferred.java:39-734 — scope-fallback nearest-in-time join; instances
+# ViewResponseInsertion/InsertionImpression/ImpressionAction
+# ProcessFunction.java). Here: attribute each click to the nearest prior
+# view by the same user within 10 m, trying the more specific scope
+# (user_id, props.k) first and falling back to (user_id) — the same
+# most→least-specific ancestor walk as getLeftJoinIds. right_outer keeps
+# unattributed clicks (the view→insertion instance's behavior).
+# ---------------------------------------------------------------------------
+
+_INFERRED_ORACLE = """
+WITH clicks AS (
+  SELECT event_id AS click_id, user_id, epoch_ms(ts) AS click_ms,
+         json_extract_string(props, '$.k') AS k
+  FROM events WHERE event_type = 'click'
+),
+views AS (
+  SELECT event_id AS view_id, user_id, epoch_ms(ts) AS view_ms,
+         json_extract_string(props, '$.k') AS k
+  FROM events WHERE event_type = 'view'
+),
+s1 AS (
+  SELECT c.click_id, v.view_id, v.view_ms,
+         row_number() OVER (PARTITION BY c.click_id
+           ORDER BY c.click_ms - v.view_ms, v.view_ms, v.view_id) AS rn
+  FROM clicks c JOIN views v
+    ON c.user_id = v.user_id AND c.k = v.k
+   AND v.view_ms BETWEEN c.click_ms - 600000 AND c.click_ms
+),
+m1 AS (SELECT click_id, view_id, view_ms FROM s1 WHERE rn = 1),
+s2 AS (
+  SELECT c.click_id, v.view_id, v.view_ms,
+         row_number() OVER (PARTITION BY c.click_id
+           ORDER BY c.click_ms - v.view_ms, v.view_ms, v.view_id) AS rn
+  FROM clicks c JOIN views v
+    ON c.user_id = v.user_id
+   AND v.view_ms BETWEEN c.click_ms - 600000 AND c.click_ms
+  WHERE c.click_id NOT IN (SELECT click_id FROM m1)
+),
+m2 AS (SELECT click_id, view_id, view_ms FROM s2 WHERE rn = 1),
+m AS (SELECT * FROM m1 UNION ALL SELECT * FROM m2)
+SELECT c.click_id, c.user_id, c.click_ms, m.view_id, m.view_ms
+FROM clicks c LEFT JOIN m ON c.click_id = m.click_id
+"""
+
+
+@register("inferred_view_attribution", oracle=_INFERRED_ORACLE, headline=True, tags=("join",))
+def inferred_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scope-fallback nearest-in-time inferred join: each click gets the
+    temporally-nearest view ≤10 m before it by the same user, preferring
+    views sharing the click's props.k; unmatched clicks kept (right
+    outer). Each scope is an equi-key hash join + min_by partial agg —
+    no nested-loop, and the fallback scope only sees the shrinking
+    unmatched remainder."""
+    from openmetrics_spark.operators.joins import Scope, inferred_join
+
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        k.alias("k"),
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.unix_millis("ts").alias("view_ms"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        k.alias("k"),
+        "ts",
+    )
+    joined = inferred_join(
+        views,
+        clicks,
+        scopes=[Scope(("user_id", "k")), Scope(("user_id",))],
+        fk=None,
+        left_ts="ts",
+        right_ts="ts",
+        window_before_ms=600000,
+        window_after_ms=0,
+        left_payload=["view_id", "view_ms"],
+        right_id="click_id",
+        right_outer=True,
+    )
+    return joined.select(
+        "click_id",
+        "user_id",
+        F.unix_millis("ts").alias("click_ms"),
+        F.col("__lpick.view_id").alias("view_id"),
+        F.col("__lpick.view_ms").alias("view_ms"),
+    )

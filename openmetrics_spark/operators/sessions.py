@@ -30,8 +30,12 @@ def sessionize(
     closer than ``gap_ms`` share a session."""
     w = Window.partitionBy(*key_cols).orderBy(ts_col)
     ms = F.unix_millis(F.col(ts_col))
+    # >= gap starts a new session — matching Flink
+    # EventTimeSessionWindows and Spark session_window, whose window is
+    # the half-open [first, last+gap): an event exactly gap later does
+    # NOT overlap, so it opens a new session.
     is_new = (
-        (ms - F.unix_millis(F.lag(ts_col).over(w)) > F.lit(gap_ms))
+        (ms - F.unix_millis(F.lag(ts_col).over(w)) >= F.lit(gap_ms))
         | F.lag(ts_col).over(w).isNull()
     ).cast("long")
     with_num = df.withColumn(

@@ -145,7 +145,7 @@ _SESSION_ORACLE = """
 WITH o AS (
   SELECT user_id, epoch_ms(ts) AS ms, value,
          CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) IS NULL
-                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) > 1800000
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)) >= 1800000
               THEN 1 ELSE 0 END AS is_new
   FROM events
 ), s AS (

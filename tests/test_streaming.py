@@ -1,0 +1,190 @@
+"""Streaming-twin parity: each Structured Streaming op must produce
+the same rows as its batch twin on the same (event-time-ordered)
+input, drained with Trigger.AvailableNow across multiple micro-batches
+(maxFilesPerTrigger=1 forces cross-batch state) — the Spark analog of
+the reference's bounded minicluster job tests (LPT/.../job/*
+MiniclusterTest.java)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmetrics_spark.operators.counters import sliding_counter
+from openmetrics_spark.operators.dedup import keep_first
+from openmetrics_spark.operators.joins import interval_join
+from openmetrics_spark.operators.sessions import session_rollup
+from openmetrics_spark.streaming import (
+    run_to_memory,
+    stream_from_dir,
+    stream_interval_join,
+    stream_keep_first,
+    stream_session_rollup,
+    stream_sliding_counter,
+)
+
+HOUR = 3600_000
+MIN15 = 900_000
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Small ordered event stream written as several files (= several
+    micro-batches under maxFilesPerTrigger=1)."""
+    base = 1_700_000_000_000
+    rows = []
+    eid = 0
+    for i in range(240):
+        user = i % 7
+        ts = base + i * 97_000  # ~97 s apart, in order
+        etype = ["view", "click", "purchase"][i % 3]
+        rows.append((eid, user, etype, ts))
+        eid += 1
+        if i % 11 == 0:  # duplicates for dedup ops
+            rows.append((eid, user, etype, ts + 1_000))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG"
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
+    out = str(tmp_path_factory.mktemp("stream_events"))
+    # 4 ordered files: later files hold later events
+    df.withColumn("part", (F.col("event_id") / 70).cast("int")).repartitionByRange(
+        4, "part"
+    ).sortWithinPartitions("ts").drop("part").write.mode("overwrite").parquet(out)
+    return out
+
+
+def _batch(spark, events_dir):
+    return spark.read.parquet(events_dir)
+
+
+def _stream(spark, events_dir, batch_df):
+    return stream_from_dir(
+        spark, events_dir, batch_df.schema, max_files_per_trigger=1
+    )
+
+
+def _rows(df, cols):
+    return sorted(tuple(r) for r in df.select(*cols).collect())
+
+
+def test_stream_sliding_counter_parity(spark, events_dir):
+    b = _batch(spark, events_dir)
+    s = _stream(spark, events_dir, b)
+    got = run_to_memory(
+        stream_sliding_counter(s, ["user_id"], "ts", HOUR, MIN15),
+        output_mode="complete",
+    )
+    want = sliding_counter(b, ["user_id"], "ts", HOUR, MIN15)
+    cols = ["user_id", "emit_ms", "n"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_session_rollup_parity(spark, events_dir, tmp_path):
+    """Session windows emit in APPEND mode as the watermark closes them
+    (complete mode does not replay evicted session state across
+    micro-batches). A far-future sentinel event advances the final
+    watermark so every real session closes — the test analog of the
+    reference's end-of-input watermark in bounded minicluster runs."""
+    b = _batch(spark, events_dir)
+    sess_dir = str(tmp_path / "events_with_sentinel")
+    sentinel_ms = 1_900_000_000_000
+    b.write.mode("overwrite").parquet(sess_dir)
+    spark.createDataFrame(
+        [(999_999, -1, "view", sentinel_ms)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.schema.fields]
+    ).write.mode("append").parquet(sess_dir)
+
+    s = stream_from_dir(spark, sess_dir, b.schema, max_files_per_trigger=4)
+    got = run_to_memory(
+        stream_session_rollup(s, ["user_id"], "ts", gap_ms=10 * 60_000),
+        output_mode="append",
+    ).filter(F.col("user_id") >= 0)
+    want = session_rollup(b, ["user_id"], "ts", gap_ms=10 * 60_000)
+    cols = ["user_id", "session_start_ms", "session_end_ms", "n_events"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_keep_first_parity(spark, events_dir):
+    b = _batch(spark, events_dir)
+    s = _stream(spark, events_dir, b)
+    got = run_to_memory(
+        stream_keep_first(s, ["user_id", "event_type"], "ts", retention_ms=86_400_000),
+        output_mode="append",
+    )
+    want = keep_first(b, ["user_id", "event_type"], ["ts", "event_id"])
+    cols = ["user_id", "event_type", "event_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_interval_join_parity(spark, events_dir):
+    b = _batch(spark, events_dir)
+    views_b = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    clicks_b = b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    want = interval_join(
+        views_b, clicks_b, ["u"], "vts", "cts", 0, 10 * 60_000
+    ).select("view_id", "click_id")
+
+    s = _stream(spark, events_dir, b)
+    views_s = s.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"), F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    clicks_s = s.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("uc"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    ).withColumnRenamed("uc", "u2")
+    got = run_to_memory(
+        stream_interval_join(
+            views_s,
+            clicks_s.withColumnRenamed("u2", "u"),
+            ["u"],
+            "vts",
+            "cts",
+            0,
+            10 * 60_000,
+        ).select("view_id", "click_id"),
+        output_mode="append",
+    )
+    cols = ["view_id", "click_id"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_last_time_and_count(spark, events_dir):
+    pytest.importorskip("pandas")
+    from openmetrics_spark.streaming.stateful import stream_last_time_and_count
+
+    b = _batch(spark, events_dir)
+    s = _stream(spark, events_dir, b)
+    out = run_to_memory(
+        stream_last_time_and_count(
+            s, "user_id", "ts", bucket_ms=MIN15, horizon_ms=HOUR
+        ),
+        output_mode="update",
+    )
+    # final emission per key = the one at the key's max last_ms
+    final = out.groupBy("key").agg(
+        F.max_by(F.struct("last_ms", "n_horizon"), "last_ms").alias("s")
+    ).select("key", "s.last_ms", "s.n_horizon")
+
+    # batch reference: bucket-granular trailing count anchored at
+    # each key's last event
+    ms = F.unix_millis("ts")
+    bucketed = b.select(
+        F.col("user_id").alias("key"),
+        ms.alias("ms"),
+        (ms / MIN15).cast("long").alias("bucket"),
+    )
+    anchors = bucketed.groupBy("key").agg(F.max("ms").alias("last_ms"))
+    want = (
+        bucketed.join(anchors, "key")
+        .filter(F.col("bucket") * MIN15 > F.col("last_ms") - HOUR)
+        .groupBy("key", "last_ms")
+        .agg(F.count(F.lit(1)).alias("n_horizon"))
+    )
+    cols = ["key", "last_ms", "n_horizon"]
+    assert _rows(final, cols) == _rows(want, cols)

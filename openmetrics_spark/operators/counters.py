@@ -87,7 +87,12 @@ def sliding_counter(
     ).select(
         *key_cols,
         "bn",
-        (F.col("bucket_ms") + F.col("__i") * F.lit(slide_ms)).alias("emit_ms"),
+        # long math: __i * slide overflows int32 at k ≥ ~150 (the 30 d
+        # / 4 h config has k = 180)
+        (
+            F.col("bucket_ms")
+            + F.col("__i").cast("long") * F.lit(slide_ms).cast("long")
+        ).alias("emit_ms"),
     )
     return expanded.groupBy(*key_cols, "emit_ms").agg(F.sum("bn").alias("n"))
 

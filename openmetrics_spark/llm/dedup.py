@@ -107,38 +107,38 @@ def ngram_jaccard_pairs(
     max_df: int = 50,
 ) -> DataFrame:
     """All near-duplicate pairs (id_a < id_b, jaccard >= threshold) via
-    an inverted shingle index. ``max_df`` drops stop-shingles (docs
-    sharing only ultra-common shingles are not candidates) — bounds the
-    join fan-out; the Jaccard itself is still computed on FULL shingle
-    sets, so the only approximation is candidate recall."""
-    base = docs.select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
+    an inverted shingle index. ``max_df`` removes stop-shingles (df >
+    max_df) from the shingle space entirely — exactly like dropping
+    stop-words before similarity — which both bounds the self-join
+    fan-out (≤ max_df² rows per shingle) and lets the whole pipeline
+    run on (doc, shingle) pairs: the pair intersection is a single
+    groupBy count over the inverted-index self-join, and |A|/|B| are
+    per-doc counts. No shingle ARRAYS ever enter a shuffle — at 100 TB
+    the shuffles carry only (long, long) rows, and every stage is a
+    plain hash-agg/hash-join that AQE can re-plan."""
+    posting = docs.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     )
-    posting = base.select("doc", F.explode("sh").alias("s"))
     rare = (
         posting.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("s")
     )
-    posting = posting.join(rare, "s")  # drop stop-shingles
-    pairs = (
-        posting.alias("x")
-        .join(posting.alias("y"), "s")
+    pr = posting.join(rare, "s")  # rare-shingle space only
+    sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        pr.alias("x")
+        .join(pr.alias("y"), "s")
         .filter(F.col("x.doc") < F.col("y.doc"))
-        .select(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
-        .distinct()
+        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
     )
-    a = base.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = base.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = F.col("inter") / (F.col("a.sz") + F.col("b.sz") - F.col("inter"))
     return (
-        pairs.join(a, "doc_a")
-        .join(b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard"),
-        )
+        inter.join(sizes.alias("a"), F.col("doc_a") == F.col("a.doc"))
+        .join(sizes.alias("b"), F.col("doc_b") == F.col("b.doc"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

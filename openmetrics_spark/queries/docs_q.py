@@ -188,17 +188,19 @@ WITH t AS (
   SELECT s FROM p GROUP BY s HAVING count(*) <= 50
 ), pr AS (
   SELECT p.doc_id, p.s FROM p JOIN rare USING (s)
-), pairs AS (
-  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM pr GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
   FROM pr x JOIN pr y USING (s)
   WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
 ), scored AS (
   SELECT doc_a, doc_b,
-         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-  FROM pairs
-  JOIN g a ON a.doc_id = doc_a
-  JOIN g b ON b.doc_id = doc_b
+         round(CAST(inter AS DOUBLE) / (a.sz + b.sz - inter), 6) AS jaccard
+  FROM inter
+  JOIN sz a ON a.doc_id = doc_a
+  JOIN sz b ON b.doc_id = doc_b
 )
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
@@ -206,9 +208,9 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 
 @register("ngram_jaccard_neardup", oracle=_JACCARD_ORACLE, headline=True, tags=("llm", "dedup"))
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram shingle Jaccard near-dup pairs (≥0.5) via an inverted
-    shingle index with a document-frequency cap (50) on stop-shingles
-    — bounds candidate fan-out; Jaccard still uses full shingle sets."""
+    """3-gram shingle Jaccard near-dup pairs (≥0.5) over the
+    stop-shingle-filtered space (df ≤ 50): one inverted-index
+    self-join + pair-count aggregation; no arrays in any shuffle."""
     docs = table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
 

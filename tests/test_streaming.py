@@ -30,7 +30,13 @@ MIN15 = 900_000
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     """Small ordered event stream written as several files (= several
-    micro-batches under maxFilesPerTrigger=1)."""
+    micro-batches under maxFilesPerTrigger=1). Files are written one at
+    a time with strictly increasing mtimes: FileStreamSource orders the
+    backlog by modification time, and a single multi-part write gives
+    every part the same mtime — nondeterministic replay order would
+    break the arrival-order premise of the keep-first parity test."""
+    import os
+
     base = 1_700_000_000_000
     rows = []
     eid = 0
@@ -47,10 +53,15 @@ def events_dir(spark, tmp_path_factory):
         rows, "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG"
     ).withColumn("ts", F.timestamp_millis(F.col("ts_ms")))
     out = str(tmp_path_factory.mktemp("stream_events"))
-    # 4 ordered files: later files hold later events
-    df.withColumn("part", (F.col("event_id") / 70).cast("int")).repartitionByRange(
-        4, "part"
-    ).sortWithinPartitions("ts").drop("part").write.mode("overwrite").parquet(out)
+    t0 = 1_000_000_000  # fixed epoch secs; only relative order matters
+    for i in range(4):
+        before = set(os.listdir(out)) if os.path.exists(out) else set()
+        df.filter((F.col("event_id") / 70).cast("int") == i).coalesce(
+            1
+        ).sortWithinPartitions("ts").write.mode("append").parquet(out)
+        for name in set(os.listdir(out)) - before:
+            p = os.path.join(out, name)
+            os.utime(p, (t0 + i, t0 + i))
     return out
 
 

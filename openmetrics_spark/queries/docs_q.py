@@ -387,3 +387,63 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         docs, "doc_id", "text", bits=60, chunk_bits=15, max_hamming=3
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN — the scale path for similarity search: score only
+# candidates sharing the query's random-hyperplane sign bucket, one
+# equi-join on bucket id instead of a cross join. The hyperplanes are
+# LCG-generated (library-free), so the SQL oracle below inlines the
+# exact same constants and recomputes identical buckets in DuckDB.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_oracle() -> str:
+    from openmetrics_spark.llm.similarity import hyperplanes
+
+    hp = hyperplanes(dim=64, planes=8, seed=11)
+    terms = []
+    for i, p in enumerate(hp):
+        arr = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), hb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM hb WHERE vec_id < 10
+), s AS (
+  SELECT query_id, hb.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, v) AS raw_cos
+  FROM q JOIN hb USING (bucket) WHERE hb.vec_id != query_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_topk", oracle=_lsh_oracle(), tags=("llm", "similarity"))
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 cosine neighbors via 8-bit random-hyperplane
+    LSH buckets (vec_id < 10 queries): candidates shrink ~256×, the
+    bucket join is an equi hash join with the tiny query side
+    broadcast. This is the 100 TB path next to ann_brute_topk's exact
+    baseline."""
+    from openmetrics_spark.llm.similarity import lsh_topk
+
+    emb = table(spark, sf_dir, "embeddings")
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    out = lsh_topk(emb, "vec_id", "embedding", q_ids, k=5, planes=8, dim=64, seed=11)
+    return out.withColumn("rank", F.col("rank").cast("long"))

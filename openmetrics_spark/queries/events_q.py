@@ -558,3 +558,129 @@ def inferred_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__lpick.view_id").alias("view_id"),
         F.col("__lpick.view_ms").alias("view_ms"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AddLatestImpressions — per action, the ≤25 most recent prior impressions
+# by the same user, excluding already-actioned contents (reference:
+# common/functions/AddLatestImpressions.java:33-386 — Personalize negative
+# samples; state cap 30 applies before exclusion, output cap 25 after).
+# Views play impressions, purchases play actions, props.k plays content_id.
+# ---------------------------------------------------------------------------
+
+_LATEST_IMP_ORACLE = """
+WITH imp AS (
+  SELECT user_id, event_id AS impression_id, epoch_ms(ts) AS imp_ms,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events WHERE event_type = 'view'
+), act AS (
+  SELECT user_id, event_id AS action_id, epoch_ms(ts) AS act_ms,
+         CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+  FROM events WHERE event_type = 'purchase'
+), fa AS (
+  SELECT user_id, k, min(act_ms) AS first_act_ms FROM act GROUP BY 1, 2
+), cand AS (
+  SELECT a.action_id, a.act_ms, a.user_id, i.impression_id, i.imp_ms, i.k,
+         row_number() OVER (PARTITION BY a.action_id
+           ORDER BY i.imp_ms DESC, i.impression_id DESC) AS r1
+  FROM act a JOIN imp i ON a.user_id = i.user_id
+   AND i.imp_ms < a.act_ms AND i.imp_ms >= a.act_ms - 604800000
+), kept AS (
+  SELECT c.action_id, c.impression_id, c.k, c.act_ms, c.imp_ms,
+         row_number() OVER (PARTITION BY c.action_id
+           ORDER BY c.imp_ms DESC, c.impression_id DESC) AS rank
+  FROM cand c LEFT JOIN fa ON fa.user_id = c.user_id AND fa.k = c.k
+  WHERE c.r1 <= 30 AND (fa.first_act_ms IS NULL OR fa.first_act_ms > c.act_ms)
+)
+SELECT action_id, CAST(rank AS BIGINT) AS rank, impression_id,
+       k AS content, act_ms - imp_ms AS gap_ms
+FROM kept WHERE rank <= 25
+"""
+
+
+@register("latest_impressions_negatives", oracle=_LATEST_IMP_ORACLE, tags=("join", "enrich"))
+def latest_impressions_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase: the ≤25 most recent prior views (7 d lookback) by
+    the same user whose content the user never actioned before —
+    AddLatestImpressions. One user-keyed join bounded by the lookback,
+    both ranking windows reuse the action-id exchange, and the
+    exclusion set is a broadcast (user, content) aggregate."""
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    imp = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("impression_id"),
+        F.unix_millis("ts").alias("imp_ms"),
+        k.alias("k"),
+    )
+    act = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("action_id"),
+        F.unix_millis("ts").alias("act_ms"),
+        k.alias("k"),
+    )
+    return add_latest_impressions(imp, act, content_col="k")
+
+
+# ---------------------------------------------------------------------------
+# top-queries gating — RightSeenOutput + TopNFilter (reference:
+# common/functions/RightSeenOutput.java:17-100, job/counter/TopNFilter.
+# java:17-100, top-query computation CounterJob.java:393-455: sliding
+# count per query hash, keep hot ones, gate the metric stream on
+# membership). props.k plays the query hash; clicks elect the hot set,
+# purchase counts are gated on it.
+# ---------------------------------------------------------------------------
+
+_GATED_ORACLE = """
+WITH cb AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         (epoch_ms(ts) // 259200000) * 259200000 AS bucket_ms,
+         count(*) AS bn
+  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+), top AS (
+  SELECT k, bucket_ms + i * 259200000 AS emit_ms,
+         CAST(sum(bn) AS BIGINT) AS n_clicks
+  FROM cb, range(1, 5) r(i) GROUP BY 1, 2 HAVING sum(bn) >= 3
+), pb AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+         (epoch_ms(ts) // 259200000) * 259200000 AS bucket_ms,
+         count(*) AS bn
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+), pur AS (
+  SELECT k, bucket_ms + i * 259200000 AS emit_ms,
+         CAST(sum(bn) AS BIGINT) AS n_purchases
+  FROM pb, range(1, 5) r(i) GROUP BY 1, 2
+)
+SELECT p.k, p.emit_ms, p.n_purchases, t.n_clicks
+FROM pur p JOIN top t ON p.k = t.k AND p.emit_ms = t.emit_ms
+"""
+
+
+@register("gated_query_counts", oracle=_GATED_ORACLE, tags=("counter", "join"))
+def gated_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase counts per (query-key, 12 d window sliding 3 d), gated
+    on the key being 'hot' (≥3 clicks) in the same window — the
+    top-queries computation + RightSeenOutput membership gate. The hot
+    set is tiny → broadcast join; both sides pre-tumble to 3 d buckets
+    before the 4× window expansion so raw events shuffle once."""
+    DAY3 = 3 * DAY
+    DAY12 = 12 * DAY
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    clicks = ev.filter(F.col("event_type") == "click").select(k.alias("k"), "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        k.alias("k"), "ts"
+    )
+    top = (
+        sliding_counter(clicks, ["k"], "ts", DAY12, DAY3)
+        .filter(F.col("n") >= 3)
+        .withColumnRenamed("n", "n_clicks")
+    )
+    pur = sliding_counter(purchases, ["k"], "ts", DAY12, DAY3).withColumnRenamed(
+        "n", "n_purchases"
+    )
+    return pur.join(F.broadcast(top), ["k", "emit_ms"]).select(
+        "k", "emit_ms", "n_purchases", "n_clicks"
+    )

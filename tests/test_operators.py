@@ -105,3 +105,47 @@ def test_interval_join_bounds(spark):
     out = interval_join(left, r2, ["key"], "lts", "rts", 0, 2000)
     got = sorted(r.rid for r in out.collect())
     assert got == [11, 12]
+
+
+def test_add_latest_impressions_exclusion_and_caps(spark):
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+
+    # user 1: impressions on contents 10,11,12 at t=100,200,300;
+    # actions: content 11 at t=250 (pre-action), content 12 at t=400.
+    imp = spark.createDataFrame(
+        [(1, 100, 100, 10), (1, 101, 200, 11), (1, 102, 300, 12)],
+        "user_id long, impression_id long, imp_ms long, content_id long",
+    )
+    act = spark.createDataFrame(
+        [(1, 900, 250, 11), (1, 901, 400, 12)],
+        "user_id long, action_id long, act_ms long, content_id long",
+    )
+    out = add_latest_impressions(imp, act, max_state=30, max_output=25)
+    rows = {(r.action_id, r.rank): (r.impression_id, r.content) for r in out.collect()}
+    # action 900 (t=250): candidates imp 100,101; content 11 first
+    # actioned AT 250 (not strictly after) → excluded; keeps only 100.
+    # action 901 (t=400): candidates 100,101,102; contents 11 (t=250)
+    # and 12 (t=400 = this action, ts<=ats) excluded → keeps only 100.
+    assert rows == {(900, 1): (100, 10), (901, 1): (100, 10)}
+
+
+def test_add_latest_impressions_output_cap_after_exclusion(spark):
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+
+    # 4 impressions, distinct contents; one content actioned earlier.
+    imp = spark.createDataFrame(
+        [(1, i, 100 + i, i) for i in range(4)],
+        "user_id long, impression_id long, imp_ms long, content_id long",
+    )
+    act = spark.createDataFrame(
+        [(1, 800, 90, 3), (1, 801, 500, 99)],
+        "user_id long, action_id long, act_ms long, content_id long",
+    )
+    out = add_latest_impressions(imp, act, max_state=3, max_output=2)
+    got = sorted(
+        (r.action_id, r.rank, r.impression_id) for r in out.collect()
+    )
+    # action 801: state cap keeps 3 most recent (imp 3,2,1); imp 3's
+    # content was actioned at t=90 ≤ 500 → excluded; output cap 2 keeps
+    # imp 2 (rank 1), imp 1 (rank 2). imp 0 never enters state.
+    assert [r for r in got if r[0] == 801] == [(801, 1, 2), (801, 2, 1)]

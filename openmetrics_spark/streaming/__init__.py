@@ -22,12 +22,18 @@ from openmetrics_spark.streaming.ops import (
     stream_sliding_counter,
     stream_tumbling_metrics,
 )
+from openmetrics_spark.streaming.stateful import (
+    stream_inferred_join,
+    stream_last_time_and_count,
+)
 
 __all__ = [
     "run_to_memory",
     "stream_from_dir",
+    "stream_inferred_join",
     "stream_interval_join",
     "stream_keep_first",
+    "stream_last_time_and_count",
     "stream_session_rollup",
     "stream_sliding_counter",
     "stream_tumbling_metrics",

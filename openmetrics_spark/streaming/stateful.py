@@ -113,3 +113,147 @@ def stream_last_time_and_count(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_inferred_join(
+    left_sdf: DataFrame,
+    right_sdf: DataFrame,
+    user_col: str,
+    left_id_col: str,
+    right_id_col: str,
+    left_ts_col: str,
+    right_ts_col: str,
+    scope_cols: tuple[str, ...] = (),
+    window_before_ms: int = 600_000,
+    window_after_ms: int = 0,
+    delay_ms: int = 1000,
+    right_outer: bool = True,
+) -> DataFrame:
+    """Streaming inferred-reference join — the transformWithState twin
+    of ``operators.joins.inferred_join`` and the Spark port of the
+    reference's BaseInferred state machine (reference: common/functions/
+    inferred/BaseInferred.java:39-734: candidates per inference scope,
+    nearest-in-time pick at :605-650, emission timers at :494-559,
+    output watermark delayed by maxOutOfOrder via InferenceOperator).
+
+    Keyed by ``user_col`` (the reference keys (platform, logUserId)).
+    State per key: buffered left rows (candidate ancestors) + pending
+    right rows. A right row becomes decidable when the watermark passes
+    ``right_ts + window_after_ms`` — every candidate left row must have
+    arrived by then, the engine-managed analog of BaseInferred's
+    maxOutOfOrder timer. Scope walk: the full ``scope_cols`` prefix,
+    then each shorter prefix, then the bare user key — identical to the
+    batch operator; the pick minimizes (|Δt|, left_ts, left_id). Left
+    rows are evicted once no live or future right row can reach them
+    (``min(watermark, oldest pending right) - window_before_ms``), so
+    state is bounded by the window — the same budget the reference
+    computes at FlatOutputJob.java:808-882.
+
+    Ids must be long; scope columns are compared as strings (null/empty
+    never matches, like the batch operator's scope filters). Output:
+    (right_id, user, right_ms, left_id, left_ms) — left side null only
+    when ``right_outer`` keeps unmatched rows.
+    """
+    import pandas as pd  # noqa: F401
+
+    n_sc = len(scope_cols)
+    user_type = left_sdf.schema[user_col].dataType
+    before, after = window_before_ms, window_after_ms
+
+    def norm(df, id_col, ts_col, side):
+        return df.select(
+            F.col(user_col).alias("u"),
+            *[
+                F.col(c).cast("string").alias(f"s{i}")
+                for i, c in enumerate(scope_cols)
+            ],
+            F.col(id_col).cast("long").alias("rid"),
+            F.unix_millis(ts_col).alias("ms"),
+            F.lit(side).alias("side"),
+            F.col(ts_col).alias("__ts"),
+        )
+
+    # ONE watermark node on the unioned stream, not one per branch:
+    # per-branch watermarks combine with the min policy, so a branch
+    # that goes quiet (no more right rows) pins the global watermark
+    # and pending rows never decide. The reference has the same shape —
+    # all event types ride one LogRequest envelope stream, so a single
+    # event-time domain covers both join inputs.
+    unioned = norm(left_sdf, left_id_col, left_ts_col, 0).unionByName(
+        norm(right_sdf, right_id_col, right_ts_col, 1)
+    ).withWatermark("__ts", f"{delay_ms} milliseconds")
+
+    out_schema = StructType(
+        [
+            StructField("right_id", LongType()),
+            StructField("u", user_type),
+            StructField("right_ms", LongType()),
+            StructField("left_id", LongType()),
+            StructField("left_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("views_json", StringType()),
+            StructField("pending_json", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        views: list = []
+        pending: list = []
+        if state.exists:
+            vj, pj = state.get
+            views, pending = json.loads(vj), json.loads(pj)
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                sc = [
+                    None if pd.isna(getattr(row, f"s{i}")) else str(getattr(row, f"s{i}"))
+                    for i in range(n_sc)
+                ]
+                rec = [int(row.ms), int(row.rid), sc]
+                (views if row.side == 0 else pending).append(rec)
+        wm = state.getCurrentWatermarkMs()
+        ready = sorted(c for c in pending if c[0] + after < wm)
+        pending = [c for c in pending if c[0] + after >= wm]
+        out = []
+        for cms, cid, csc in ready:
+            best = None
+            for plen in range(n_sc, -1, -1):
+                need = csc[:plen]
+                if any(v is None or v == "" for v in need):
+                    continue
+                cands = [
+                    v
+                    for v in views
+                    if cms - before <= v[0] <= cms + after and v[2][:plen] == need
+                ]
+                if cands:
+                    best = min(cands, key=lambda v: (abs(v[0] - cms), v[0], v[1]))
+                    break
+            if best is not None:
+                out.append((cid, key[0], cms, best[1], best[0]))
+            elif right_outer:
+                out.append((cid, key[0], cms, None, None))
+        floor = min([wm] + [c[0] for c in pending]) - before
+        views = [v for v in views if v[0] >= floor]
+        if pending:
+            state.setTimeoutTimestamp(min(c[0] for c in pending) + after + 1)
+        if views or pending:
+            state.update((json.dumps(views), json.dumps(pending)))
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out, columns=["right_id", "u", "right_ms", "left_id", "left_ms"]
+            )
+
+    return unioned.groupBy("u").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

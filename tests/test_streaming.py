@@ -199,3 +199,81 @@ def test_stream_last_time_and_count(spark, events_dir):
     )
     cols = ["key", "last_ms", "n_horizon"]
     assert _rows(final, cols) == _rows(want, cols)
+
+
+def test_stream_inferred_join_parity(spark, events_dir, tmp_path):
+    """The BaseInferred state machine twin: scope-fallback (user, k) →
+    (user) nearest-prior-view attribution of clicks, drained across
+    micro-batches, must equal the batch inferred_join. A far-future
+    sentinel view advances the final watermark so every pending click
+    decides (the end-of-input watermark of the reference's bounded
+    minicluster runs)."""
+    from openmetrics_spark.operators.joins import Scope, inferred_join
+    from openmetrics_spark.streaming import stream_inferred_join
+
+    b = _batch(spark, events_dir).withColumn(
+        "k", (F.col("event_id") % 3).cast("string")
+    )
+    views_b = b.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("u"),
+        "k",
+        "ts",
+        F.col("event_id").alias("view_id"),
+        F.unix_millis("ts").alias("view_ms"),
+    )
+    clicks_b = b.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("u"), "k", "ts"
+    )
+    want = inferred_join(
+        views_b,
+        clicks_b,
+        scopes=[Scope(("u", "k")), Scope(("u",))],
+        fk=None,
+        left_ts="ts",
+        right_ts="ts",
+        window_before_ms=600_000,
+        window_after_ms=0,
+        left_payload=["view_id", "view_ms"],
+        right_id="click_id",
+        right_outer=True,
+    ).select(
+        "click_id",
+        F.col("__lpick.view_id").alias("view_id"),
+        F.col("__lpick.view_ms").alias("view_ms"),
+    )
+
+    src_dir = str(tmp_path / "events_with_sentinel")
+    b.drop("k").write.mode("overwrite").parquet(src_dir)
+    spark.createDataFrame(
+        [(999_999, -1, "view", 1_900_000_000_000)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.drop("k").schema.fields]
+    ).write.mode("append").parquet(src_dir)
+
+    s = stream_from_dir(spark, src_dir, b.drop("k").schema, max_files_per_trigger=4)
+    s = s.withColumn("k", (F.col("event_id") % 3).cast("string"))
+    views_s = s.filter(F.col("event_type") == "view")
+    clicks_s = s.filter(F.col("event_type") == "click")
+    got = run_to_memory(
+        stream_inferred_join(
+            views_s,
+            clicks_s,
+            user_col="user_id",
+            left_id_col="event_id",
+            right_id_col="event_id",
+            left_ts_col="ts",
+            right_ts_col="ts",
+            scope_cols=("k",),
+            window_before_ms=600_000,
+            window_after_ms=0,
+            delay_ms=2000,
+        ),
+        output_mode="append",
+    ).select(
+        F.col("right_id").alias("click_id"),
+        F.col("left_id").alias("view_id"),
+        F.col("left_ms").alias("view_ms"),
+    )
+    cols = ["click_id", "view_id", "view_ms"]
+    assert _rows(got, cols) == _rows(want, cols)

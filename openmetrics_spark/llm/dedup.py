@@ -115,7 +115,13 @@ def ngram_jaccard_pairs(
     groupBy count over the inverted-index self-join, and |A|/|B| are
     per-doc counts. No shingle ARRAYS ever enter a shuffle — at 100 TB
     the shuffles carry only (long, long) rows, and every stage is a
-    plain hash-agg/hash-join that AQE can re-plan."""
+    plain hash-agg/hash-join that AQE can re-plan.
+
+    The filtered posting list feeds three consumers (sizes, and both
+    sides of the self-join); it is persisted so the tokenize+explode
+    scan runs once — the in-process analog of materializing the
+    inverted index, which is how a 100 TB run would stage it anyway
+    (write the index, then join against it)."""
     posting = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     )
@@ -125,7 +131,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") <= max_df)
         .select("s")
     )
-    pr = posting.join(rare, "s")  # rare-shingle space only
+    pr = posting.join(rare, "s").persist()  # rare-shingle space only
     sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     inter = (
         pr.alias("x")

@@ -30,13 +30,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from openmetrics_spark.operators.dedup import keep_first
-from openmetrics_spark.operators.filters import filter_bots, filter_non_production
+from openmetrics_spark.operators.filters import (
+    filter_bots,
+    filter_non_buyers,
+    filter_non_production,
+)
 from openmetrics_spark.operators.flat import (
     clear_user_id,
     combine_delivery_logs,
+    fix_delivery_log,
     flat_response_insertions,
+    merge_details,
     reduce_redundant_impressions,
     repoint_actions,
+    restructure_delivery_log,
     to_tiny_actions,
     to_tiny_impressions,
     to_tiny_insertions,
@@ -67,6 +74,9 @@ class FlatOutputConfig:
     max_out_of_order_ms: int = SEC1
     redundant_impression_ttl_ms: int = DAY
     flat_response_insertion_gap_ms: int = DAY
+    # BuyerPredicate config (FlatOutputJob.java:279-284): sparse
+    # feature hashes that mark non-buyer (internal/test) users
+    non_buyer_feature_hashes: tuple[int, ...] = ()
 
 
 def run_flat_output(
@@ -94,6 +104,10 @@ def run_flat_output(
         impression, ["platform_id", "impression_id"], ["log_timestamp"]
     )
     action = keep_first(action, ["platform_id", "action_id"], ["log_timestamp"])
+
+    # 2b. legacy-layout normalization + field repairs
+    # (RestructureDeliveryLog / FixDeliveryLog, FlatOutputJob.java:437-442)
+    delivery_log = fix_delivery_log(restructure_delivery_log(delivery_log))
 
     # 3. traffic + bot filters (reference applies them before the join
     # fan-out "to improve throughput" — FlatOutputJob.java:435-442)
@@ -242,15 +256,37 @@ def run_flat_output(
     impressions = reduced.kept
     actions = repoint_actions(actions, reduced.remap)
 
+    # 9b. BuyerPredicate: drop flat events of configured non-buyer
+    # users (no-op unless hashes are configured and the column exists)
+    if (
+        cfg.non_buyer_feature_hashes
+        and "user_sparse_feature_hashes" in actions.columns
+    ):
+        actions, side["dropped_non_buyer_action"] = filter_non_buyers(
+            actions, list(cfg.non_buyer_feature_hashes)
+        )
+
     # 10. flat response insertions (session cogroup, 1 d gap)
     flat = flat_response_insertions(
         impressions, actions, cfg.flat_response_insertion_gap_ms
+    )
+
+    # 10b. merge details: re-attach request-level payload (search
+    # query, user agent) onto joined impressions by primary key —
+    # MergeImpressionDetails as a plain pk join (Catalyst broadcasts
+    # the small side; no stateful cache needed)
+    request_details = combined_dl.select(
+        "platform_id", "request_id", "search_query", "user_agent"
+    )
+    detailed = merge_details(
+        impressions, request_details, ["platform_id", "request_id"]
     )
 
     # 11. PII strip on everything that leaves the job
     out = {
         "joined_impression": clear_user_id(impressions),
         "joined_action": clear_user_id(actions),
+        "joined_impression_detailed": clear_user_id(detailed),
         "flat_response_insertion": clear_user_id(flat),
     }
     out.update({f"side_{k}": v for k, v in side.items()})

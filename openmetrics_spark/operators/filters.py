@@ -40,3 +40,24 @@ def filter_bots(df: DataFrame, ua_col: str = "user_agent"):
 def filter_non_production(df: DataFrame, traffic_col: str = "traffic_type"):
     keep = F.coalesce(F.col(traffic_col) == TRAFFIC_PRODUCTION, F.lit(True))
     return split_filter(df, keep, "non_production_traffic")
+
+
+def filter_non_buyers(
+    df: DataFrame,
+    non_buyer_hashes: list[int],
+    features_col: str = "user_sparse_feature_hashes",
+):
+    """Drop rows whose user carries any configured "non-buyer" sparse
+    feature hash (reference: common/functions/filter/BuyerPredicate.
+    java, wired at FlatOutputJob.java:279-284,1150-1170 — marketplaces
+    tag internal/test buyers with sparse features and exclude them
+    from joined output). ``arrays_overlap`` against a literal array
+    stays in codegen; null feature lists pass (unknown users are
+    buyers, like the reference's empty-config fast path)."""
+    if not non_buyer_hashes:
+        return df, df.limit(0).withColumn("dropped_reason", F.lit("non_buyer"))
+    lit = F.array(*[F.lit(int(h)) for h in non_buyer_hashes])
+    keep = ~F.coalesce(
+        F.arrays_overlap(F.col(features_col), lit), F.lit(False)
+    )
+    return split_filter(df, keep, "non_buyer")

@@ -314,3 +314,58 @@ def clear_user_id(df: DataFrame) -> DataFrame:
         if f.name == "user_id":
             out = out.withColumn("user_id", F.lit(None).cast(f.dataType))
     return out
+
+
+def restructure_delivery_log(dl: DataFrame) -> DataFrame:
+    """Normalize legacy DeliveryLog layouts (reference:
+    common/functions/RestructureDeliveryLog.java — older SDKs put the
+    response insertions under the execution record; move them to the
+    response where the join expects them). A legacy
+    ``execution_insertions`` column, when present, backfills an empty
+    ``response_insertions``; pure column remapping, no shuffle."""
+    if "execution_insertions" not in dl.columns:
+        return dl
+    resp = F.when(
+        F.col("response_insertions").isNull()
+        | (F.size("response_insertions") == 0),
+        F.col("execution_insertions"),
+    ).otherwise(F.col("response_insertions"))
+    return dl.withColumn("response_insertions", resp).drop("execution_insertions")
+
+
+def fix_delivery_log(dl: DataFrame) -> DataFrame:
+    """Field-level repairs on DeliveryLog (reference:
+    common/functions/FixDeliveryLog.java — scrub malformed ids and
+    default missing metadata before anything keys on them):
+    empty-string FKs become real nulls (so they take the inferred path
+    instead of equi-joining on ''), and a missing traffic_type defaults
+    to PRODUCTION, matching DeliveryLogUtil.getTrafficPriority's
+    treatment of unset client info."""
+    out = dl
+    for c in ("view_id", "client_request_id", "session_id"):
+        if c in out.columns:
+            out = out.withColumn(
+                c, F.when(F.col(c) == "", None).otherwise(F.col(c))
+            )
+    if "traffic_type" in out.columns:
+        out = out.withColumn(
+            "traffic_type",
+            F.coalesce(F.col("traffic_type"), F.lit(1)),  # PRODUCTION
+        )
+    return out
+
+
+def merge_details(
+    tiny_result: DataFrame,
+    details: DataFrame,
+    pk_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Re-attach full payload columns onto tiny join results by primary
+    key (reference: common/functions/inferred/AbstractMergeDetails.java
+    :34-400 + MergeImpressionDetails/MergeActionDetails — a stateful
+    cache re-uniting TinyEvents with their full entities). In Spark the
+    tiny/full split exists only to shrink streaming state, so the merge
+    is a plain key join: Catalyst broadcasts ``details`` when small,
+    else sort-merge on the pk — no custom state needed (SURVEY §2.4)."""
+    return tiny_result.join(details, pk_cols, how)

@@ -149,3 +149,61 @@ def test_add_latest_impressions_output_cap_after_exclusion(spark):
     # content was actioned at t=90 ≤ 500 → excluded; output cap 2 keeps
     # imp 2 (rank 1), imp 1 (rank 2). imp 0 never enters state.
     assert [r for r in got if r[0] == 801] == [(801, 1, 2), (801, 2, 1)]
+
+
+def test_restructure_and_fix_delivery_log(spark):
+    from openmetrics_spark.operators.flat import (
+        fix_delivery_log,
+        restructure_delivery_log,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # legacy row: insertions under execution, empty-string FK
+            ("d1", "", None, [], [{"insertion_id": "i1"}]),
+            # modern row untouched
+            ("d2", "v2", 4, [{"insertion_id": "i2"}], None),
+        ],
+        "request_id string, view_id string, traffic_type int, "
+        "response_insertions array<struct<insertion_id:string>>, "
+        "execution_insertions array<struct<insertion_id:string>>",
+    )
+    out = fix_delivery_log(restructure_delivery_log(df))
+    rows = {r.request_id: r for r in out.collect()}
+    assert "execution_insertions" not in out.columns
+    assert rows["d1"].response_insertions[0].insertion_id == "i1"
+    assert rows["d1"].view_id is None  # '' scrubbed to null
+    assert rows["d1"].traffic_type == 1  # defaulted to PRODUCTION
+    assert rows["d2"].response_insertions[0].insertion_id == "i2"
+    assert rows["d2"].traffic_type == 4
+
+
+def test_filter_non_buyers(spark):
+    from openmetrics_spark.operators.filters import filter_non_buyers
+
+    df = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [3]), ("c", None)],
+        "action_id string, user_sparse_feature_hashes array<bigint>",
+    )
+    kept, dropped = filter_non_buyers(df, [2, 9])
+    assert {r.action_id for r in kept.collect()} == {"b", "c"}
+    d = dropped.collect()
+    assert [r.action_id for r in d] == ["a"]
+    assert d[0].dropped_reason == "non_buyer"
+
+
+def test_merge_details_reattaches_payload(spark):
+    from openmetrics_spark.operators.flat import merge_details
+
+    tiny = spark.createDataFrame(
+        [(1, "r1", "imp1"), (1, "r2", "imp2")],
+        "platform_id long, request_id string, impression_id string",
+    )
+    details = spark.createDataFrame(
+        [(1, "r1", "shoes", "UA")],
+        "platform_id long, request_id string, search_query string, user_agent string",
+    )
+    out = merge_details(tiny, details, ["platform_id", "request_id"])
+    rows = {r.impression_id: r for r in out.collect()}
+    assert rows["imp1"].search_query == "shoes"
+    assert rows["imp2"].search_query is None  # left join keeps unmatched

@@ -684,3 +684,45 @@ def gated_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pur.join(F.broadcast(top), ["k", "emit_ms"]).select(
         "k", "emit_ms", "n_purchases", "n_clicks"
     )
+
+
+# ---------------------------------------------------------------------------
+# content lookup join — ContentApiSegment (reference: common/job/
+# ContentApiSegment.java:81-180 — async HTTP + cache enrichment of each
+# event with content dimensions). Batch form: broadcast-join the small
+# content dimension table; documents (doc_id < 100) plays the content
+# catalog, props.k plays content_id.
+# ---------------------------------------------------------------------------
+
+_CONTENT_LOOKUP_ORACLE = """
+SELECT d.lang, d.source, count(*) AS n_events,
+       round(avg(e.value), 6) AS avg_value
+FROM events e
+JOIN (SELECT doc_id, lang, source FROM documents WHERE doc_id < 100) d
+  ON CAST(json_extract_string(e.props, '$.k') AS INTEGER) = d.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("content_lookup_enrich", oracle=_CONTENT_LOOKUP_ORACLE, tags=("join", "enrich"))
+def content_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enrich events with content-catalog dimensions via an explicit
+    broadcast hash join (the Content API lookup join without the HTTP
+    hop: at 100 TB the fact side streams through map tasks, the
+    ~catalog-sized dim ships once per executor), then aggregate per
+    (lang, source)."""
+    ev = table(spark, sf_dir, "events")
+    docs = table(spark, sf_dir, "documents")
+    dim = docs.filter(F.col("doc_id") < 100).select(
+        F.col("doc_id").alias("k"), "lang", "source"
+    )
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .join(F.broadcast(dim), "k")
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

@@ -1,0 +1,150 @@
+"""Property-based tests: random event graphs vs pure-Python models of
+the operator semantics (hypothesis). The reference's operator-harness
+tests enumerate hand-picked orderings; properties sweep the same space
+randomly — out-of-order arrivals, ties, duplicate keys, empty sides.
+
+Few examples per property (Spark per-example overhead dominates), but
+each example is a full adversarial mini-graph.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SET = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+MIN10 = 600_000
+
+events = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # user
+        st.integers(0, 2),  # k (scope key)
+        st.integers(0, 2_000_000),  # ts offset ms
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(views=events, clicks=events)
+@SET
+def test_inferred_join_matches_python_model(spark, views, clicks):
+    """Scope-fallback nearest pick: (u, k) preferred, (u) fallback,
+    window [-10m, 0], right-outer. Model mirrors nearest_join's
+    min_by(struct(dist, lms, payload)) tie-break."""
+    from openmetrics_spark.operators.joins import Scope, inferred_join
+
+    base = 1_700_000_000_000
+    vrows = [
+        (i, u, str(k), base + ts) for i, (u, k, ts) in enumerate(views)
+    ]
+    crows = [
+        (1000 + i, u, str(k), base + ts) for i, (u, k, ts) in enumerate(clicks)
+    ]
+    vdf = spark.createDataFrame(
+        vrows or [(None, None, None, None)],
+        "view_id long, u long, k string, ms long",
+    ).filter(F.col("view_id").isNotNull()).withColumn(
+        "ts", F.timestamp_millis("ms")
+    )
+    cdf = spark.createDataFrame(
+        crows or [(None, None, None, None)],
+        "click_id long, u long, k string, ms long",
+    ).filter(F.col("click_id").isNotNull()).withColumn(
+        "ts", F.timestamp_millis("ms")
+    )
+    out = inferred_join(
+        vdf,
+        cdf,
+        scopes=[Scope(("u", "k")), Scope(("u",))],
+        fk=None,
+        left_ts="ts",
+        right_ts="ts",
+        window_before_ms=MIN10,
+        window_after_ms=0,
+        left_payload=["view_id", "ms"],
+        right_id="click_id",
+        right_outer=True,
+    ).select("click_id", F.col("__lpick.view_id").alias("view_id"))
+    got = {r.click_id: r.view_id for r in out.collect()}
+
+    def pick(cu, ck, cms):
+        for scoped in (True, False):
+            cands = [
+                (vid, vu, vk, vms)
+                for vid, vu, vk, vms in vrows
+                if vu == cu
+                and cms - MIN10 <= vms <= cms
+                and (not scoped or vk == ck)
+            ]
+            if cands:
+                # min_by(struct(dist, lms, struct(view_id, ms)))
+                best = min(cands, key=lambda c: (abs(c[3] - cms), c[3], c[0]))
+                return best[0]
+        return None
+
+    want = {cid: pick(cu, ck, cms) for cid, cu, ck, cms in crows}
+    assert got == want  # right-outer: every click present exactly once
+
+
+@given(
+    evs=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 4_000_000)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_sliding_counter_matches_python_model(spark, evs):
+    """Trailing window sum at every slide boundary — emits exactly the
+    windows any contributing bucket feeds, with exact counts."""
+    from openmetrics_spark.operators.counters import sliding_counter
+
+    window, slide = 3_600_000, 900_000
+    k = window // slide
+    base = 1_700_000_000_000
+    df = spark.createDataFrame(
+        [(u, base + ts) for u, ts in evs], "u long, ms long"
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    got = {
+        (r.u, r.emit_ms): r.n
+        for r in sliding_counter(df, ["u"], "ts", window, slide).collect()
+    }
+
+    want: dict = {}
+    for u, ts in evs:
+        bucket = (base + ts) // slide * slide
+        for i in range(1, k + 1):
+            key = (u, bucket + i * slide)
+            want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 100), st.integers(0, 5)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@SET
+def test_keep_first_matches_python_model(spark, rows):
+    """First-by-(ts, id) per key — including exact ts ties."""
+    from openmetrics_spark.operators.dedup import keep_first
+
+    df = spark.createDataFrame(
+        [(i, key, ts) for i, (key, ts, _) in enumerate(rows)],
+        "id long, key long, ts long",
+    )
+    got = {r.key: r.id for r in keep_first(df, ["key"], ["ts", "id"]).collect()}
+    want: dict = {}
+    for i, (key, ts, _) in enumerate(rows):
+        if key not in want or (ts, i) < want[key]:
+            want[key] = (ts, i)
+    assert got == {k: v[1] for k, v in want.items()}

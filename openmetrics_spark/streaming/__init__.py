@@ -23,6 +23,7 @@ from openmetrics_spark.streaming.ops import (
     stream_tumbling_metrics,
 )
 from openmetrics_spark.streaming.stateful import (
+    stream_cumulate_counter,
     stream_inferred_join,
     stream_last_time_and_count,
 )
@@ -30,6 +31,7 @@ from openmetrics_spark.streaming.stateful import (
 __all__ = [
     "run_to_memory",
     "stream_from_dir",
+    "stream_cumulate_counter",
     "stream_inferred_join",
     "stream_interval_join",
     "stream_keep_first",

@@ -257,3 +257,98 @@ def stream_inferred_join(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_cumulate_counter(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_ms: int,
+    period_ms: int,
+    delay_ms: int = 1000,
+    value_col: str | None = None,
+) -> DataFrame:
+    """Streaming CUMULATE(step, period) — intra-period cumulative
+    totals emitted at every step boundary that has data (reference:
+    job/contentmetrics/resources/10_create_view_cumulated_content_
+    metrics.sql — Flink's CUMULATE window; SURVEY §2.5/§7.3 lists this
+    as a shape Spark lacks natively).
+
+    Keyed by (key, period). State: running total of finalized steps +
+    per-step partial sums for open buckets. A step finalizes when the
+    watermark passes its end — monotone, so the running total always
+    covers every earlier step of the period; late rows were already
+    dropped by the watermark, exactly the append-mode contract.
+    State is O(open steps) per key and removed once the period's last
+    step finalizes. Output matches the batch ``cumulate_metrics``:
+    (period_ms, window_ms, key, n cumulative)."""
+    key_type = sdf.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("period_ms", LongType()),
+            StructField("window_ms", LongType()),
+            StructField("key", key_type),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("cum", LongType()),
+            StructField("buckets_json", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        cum, buckets = 0, {}
+        if state.exists:
+            cum, bj = state.get
+            buckets = {int(k): v for k, v in json.loads(bj).items()}
+        for pdf in pdf_iter:
+            ms = pdf["__ms"].astype("int64")
+            vals = ms // step_ms * step_ms
+            inc = (
+                pd.Series(1, index=ms.index)
+                if value_col is None
+                else pdf["__v"].astype("int64")
+            )
+            for b, n in inc.groupby(vals).sum().items():
+                buckets[int(b)] = buckets.get(int(b), 0) + int(n)
+        wm = state.getCurrentWatermarkMs()
+        out = []
+        for b in sorted(b for b in buckets if b + step_ms <= wm):
+            cum += buckets.pop(b)
+            out.append((key[1], b, key[0], cum))
+        if buckets:
+            state.update((cum, json.dumps(buckets)))
+            state.setTimeoutTimestamp(min(buckets) + step_ms)
+        elif wm > key[1] + period_ms:
+            state.remove()
+        else:
+            state.update((cum, json.dumps({})))
+            state.setTimeoutTimestamp(key[1] + period_ms + step_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["period_ms", "window_ms", "key", "n"]
+            )
+
+    sel = [
+        F.col(key_col).alias("key"),
+        (
+            (F.unix_millis(ts_col) / F.lit(period_ms)).cast("long")
+            * F.lit(period_ms)
+        ).alias("period"),
+        F.unix_millis(ts_col).alias("__ms"),
+        F.col(ts_col).alias("__ts"),
+    ]
+    if value_col is not None:
+        sel.append(F.col(value_col).alias("__v"))
+    prepared = sdf.withWatermark(ts_col, f"{delay_ms} milliseconds").select(*sel)
+    return prepared.groupBy("key", "period").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -277,3 +277,37 @@ def test_stream_inferred_join_parity(spark, events_dir, tmp_path):
     )
     cols = ["click_id", "view_id", "view_ms"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_stream_cumulate_parity(spark, events_dir, tmp_path):
+    """Streaming CUMULATE(15 m step, 1 h period) must equal the batch
+    cumulate_metrics running sums; sentinel flushes the final period."""
+    from openmetrics_spark.operators.metrics import cumulate_metrics
+    from openmetrics_spark.streaming.stateful import stream_cumulate_counter
+
+    b = _batch(spark, events_dir)
+    want = cumulate_metrics(
+        b,
+        ["user_id"],
+        "ts",
+        step_ms=MIN15,
+        period_ms=HOUR,
+        metric_aggs={"n": F.count(F.lit(1))},
+    ).select("period_ms", "window_ms", F.col("user_id").alias("key"), "n")
+
+    src_dir = str(tmp_path / "events_with_sentinel")
+    b.write.mode("overwrite").parquet(src_dir)
+    spark.createDataFrame(
+        [(999_999, -1, "view", 1_900_000_000_000)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.schema.fields]
+    ).write.mode("append").parquet(src_dir)
+
+    s = stream_from_dir(spark, src_dir, b.schema, max_files_per_trigger=4)
+    got = run_to_memory(
+        stream_cumulate_counter(s, "user_id", "ts", MIN15, HOUR),
+        output_mode="append",
+    ).filter(F.col("key") >= 0)
+    cols = ["period_ms", "window_ms", "key", "n"]
+    assert _rows(got, cols) == _rows(want, cols)

@@ -352,3 +352,124 @@ def stream_cumulate_counter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def stream_add_latest_impressions(
+    impressions_sdf: DataFrame,
+    actions_sdf: DataFrame,
+    user_col: str = "user_id",
+    max_state: int = 30,
+    max_output: int = 25,
+    lookback_ms: int = 7 * 86_400_000,
+    delay_ms: int = 1000,
+) -> DataFrame:
+    """Streaming AddLatestImpressions — keyed list state (reference:
+    common/functions/AddLatestImpressions.java:33-386: per user keep
+    the latest ≤30 impressions; on each action emit ≤25 of them after
+    excluding contents the user already actioned).
+
+    Inputs carry (user_col, impression_id|action_id, imp_ms|act_ms,
+    content_id) with a ``ts`` timestamp column; ids and content must be
+    long-typed. An action decides once the watermark passes its event
+    time — every earlier impression/action has arrived, so the output
+    equals the batch ``add_latest_impressions`` on the same input
+    (state cap before exclusion, output cap after, recency rank with
+    id tie-break). State per user: impressions within the lookback
+    horizon + first-action-time per content; both bounded per key, the
+    horizon playing the reference's state TTL."""
+    import pandas as pd  # noqa: F401
+
+    user_type = impressions_sdf.schema[user_col].dataType
+
+    def norm(df, id_col, ms_col, side):
+        return df.select(
+            F.col(user_col).alias("u"),
+            F.col(id_col).cast("long").alias("rid"),
+            F.col(ms_col).cast("long").alias("ms"),
+            F.col("content_id").cast("long").alias("content"),
+            F.lit(side).alias("side"),
+            F.col("ts").alias("__ts"),
+        )
+
+    unioned = norm(impressions_sdf, "impression_id", "imp_ms", 0).unionByName(
+        norm(actions_sdf, "action_id", "act_ms", 1)
+    ).withWatermark("__ts", f"{delay_ms} milliseconds")
+
+    out_schema = StructType(
+        [
+            StructField("action_id", LongType()),
+            StructField("u", user_type),
+            StructField("rank", LongType()),
+            StructField("impression_id", LongType()),
+            StructField("content", LongType()),
+            StructField("gap_ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("imps_json", StringType()),
+            StructField("first_act_json", StringType()),
+            StructField("pending_json", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        imps, first_act, pending = [], {}, []
+        if state.exists:
+            ij, fj, pj = state.get
+            imps = json.loads(ij)
+            first_act = {int(k): v for k, v in json.loads(fj).items()}
+            pending = json.loads(pj)
+        for pdf in pdf_iter:
+            for row in pdf.itertuples(index=False):
+                rec = [int(row.ms), int(row.rid), int(row.content)]
+                if row.side == 0:
+                    imps.append(rec)
+                else:
+                    pending.append(rec)
+                    c = int(row.content)
+                    if c not in first_act or row.ms < first_act[c]:
+                        first_act[c] = int(row.ms)
+        wm = state.getCurrentWatermarkMs()
+        ready = sorted(a for a in pending if a[0] < wm)
+        pending = [a for a in pending if a[0] >= wm]
+        out = []
+        for ams, aid, _ac in ready:
+            cands = [
+                i for i in imps if ams - lookback_ms <= i[0] < ams
+            ]
+            cands.sort(key=lambda i: (-i[0], -i[1]))  # recency, id desc
+            kept = [
+                i
+                for i in cands[:max_state]
+                if first_act.get(i[2]) is None or first_act[i[2]] > ams
+            ][:max_output]
+            for rank, (ims, iid, ic) in enumerate(kept, 1):
+                out.append((aid, key[0], rank, iid, ic, ams - ims))
+        floor = min([wm] + [a[0] for a in pending]) - lookback_ms
+        imps = [i for i in imps if i[0] >= floor]
+        if pending:
+            state.setTimeoutTimestamp(min(a[0] for a in pending) + 1)
+        if imps or pending or first_act:
+            state.update(
+                (json.dumps(imps), json.dumps(first_act), json.dumps(pending))
+            )
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "action_id", "u", "rank", "impression_id", "content", "gap_ms",
+                ],
+            )
+
+    return unioned.groupBy("u").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -135,10 +135,11 @@ def _join_tuple(cols: list, sep: str = JOIN_CHAR) -> F.Column:
 def _key_col(fam: KeyFamily) -> F.Column:
     parts: list = [F.col(c) for c in fam.key_cols]
     for pos, lit in sorted(fam.key_extras, reverse=True):
-        # the separator literal glues to the NEXT component with the
-        # 0x1d type marker (reference composes "…\x1fu\x1d…"-style
-        # keys by embedding TYPE_SEPARATOR-prefixed tokens)
-        parts.insert(pos, F.lit(lit.lstrip(TYPE_SEPARATOR)))
+        # the marker is a full tuple element — e.g. LogUserEvent.
+        # getHashKey() = (platformId, USER_TYPE, userId) with
+        # USER_TYPE = "\x1d"+"u" (Constants.java:4-6) — so RedisSink's
+        # \x1f join yields "…\x1f\x1du\x1f…"; the \x1d prefix is kept.
+        parts.insert(pos, F.lit(lit))
     return _join_tuple(parts)
 
 

@@ -105,17 +105,28 @@ def last_time_and_count(
     anchor_ms: int | None = None,
 ) -> DataFrame:
     """Per key: epoch-millis of the latest event + count of events in
-    the trailing ``horizon_ms`` ending at ``anchor_ms``.
+    the trailing ``horizon_ms``.
 
-    ``anchor_ms`` defaults to the dataset max (deterministic stand-in
-    for "now"); computed as a broadcast scalar, not a collect-loop.
-    Single shuffle, fully map-side combinable.
+    By default the horizon is anchored at EACH KEY's own last event
+    time — the reference semantics (LastTimeAndCount.java keeps the
+    per-key last timestamp and the count of events the state TTL has
+    not yet expired, both relative to the key's own clock), and what
+    the streaming twin (``stream_last_time_and_count``) emits for keys
+    idle near the end of the data. Pass ``anchor_ms`` for the distinct
+    "as of a fixed time" variant.
+
+    Per-key anchoring uses a partition-only window (one shuffle on
+    key; WindowExec buffers one key-group at a time) followed by a
+    map-side-combinable aggregate on the same partitioning — Catalyst
+    reuses the exchange, so it stays a single-shuffle plan.
     """
     ms = F.unix_millis(F.col(ts_col))
     base = df.select(*key_cols, ms.alias("__ms"))
     if anchor_ms is None:
-        anchor = base.agg(F.max("__ms").alias("__anchor"))
-        base = base.crossJoin(F.broadcast(anchor))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*key_cols)
+        base = base.withColumn("__anchor", F.max("__ms").over(w))
     else:
         base = base.withColumn("__anchor", F.lit(anchor_ms))
     in_horizon = (F.col("__ms") > F.col("__anchor") - F.lit(horizon_ms)) & (

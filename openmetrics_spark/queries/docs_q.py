@@ -259,15 +259,17 @@ WITH e AS (
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 6) AS cos
 FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+WHERE list_cosine_similarity(a.v, b.v) >= 0.40
 """
 
 
 @register("embedding_neardup", oracle=_NEARDUP_EMB_ORACLE, tags=("llm", "dedup"))
 def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (≥0.95), blocked by label
-    — the blocking key stands in for an LSH bucket at this scale; the
-    lsh_topk operator is the unblocked scale path."""
+    """Embedding-cosine near-duplicate pairs (≥0.40 — the synthetic
+    embeddings' same-label cosines top out near 0.5, so this cutoff
+    keeps the query non-vacuous), blocked by label — the blocking key
+    stands in for an LSH bucket at this scale; the lsh_topk operator
+    is the unblocked scale path."""
     emb = table(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
     a = e.select(
@@ -279,7 +281,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, (F.col("la") == F.col("lb")) & (F.col("vec_a") < F.col("vec_b")))
         .withColumn("raw_cos", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("raw_cos") >= 0.95)
+        .filter(F.col("raw_cos") >= 0.40)
         .select("vec_a", "vec_b", F.round("raw_cos", 6).alias("cos"))
     )
 

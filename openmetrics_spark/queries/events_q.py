@@ -116,22 +116,25 @@ def sliding_daily_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LTC_ORACLE = """
-WITH mx AS (SELECT max(epoch_ms(ts)) AS anchor FROM events)
-SELECT user_id,
+WITH mx AS (
+  SELECT user_id, max(epoch_ms(ts)) AS anchor FROM events GROUP BY user_id
+)
+SELECT e.user_id,
        max(epoch_ms(ts)) AS last_ms,
        CAST(sum(CASE WHEN epoch_ms(ts) > anchor - 604800000
                       AND epoch_ms(ts) <= anchor THEN 1 ELSE 0 END)
             AS BIGINT) AS n_horizon
-FROM events, mx
-GROUP BY user_id
+FROM events e JOIN mx ON e.user_id = mx.user_id
+GROUP BY e.user_id
 """
 
 
 @register("last_time_and_count", oracle=_LTC_ORACLE, tags=("counter",))
 def last_time_and_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per user: last event time + trailing-7 d count anchored at the
-    dataset max — LastTimeAndCount semantics (reference:
-    common/functions/LastTimeAndCount.java:36-299; 90 d in prod)."""
+    USER's own last event — LastTimeAndCount semantics (reference:
+    common/functions/LastTimeAndCount.java:36-299 tracks each key's
+    last timestamp and TTL-trailing count; 90 d in prod)."""
     ev = table(spark, sf_dir, "events")
     return last_time_and_count(ev, ["user_id"], "ts", WEEK)
 

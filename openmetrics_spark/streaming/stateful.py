@@ -450,6 +450,17 @@ def stream_add_latest_impressions(
                 out.append((aid, key[0], rank, iid, ic, ams - ims))
         floor = min([wm] + [a[0] for a in pending]) - lookback_ms
         imps = [i for i in imps if i[0] >= floor]
+        # first_act entries share the lookback horizon as a state TTL
+        # (the reference bounds this map the same way —
+        # AddLatestImpressions' Flink state TTL). Consequence, same as
+        # the reference: a content actioned longer than the lookback
+        # ago stops being excluded. Only impressions within the
+        # lookback are candidates anyway, so an evicted entry can only
+        # matter for a content re-impressed after the horizon — the
+        # batch twin (which sees all history) may exclude a pair this
+        # twin keeps. Without the TTL the map grows with distinct
+        # actioned contents for the stream's lifetime.
+        first_act = {c: t for c, t in first_act.items() if t >= floor}
         if pending:
             state.setTimeoutTimestamp(min(a[0] for a in pending) + 1)
         if imps or pending or first_act:

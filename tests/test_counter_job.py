@@ -148,6 +148,26 @@ def test_counter_commands_match_oracle_counts(spark, flat_events):
         assert count_type(fid) == CountType.ITEM_DEVICE_COUNT
 
 
+def test_key_encoding_goldens(spark, flat_events):
+    """Pin full Redis key byte sequences against the reference layout:
+    tuple elements joined by \\x1f, with USER_TYPE/QUERY_TYPE markers
+    as FULL elements keeping their \\x1d prefix — e.g. LogUserEvent.
+    getHashKey() = (platformId, USER_TYPE, userId) → "1\\x1f\\x1du\\x1flu0"
+    (Constants.java:4-6, RedisSink join)."""
+    cmds = counter_commands(flat_events).filter(F.col("command") == "HSET")
+    keys = {r.key for r in cmds.select("key").distinct().collect()}
+    # user family: (platformId, \x1du, userId)
+    assert "1\x1f\x1du\x1fu0" in keys
+    # log-user family: (platformId, \x1du, logUserId)
+    assert "1\x1f\x1du\x1flu0" in keys
+    # query family: (platformId, \x1dq, queryHex)
+    assert "1\x1f\x1dq\x1f0" in keys
+    # content-query family: (platformId, contentId, \x1dq, queryHex)
+    assert "1\x1fc0\x1f\x1dq\x1f0" in keys
+    # content-device family: (platformId, contentId) — no marker
+    assert "1\x1fc0" in keys
+
+
 def test_metadata_commands(spark):
     md = metadata_commands(spark)
     rows = {(r.key, r.field): r.value for r in md.collect()}

@@ -58,8 +58,21 @@ def test_sliding_counter_sums_buckets(spark):
 
 def test_last_time_and_count_horizon(spark):
     df = _ev(spark, [(1, "a", 0, 1.0), (2, "a", 10_000, 1.0), (3, "b", 4000, 1.0)])
-    # anchor = 10_000; horizon 5000 → (5000, 10000]
+    # per-key anchor (reference semantics): a anchors at 10 000 →
+    # horizon (5000, 10000] holds one event; b anchors at ITS OWN last
+    # event 4000 → (-1000, 4000] holds it, n=1 (the old global-anchor
+    # variant said 0 — keys idle near the dataset end differed from the
+    # streaming twin/reference)
     out = {r.key: (r.last_ms, r.n_horizon) for r in last_time_and_count(df, ["key"], "ts", 5000).collect()}
+    assert out == {"a": (10_000, 1), "b": (4000, 1)}
+
+
+def test_last_time_and_count_fixed_anchor(spark):
+    df = _ev(spark, [(1, "a", 0, 1.0), (2, "a", 10_000, 1.0), (3, "b", 4000, 1.0)])
+    out = {
+        r.key: (r.last_ms, r.n_horizon)
+        for r in last_time_and_count(df, ["key"], "ts", 5000, anchor_ms=10_000).collect()
+    }
     assert out == {"a": (10_000, 1), "b": (4000, 0)}
 
 

@@ -279,6 +279,67 @@ def test_stream_inferred_join_parity(spark, events_dir, tmp_path):
     assert _rows(got, cols) == _rows(want, cols)
 
 
+def test_stream_add_latest_impressions_parity(spark, events_dir, tmp_path):
+    """Streaming AddLatestImpressions must equal the batch twin:
+    per-action ≤max_output most-recent impressions after excluding
+    already-actioned contents, state-capped BEFORE the exclusion.
+    Lookback stays at the 7 d default so the first_act TTL (which the
+    batch twin, seeing all history, does not have) cannot bite inside
+    the 6.5 h fixture; a sentinel view flushes pending actions."""
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+    from openmetrics_spark.streaming.stateful import stream_add_latest_impressions
+
+    b = _batch(spark, events_dir).withColumn(
+        "content_id", (F.col("event_id") % 9).cast("long")
+    )
+    imps_b = b.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("impression_id"),
+        F.col("ts_ms").alias("imp_ms"),
+        "content_id",
+    )
+    acts_b = b.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("action_id"),
+        F.col("ts_ms").alias("act_ms"),
+        "content_id",
+    )
+    want = add_latest_impressions(imps_b, acts_b, max_state=5, max_output=3)
+
+    src_dir = str(tmp_path / "events_with_sentinel")
+    b.drop("content_id").write.mode("overwrite").parquet(src_dir)
+    spark.createDataFrame(
+        [(999_999, -1, "view", 1_900_000_000_000)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.drop("content_id").schema.fields]
+    ).write.mode("append").parquet(src_dir)
+
+    s = stream_from_dir(
+        spark, src_dir, b.drop("content_id").schema, max_files_per_trigger=4
+    ).withColumn("content_id", (F.col("event_id") % 9).cast("long"))
+    imps_s = s.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("impression_id"),
+        F.col("ts_ms").alias("imp_ms"),
+        "content_id",
+        "ts",
+    )
+    acts_s = s.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("action_id"),
+        F.col("ts_ms").alias("act_ms"),
+        "content_id",
+        "ts",
+    )
+    got = run_to_memory(
+        stream_add_latest_impressions(imps_s, acts_s, max_state=5, max_output=3),
+        output_mode="append",
+    )
+    cols = ["action_id", "rank", "impression_id", "content", "gap_ms"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
 def test_stream_cumulate_parity(spark, events_dir, tmp_path):
     """Streaming CUMULATE(15 m step, 1 h period) must equal the batch
     cumulate_metrics running sums; sentinel flushes the final period."""

@@ -117,11 +117,17 @@ def ngram_jaccard_pairs(
     the shuffles carry only (long, long) rows, and every stage is a
     plain hash-agg/hash-join that AQE can re-plan.
 
-    The filtered posting list feeds three consumers (sizes, and both
-    sides of the self-join); it is persisted so the tokenize+explode
-    scan runs once — the in-process analog of materializing the
-    inverted index, which is how a 100 TB run would stage it anyway
-    (write the index, then join against it)."""
+    The filtered posting list feeds both sides of the self-join; it is
+    persisted so the tokenize+explode scan runs once — the in-process
+    analog of materializing the inverted index, which is how a 100 TB
+    run would stage it anyway (write the index, then join against it).
+
+    Size-ratio prefilter: with |A| ≤ |B|, jaccard ≤ |A|/|B|, so a pair
+    can only reach ``threshold`` if min(sz)/max(sz) ≥ threshold. The
+    per-doc size rides on every posting row, so the hopeless pairs die
+    in the self-join filter — before the pair groupBy — and the sizes
+    arrive at the Jaccard computation for free (grouped through), no
+    post-hoc size joins."""
     posting = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
     )
@@ -131,20 +137,33 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") <= max_df)
         .select("s")
     )
-    pr = posting.join(rare, "s").persist()  # rare-shingle space only
+    # persist the rare-shingle posting list: the tokenize+explode scan
+    # is the expensive stage and feeds the sizes agg plus (via prs)
+    # both sides of the self-join
+    pr = posting.join(rare, "s").persist()
     sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    prs = pr.join(sizes, "doc")
     inter = (
-        pr.alias("x")
-        .join(pr.alias("y"), "s")
-        .filter(F.col("x.doc") < F.col("y.doc"))
-        .groupBy(F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b"))
+        prs.alias("x")
+        .join(prs.alias("y"), "s")
+        .filter(
+            (F.col("x.doc") < F.col("y.doc"))
+            & (
+                F.least(F.col("x.sz"), F.col("y.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+            )
+        )
+        .groupBy(
+            F.col("x.doc").alias("doc_a"),
+            F.col("y.doc").alias("doc_b"),
+            F.col("x.sz").alias("sz_a"),
+            F.col("y.sz").alias("sz_b"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    jac = F.col("inter") / (F.col("a.sz") + F.col("b.sz") - F.col("inter"))
+    jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.join(sizes.alias("a"), F.col("doc_a") == F.col("a.doc"))
-        .join(sizes.alias("b"), F.col("doc_b") == F.col("b.doc"))
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -151,17 +151,19 @@ def to_tiny_actions(act: DataFrame) -> DataFrame:
         F.col("fan_content_id").alias("content_id"),
         "action_type",
         "action_ts",
-        # quantity/price from the matching cart entry (1 if only base)
+        # quantity/price from the matching cart entry (1 if only base);
+        # try_element_at: a base content absent from the cart filters to
+        # an empty array, where plain element_at raises under ANSI mode
         F.coalesce(
-            F.element_at(
+            F.try_element_at(
                 F.filter(F.col("cart"), lambda c: c["content_id"] == F.col("fan_content_id")),
-                1,
+                F.lit(1),
             )["quantity"],
-            F.lit(1),
+            F.lit(1).cast("long"),
         ).alias("quantity"),
-        F.element_at(
+        F.try_element_at(
             F.filter(F.col("cart"), lambda c: c["content_id"] == F.col("fan_content_id")),
-            1,
+            F.lit(1),
         )["price_usd_micros_per_unit"].alias("price_usd_micros_per_unit"),
     )
     return plain.unionByName(fanned)
@@ -196,6 +198,12 @@ def reduce_redundant_impressions(tiny_imp: DataFrame, ttl_ms: int) -> RedundantR
     (a user's duplicates of one insertion), so an applyInPandas walk
     per key is the honest Spark shape — same pattern the streaming
     twin uses with state.
+
+    Singleton bypass: ~all keys have exactly one impression, which is
+    canonical by definition — only keys with >1 row go through the
+    Python walk. The multi-key set is a small aggregate (AQE turns the
+    tagging join into a broadcast at runtime), so at 100 TB the Python
+    path sees a few percent of the stream, not all of it.
     """
     keyed = tiny_imp.withColumn(
         "__rkey",
@@ -230,7 +238,24 @@ def reduce_redundant_impressions(tiny_imp: DataFrame, ttl_ms: int) -> RedundantR
             out, columns=["impression_id", "canonical_impression_id", "is_redundant"]
         )
 
-    remap = keyed.groupBy("__rkey").applyInPandas(walk, _REMAP_SCHEMA)
+    multi_keys = (
+        keyed.groupBy("__rkey")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > 1)
+        .select("__rkey", F.lit(True).alias("__multi"))
+    )
+    tagged = keyed.join(multi_keys, "__rkey", "left")
+    single_remap = tagged.filter(F.col("__multi").isNull()).select(
+        "impression_id",
+        F.col("impression_id").alias("canonical_impression_id"),
+        F.lit(False).alias("is_redundant"),
+    )
+    multi_remap = (
+        tagged.filter(F.col("__multi").isNotNull())
+        .groupBy("__rkey")
+        .applyInPandas(walk, _REMAP_SCHEMA)
+    )
+    remap = single_remap.unionByName(multi_remap)
     joined = tiny_imp.join(remap, "impression_id")
     kept = joined.filter(~F.col("is_redundant")).drop(
         "is_redundant", "canonical_impression_id"

@@ -169,9 +169,12 @@ def nearest_join(
         lc, rc = content_filter
         lsel.append(left[lc].alias("__lcontent"))
         rsel.append(right[rc].alias("__rcontent"))
-    l = left.select(*lsel)
-    r = right.select(*rsel)
-    cond = [l[c] == r[c] for c in on] + [
+    # explicit side aliases: left/right usually derive from the same
+    # base frame, and same-name equality on shared-lineage frames trips
+    # Spark's "trivially true equals predicate" ambiguity warning
+    l = left.select(*lsel).alias("__L")
+    r = right.select(*rsel).alias("__R")
+    cond = [F.col(f"__L.{c}") == F.col(f"__R.{c}") for c in on] + [
         F.col("__lms") >= F.col("__rms") - F.lit(window_before_ms),
         F.col("__lms") <= F.col("__rms") + F.lit(window_after_ms),
     ]
@@ -249,9 +252,11 @@ def inferred_join(
             )
         )
         picks.append(m)
-        matched_ids = m.select(F.col("__rid"))
+        matched_ids = m.select(F.col("__rid").alias("__mrid"))
         remaining = remaining.unionByName(
-            with_fk.join(matched_ids, with_fk["__rid"] == matched_ids["__rid"], "left_anti")
+            with_fk.join(
+                matched_ids, with_fk["__rid"] == matched_ids["__mrid"], "left_anti"
+            )
         )
 
     string_cols = {f.name for f in right.schema.fields if f.dataType.simpleString() == "string"}

@@ -60,6 +60,6 @@ def register(
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
-    from openmetrics_spark.queries import docs_q, events_q, media_q, tpch  # noqa: F401
+    from openmetrics_spark.queries import bfj_q, docs_q, events_q, media_q, tpch  # noqa: F401
 
     return REGISTRY

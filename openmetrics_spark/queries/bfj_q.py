@@ -1,0 +1,868 @@
+"""Oracle-gated BFJ stage queries — the flat-output join pipeline
+(reference: pipeline/.../job/join/FlatOutputJob.java:394-1044) checked
+stage by stage against DuckDB.
+
+The testdata has no view/delivery-log/impression/action streams, so
+each query first derives a deterministic entity graph from the
+``events`` table with pure scalar arithmetic (+ one last_value window
+for same-user FK references) — the SQL oracle reproduces the identical
+derivation, then the identical stage semantics. The derivation mirrors
+the reference's fake-data knobs (LogRequestIteratorOptions: missing-
+view rate, redundant-impression rate, SDK rate):
+
+- platform_id = user_id % 4, log_user_id = 'u'||user_id
+- 'click' events spawn delivery logs / response insertions
+- 'view' events spawn views (and, separately, impression fixtures)
+- 'purchase' events spawn actions (incl. cart fan-out fixtures)
+- FKs are present/absent/dangling on fixed modular patterns, so every
+  query exercises the explicit-id path, the inferred scope-fallback
+  path, and the unmatched path at once.
+
+Stages covered (coverage-table rows 22, 24-29 in VERDICT r01):
+``bfj_combined_delivery_logs`` (CombineDeliveryLog),
+``bfj_view_insertions`` (view→insertion inferred join),
+``bfj_joined_impressions`` (insertion→impression, 3-scope fallback +
+content filter), ``bfj_tiny_actions`` (ToTinyAction cart fan-out),
+``bfj_joined_actions`` (impression→action, [-1d,+1s]),
+``bfj_redundant_remap`` (ReduceRedundantTinyImpressions epoch chain),
+``bfj_flat_sessions`` (FlatResponseInsertion session cogroup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmetrics_spark.operators.flat import (
+    combine_delivery_logs,
+    flat_response_insertions,
+    reduce_redundant_impressions,
+    to_tiny_actions,
+)
+from openmetrics_spark.operators.joins import Scope, inferred_join
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import table
+
+MIN30 = 30 * 60 * 1000
+DAY = 24 * 60 * 60 * 1000
+
+
+def _ev(spark: SparkSession, sf_dir: str, etype: str | None = None) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    if etype is not None:
+        ev = ev.filter(F.col("event_type") == etype)
+    return ev.select(
+        F.col("event_id").alias("id"),
+        F.unix_millis("ts").alias("ms"),
+        F.col("user_id").alias("uid"),
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.concat(F.lit("u"), F.col("user_id")).alias("log_user_id"),
+        "event_type",
+    )
+
+
+# SQL fragment shared by every oracle: the same base derivation.
+_E_SQL = """
+  SELECT event_id AS id, epoch_ms(ts) AS ms, user_id AS uid,
+         user_id % 4 AS platform_id,
+         'u' || CAST(user_id AS VARCHAR) AS log_user_id,
+         event_type
+  FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# stage: CombineDeliveryLog (reference: common/functions/
+# CombineDeliveryLog.java:22-210 — API beats SDK per client_request_id)
+# ---------------------------------------------------------------------------
+
+_COMBINE_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+dl AS (
+  SELECT platform_id, log_user_id,
+         'r' || CAST(id AS VARCHAR) AS request_id,
+         CASE WHEN id % 5 <> 0 THEN 'c' || CAST(id AS VARCHAR) END AS client_request_id,
+         1 AS api, ms AS log_ms
+  FROM c
+  UNION ALL
+  SELECT platform_id, log_user_id,
+         's' || CAST(id AS VARCHAR),
+         CASE WHEN id % 5 <> 0 THEN 'c' || CAST(id AS VARCHAR) END,
+         0, ms + 500
+  FROM c WHERE id % 3 = 0
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY platform_id, log_user_id, client_request_id
+    ORDER BY CASE WHEN api = 1 THEN 0 ELSE 1 END, log_ms, request_id
+  ) AS rn
+  FROM dl WHERE client_request_id IS NOT NULL
+)
+SELECT platform_id, log_user_id, request_id, client_request_id, log_ms
+FROM best WHERE rn = 1
+UNION ALL
+SELECT platform_id, log_user_id, request_id, client_request_id, log_ms
+FROM dl WHERE client_request_id IS NULL
+"""
+
+
+@register("bfj_combined_delivery_logs", oracle=_COMBINE_ORACLE, tags=("bfj",))
+def bfj_combined_delivery_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CombineDeliveryLog on a derived API/SDK stream: every click is
+    an API delivery log; every third also an SDK twin (+500 ms)
+    sharing the client_request_id; every fifth has no
+    client_request_id (pass-through). API must win each pair."""
+    c = _ev(spark, sf_dir, "click")
+    cri = F.when(F.col("id") % 5 != 0, F.concat(F.lit("c"), F.col("id")))
+    api = c.select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("r"), F.col("id")).alias("request_id"),
+        cri.alias("client_request_id"),
+        F.lit(True).alias("api_execution"),
+        F.col("ms").alias("log_timestamp"),
+    )
+    sdk = c.filter(F.col("id") % 3 == 0).select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("s"), F.col("id")).alias("request_id"),
+        cri.alias("client_request_id"),
+        F.lit(False).alias("api_execution"),
+        (F.col("ms") + 500).alias("log_timestamp"),
+    )
+    combined = combine_delivery_logs(api.unionByName(sdk))
+    return combined.select(
+        "platform_id",
+        "log_user_id",
+        "request_id",
+        "client_request_id",
+        F.col("log_timestamp").alias("log_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage: view → response insertion (reference: inferred/
+# ViewResponseInsertionProcessFunction.java:10-48 — right-outer,
+# [-10m, +maxOutOfOrder]; explicit view_id FK else inferred by
+# (platform, logUser) nearest-in-time)
+# ---------------------------------------------------------------------------
+
+# Same-user FK derivation: a click references the user's most recent
+# prior view (the page it happened on) — computed with the union +
+# last_value(IGNORE NULLS) trick in both engines, keyed exactly like
+# the reference keys everything: (platform, logUser).
+_VIEW_INS_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+w AS (
+  SELECT *, last_value(CASE WHEN event_type = 'view'
+                            THEN 'v' || CAST(id AS VARCHAR) END IGNORE NULLS)
+    OVER (PARTITION BY platform_id, log_user_id ORDER BY ms, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_view
+  FROM e
+),
+vw AS (
+  SELECT platform_id, log_user_id, 'v' || CAST(id AS VARCHAR) AS view_id,
+         ms AS view_ms
+  FROM e WHERE event_type = 'view'
+),
+ins AS (
+  SELECT platform_id, log_user_id,
+         'r' || CAST(id AS VARCHAR) AS request_id,
+         'i' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS insertion_id,
+         'c' || CAST((id * 2 + k) % 40 AS VARCHAR) AS content_id,
+         k AS position, ms AS insertion_ms,
+         CASE WHEN id % 4 <> 0 THEN prev_view END AS view_fk
+  FROM w, range(2) r(k) WHERE event_type = 'click'
+),
+m0 AS (
+  SELECT i.insertion_id, v.view_id, v.view_ms
+  FROM ins i JOIN vw v ON i.view_fk = v.view_id
+),
+rem AS (
+  SELECT * FROM ins WHERE insertion_id NOT IN (SELECT insertion_id FROM m0)
+),
+s1 AS (
+  SELECT i.insertion_id, v.view_id, v.view_ms,
+         row_number() OVER (PARTITION BY i.insertion_id
+           ORDER BY abs(v.view_ms - i.insertion_ms), v.view_ms, v.view_id) AS rn
+  FROM rem i JOIN vw v
+    ON i.platform_id = v.platform_id AND i.log_user_id = v.log_user_id
+   AND v.view_ms BETWEEN i.insertion_ms - 600000 AND i.insertion_ms + 1000
+),
+m AS (SELECT insertion_id, view_id, view_ms FROM m0
+      UNION ALL SELECT insertion_id, view_id, view_ms FROM s1 WHERE rn = 1)
+SELECT i.insertion_id, i.platform_id, i.log_user_id, i.request_id,
+       i.content_id, i.position, i.insertion_ms, m.view_id, m.view_ms
+FROM ins i LEFT JOIN m ON i.insertion_id = m.insertion_id
+"""
+
+
+@register("bfj_view_insertions", oracle=_VIEW_INS_ORACLE, tags=("bfj", "join"))
+def bfj_view_insertions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→insertion inferred join: each click fans out 2 response
+    insertions; 3 of 4 carry the user's most recent prior view as an
+    explicit FK, the rest (and clicks with no prior view) take the
+    inferred path — nearest view in [-10m,+1s] per (platform,
+    logUser). Right-outer keeps unmatched insertions."""
+    e = _ev(spark, sf_dir)
+    wspec = (
+        Window.partitionBy("platform_id", "log_user_id")
+        .orderBy("ms", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = e.withColumn(
+        "prev_view",
+        F.last(
+            F.when(F.col("event_type") == "view", F.concat(F.lit("v"), F.col("id"))),
+            ignorenulls=True,
+        ).over(wspec),
+    )
+    vw = (
+        e.filter(F.col("event_type") == "view")
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("v"), F.col("id")).alias("view_id"),
+            F.col("ms").alias("view_ms"),
+        )
+        .withColumn("ts", F.timestamp_millis("view_ms"))
+    )
+    ins = (
+        w.filter(F.col("event_type") == "click")
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("r"), F.col("id")).alias("request_id"),
+            "id",
+            "ms",
+            F.when(F.col("id") % 4 != 0, F.col("prev_view")).alias("view_fk"),
+            F.explode(F.array(F.lit(0), F.lit(1))).alias("k"),
+        )
+        .select(
+            "platform_id",
+            "log_user_id",
+            "request_id",
+            F.concat(F.lit("i"), F.col("id"), F.lit("_"), F.col("k")).alias(
+                "insertion_id"
+            ),
+            F.concat(F.lit("c"), (F.col("id") * 2 + F.col("k")) % 40).alias(
+                "content_id"
+            ),
+            F.col("k").alias("position"),
+            F.col("ms").alias("insertion_ms"),
+            "view_fk",
+        )
+        .withColumn("ts", F.timestamp_millis("insertion_ms"))
+    )
+    joined = inferred_join(
+        left=vw,
+        right=ins,
+        scopes=[Scope(("platform_id", "log_user_id"))],
+        fk=("view_fk", "view_id"),
+        left_ts="ts",
+        right_ts="ts",
+        window_before_ms=600000,
+        window_after_ms=1000,
+        left_payload=["view_id", "view_ms"],
+        right_id="insertion_id",
+        right_outer=True,
+    )
+    return joined.select(
+        "insertion_id",
+        "platform_id",
+        "log_user_id",
+        "request_id",
+        "content_id",
+        "position",
+        "insertion_ms",
+        F.col("__lpick.view_id").alias("view_id"),
+        F.col("__lpick.view_ms").alias("view_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage: insertion → impression (reference: inferred/
+# InsertionImpressionProcessFunction.java:8-50 — fk insertion_id, then
+# scope fallback [request_id, view_id, content_id], [-30m, +ooo],
+# content-filtered candidates per inferred/ContentId.java:66-95)
+# ---------------------------------------------------------------------------
+
+_INS_IMP_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+ins AS (
+  SELECT platform_id, log_user_id,
+         'r' || CAST(id AS VARCHAR) AS request_id,
+         CASE WHEN id % 4 <> 0 THEN 'v' || CAST(id AS VARCHAR) END AS view_id,
+         'i' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS insertion_id,
+         'c' || CAST((id * 2 + k) % 40 AS VARCHAR) AS content_id,
+         k AS position, ms AS insertion_ms
+  FROM c, range(2) r(k)
+),
+imp AS (
+  SELECT platform_id, log_user_id,
+         'm' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS impression_id,
+         CASE WHEN (id + k) % 5 = 0 THEN NULL
+              WHEN (id + k) % 7 = 0 THEN 'i' || CAST(id AS VARCHAR) || '_9'
+              ELSE 'i' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+         END AS insertion_fk,
+         CASE WHEN (id + k) % 2 = 0 THEN 'r' || CAST(id AS VARCHAR) END AS request_id,
+         CASE WHEN (id + k) % 11 = 0 AND id % 4 <> 0
+              THEN 'v' || CAST(id AS VARCHAR) END AS view_id,
+         'c' || CAST((id * 2 + k) % 40 AS VARCHAR) AS content_id,
+         ms + 60000 + k AS impression_ms
+  FROM c, range(2) r(k) WHERE (id + k) % 3 <> 0
+),
+m0 AS (
+  SELECT i.impression_id, s.insertion_id, s.request_id, s.view_id,
+         s.content_id, s.position, s.insertion_ms
+  FROM imp i JOIN ins s ON i.insertion_fk = s.insertion_id
+),
+rem1 AS (SELECT * FROM imp
+         WHERE impression_id NOT IN (SELECT impression_id FROM m0)),
+s1 AS (
+  SELECT i.impression_id, s.insertion_id, s.request_id, s.view_id,
+         s.content_id, s.position, s.insertion_ms,
+         row_number() OVER (PARTITION BY i.impression_id
+           ORDER BY abs(s.insertion_ms - i.impression_ms), s.insertion_ms,
+                    s.insertion_id) AS rn
+  FROM rem1 i JOIN ins s
+    ON i.platform_id = s.platform_id AND i.log_user_id = s.log_user_id
+   AND i.request_id = s.request_id
+   AND s.insertion_ms BETWEEN i.impression_ms - 1800000 AND i.impression_ms + 1000
+   AND (i.content_id IS NULL OR i.content_id = '' OR i.content_id = s.content_id)
+  WHERE i.request_id IS NOT NULL
+),
+m1 AS (SELECT impression_id, insertion_id, request_id, view_id, content_id,
+              position, insertion_ms FROM s1 WHERE rn = 1),
+rem2 AS (SELECT * FROM rem1
+         WHERE impression_id NOT IN (SELECT impression_id FROM m1)),
+s2 AS (
+  SELECT i.impression_id, s.insertion_id, s.request_id, s.view_id,
+         s.content_id, s.position, s.insertion_ms,
+         row_number() OVER (PARTITION BY i.impression_id
+           ORDER BY abs(s.insertion_ms - i.impression_ms), s.insertion_ms,
+                    s.insertion_id) AS rn
+  FROM rem2 i JOIN ins s
+    ON i.platform_id = s.platform_id AND i.log_user_id = s.log_user_id
+   AND i.view_id = s.view_id
+   AND s.insertion_ms BETWEEN i.impression_ms - 1800000 AND i.impression_ms + 1000
+   AND (i.content_id IS NULL OR i.content_id = '' OR i.content_id = s.content_id)
+  WHERE i.view_id IS NOT NULL
+),
+m2 AS (SELECT impression_id, insertion_id, request_id, view_id, content_id,
+              position, insertion_ms FROM s2 WHERE rn = 1),
+rem3 AS (SELECT * FROM rem2
+         WHERE impression_id NOT IN (SELECT impression_id FROM m2)),
+s3 AS (
+  SELECT i.impression_id, s.insertion_id, s.request_id, s.view_id,
+         s.content_id, s.position, s.insertion_ms,
+         row_number() OVER (PARTITION BY i.impression_id
+           ORDER BY abs(s.insertion_ms - i.impression_ms), s.insertion_ms,
+                    s.insertion_id) AS rn
+  FROM rem3 i JOIN ins s
+    ON i.platform_id = s.platform_id AND i.log_user_id = s.log_user_id
+   AND i.content_id = s.content_id
+   AND s.insertion_ms BETWEEN i.impression_ms - 1800000 AND i.impression_ms + 1000
+  WHERE i.content_id IS NOT NULL
+),
+m3 AS (SELECT impression_id, insertion_id, request_id, view_id, content_id,
+              position, insertion_ms FROM s3 WHERE rn = 1),
+m AS (SELECT * FROM m0 UNION ALL SELECT * FROM m1
+      UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m3)
+SELECT i.impression_id, i.platform_id, i.log_user_id, i.impression_ms,
+       m.insertion_id, m.request_id AS ins_request_id, m.view_id AS ins_view_id,
+       m.content_id AS ins_content_id, m.position, m.insertion_ms AS matched_ins_ms
+FROM imp i LEFT JOIN m ON i.impression_id = m.impression_id
+"""
+
+
+@register("bfj_joined_impressions", oracle=_INS_IMP_ORACLE, tags=("bfj", "join"))
+def bfj_joined_impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """insertion→impression inferred join with the job's 3-scope
+    fallback (request → view → content), explicit insertion_id FK
+    (present / absent / dangling on modular patterns), content-filtered
+    candidates, [-30m,+1s] window, right-outer."""
+    c = _ev(spark, sf_dir, "click")
+    k = F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    ins = (
+        c.select("platform_id", "log_user_id", "id", "ms", k)
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("r"), F.col("id")).alias("request_id"),
+            F.when(
+                F.col("id") % 4 != 0, F.concat(F.lit("v"), F.col("id"))
+            ).alias("view_id"),
+            F.concat(F.lit("i"), F.col("id"), F.lit("_"), F.col("k")).alias(
+                "insertion_id"
+            ),
+            F.concat(F.lit("c"), (F.col("id") * 2 + F.col("k")) % 40).alias(
+                "content_id"
+            ),
+            F.col("k").alias("position"),
+            F.col("ms").alias("insertion_ms"),
+        )
+        .withColumn("ts", F.timestamp_millis("insertion_ms"))
+    )
+    ik = F.col("id") + F.col("k")
+    imp = (
+        c.select("platform_id", "log_user_id", "id", "ms", k)
+        .filter((F.col("id") + F.col("k")) % 3 != 0)
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("m"), F.col("id"), F.lit("_"), F.col("k")).alias(
+                "impression_id"
+            ),
+            F.when(ik % 5 == 0, F.lit(None).cast("string"))
+            .when(ik % 7 == 0, F.concat(F.lit("i"), F.col("id"), F.lit("_9")))
+            .otherwise(F.concat(F.lit("i"), F.col("id"), F.lit("_"), F.col("k")))
+            .alias("insertion_fk"),
+            F.when(ik % 2 == 0, F.concat(F.lit("r"), F.col("id"))).alias(
+                "request_id"
+            ),
+            F.when(
+                (ik % 11 == 0) & (F.col("id") % 4 != 0),
+                F.concat(F.lit("v"), F.col("id")),
+            ).alias("view_id"),
+            F.concat(F.lit("c"), (F.col("id") * 2 + F.col("k")) % 40).alias(
+                "content_id"
+            ),
+            (F.col("ms") + 60000 + F.col("k")).alias("impression_ms"),
+        )
+        .withColumn("ts", F.timestamp_millis("impression_ms"))
+    )
+    joined = inferred_join(
+        left=ins,
+        right=imp,
+        scopes=[
+            Scope(("platform_id", "log_user_id", "request_id")),
+            Scope(("platform_id", "log_user_id", "view_id")),
+            Scope(("platform_id", "log_user_id", "content_id")),
+        ],
+        fk=("insertion_fk", "insertion_id"),
+        left_ts="ts",
+        right_ts="ts",
+        window_before_ms=MIN30,
+        window_after_ms=1000,
+        left_payload=[
+            "insertion_id",
+            "request_id",
+            "view_id",
+            "content_id",
+            "position",
+            "insertion_ms",
+        ],
+        right_id="impression_id",
+        right_outer=True,
+        content_filter=("content_id", "content_id"),
+    )
+    return joined.select(
+        "impression_id",
+        "platform_id",
+        "log_user_id",
+        "impression_ms",
+        F.col("__lpick.insertion_id").alias("insertion_id"),
+        F.col("__lpick.request_id").alias("ins_request_id"),
+        F.col("__lpick.view_id").alias("ins_view_id"),
+        F.col("__lpick.content_id").alias("ins_content_id"),
+        F.col("__lpick.position").alias("position"),
+        F.col("__lpick.insertion_ms").alias("matched_ins_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage: ToTinyAction cart fan-out (reference: job/join/
+# ToTinyAction.java:37-72 — CHECKOUT/PURCHASE actions with a cart emit
+# one row per distinct content id with FK hints cleared; quantity/price
+# from the matching cart entry, CounterUtil.java:6-18)
+# ---------------------------------------------------------------------------
+
+_TINY_ACT_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+p AS (SELECT * FROM e WHERE event_type = 'purchase')
+-- NAVIGATE rows (id%3=1): no cart, FK kept, qty 1
+SELECT 'a' || CAST(id AS VARCHAR) AS action_id,
+       'm' || CAST(id AS VARCHAR) AS impression_id,
+       'c' || CAST(id % 40 AS VARCHAR) AS content_id,
+       2 AS action_type, CAST(1 AS BIGINT) AS quantity,
+       CAST(NULL AS BIGINT) AS price_usd_micros_per_unit, ms AS action_ms
+FROM p WHERE id % 3 = 1
+UNION ALL
+-- carted, even id: cart = [(base content, q0, p0), (c7, 2, 200000)]
+-- distinct fan = {{base(=cart0), c7}}
+SELECT 'a' || CAST(id AS VARCHAR), NULL,
+       'c' || CAST(id % 40 AS VARCHAR),
+       CASE WHEN id % 3 = 0 THEN 3 ELSE 8 END,
+       CAST(1 + id % 3 AS BIGINT), CAST(100000 * (1 + id % 5) AS BIGINT), ms
+FROM p WHERE id % 3 <> 1 AND id % 2 = 0
+UNION ALL
+SELECT 'a' || CAST(id AS VARCHAR), NULL,
+       'c' || CAST((id + 7) % 40 AS VARCHAR),
+       CASE WHEN id % 3 = 0 THEN 3 ELSE 8 END,
+       CAST(2 AS BIGINT), CAST(200000 AS BIGINT), ms
+FROM p WHERE id % 3 <> 1 AND id % 2 = 0
+UNION ALL
+-- carted, odd id: cart = [(c13, 3, 300000), (c7, 2, 200000)];
+-- base content not in cart -> fan = {{base(qty 1, no price), c13, c7}}
+SELECT 'a' || CAST(id AS VARCHAR), NULL,
+       'c' || CAST(id % 40 AS VARCHAR),
+       CASE WHEN id % 3 = 0 THEN 3 ELSE 8 END,
+       CAST(1 AS BIGINT), CAST(NULL AS BIGINT), ms
+FROM p WHERE id % 3 <> 1 AND id % 2 = 1
+UNION ALL
+SELECT 'a' || CAST(id AS VARCHAR), NULL,
+       'c' || CAST((id + 13) % 40 AS VARCHAR),
+       CASE WHEN id % 3 = 0 THEN 3 ELSE 8 END,
+       CAST(3 AS BIGINT), CAST(300000 AS BIGINT), ms
+FROM p WHERE id % 3 <> 1 AND id % 2 = 1
+UNION ALL
+SELECT 'a' || CAST(id AS VARCHAR), NULL,
+       'c' || CAST((id + 7) % 40 AS VARCHAR),
+       CASE WHEN id % 3 = 0 THEN 3 ELSE 8 END,
+       CAST(2 AS BIGINT), CAST(200000 AS BIGINT), ms
+FROM p WHERE id % 3 <> 1 AND id % 2 = 1
+"""
+
+
+@register("bfj_tiny_actions", oracle=_TINY_ACT_ORACLE, tags=("bfj",))
+def bfj_tiny_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ToTinyAction cart fan-out: purchases alternate NAVIGATE (no
+    cart) / PURCHASE / CHECKOUT with 2-item carts; even ids put the
+    base content in the cart (dedup via array_distinct), odd ids
+    don't (base row keeps qty 1 / null price). FK hints cleared on
+    every fanned row."""
+    p = _ev(spark, sf_dir, "purchase")
+    cart_entry = "struct<content_id:string,quantity:bigint,price_usd_micros_per_unit:bigint>"
+    c7 = F.struct(
+        F.concat(F.lit("c"), (F.col("id") + 7) % 40).alias("content_id"),
+        F.lit(2).cast("long").alias("quantity"),
+        F.lit(200000).cast("long").alias("price_usd_micros_per_unit"),
+    )
+    c0_even = F.struct(
+        F.concat(F.lit("c"), F.col("id") % 40).alias("content_id"),
+        (1 + F.col("id") % 3).cast("long").alias("quantity"),
+        (100000 * (1 + F.col("id") % 5)).cast("long").alias(
+            "price_usd_micros_per_unit"
+        ),
+    )
+    c0_odd = F.struct(
+        F.concat(F.lit("c"), (F.col("id") + 13) % 40).alias("content_id"),
+        F.lit(3).cast("long").alias("quantity"),
+        F.lit(300000).cast("long").alias("price_usd_micros_per_unit"),
+    )
+    act = p.select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("a"), F.col("id")).alias("action_id"),
+        F.concat(F.lit("m"), F.col("id")).alias("impression_id"),
+        F.lit(None).cast("string").alias("insertion_id"),
+        F.lit(None).cast("string").alias("request_id"),
+        F.lit(None).cast("string").alias("view_id"),
+        F.concat(F.lit("c"), F.col("id") % 40).alias("content_id"),
+        F.when(F.col("id") % 3 == 1, 2)
+        .when(F.col("id") % 3 == 0, 3)
+        .otherwise(8)
+        .alias("action_type"),
+        F.col("ms").alias("log_timestamp"),
+        F.when(F.col("id") % 3 == 1, F.lit(None).cast(f"array<{cart_entry}>"))
+        .when(F.col("id") % 2 == 0, F.array(c0_even, c7))
+        .otherwise(F.array(c0_odd, c7))
+        .alias("cart"),
+    )
+    tiny = to_tiny_actions(act)
+    return tiny.select(
+        "action_id",
+        "impression_id",
+        "content_id",
+        "action_type",
+        "quantity",
+        "price_usd_micros_per_unit",
+        F.col("action_ts").alias("action_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage: impression → action (reference: inferred/
+# ImpressionActionProcessFunction.java:10-99 — fk impression_id, wide
+# [-1d, +ooo] window, content-scope fallback)
+# ---------------------------------------------------------------------------
+
+_IMP_ACT_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+w AS (
+  SELECT *, last_value(CASE WHEN event_type <> 'purchase'
+                            THEN 'm' || CAST(id AS VARCHAR) END IGNORE NULLS)
+    OVER (PARTITION BY platform_id, log_user_id ORDER BY ms, id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_imp
+  FROM e
+),
+imp AS (
+  SELECT platform_id, log_user_id, 'm' || CAST(id AS VARCHAR) AS impression_id,
+         'c' || CAST(id % 40 AS VARCHAR) AS content_id, ms AS impression_ms
+  FROM e WHERE event_type <> 'purchase'
+),
+act AS (
+  SELECT platform_id, log_user_id, 'a' || CAST(id AS VARCHAR) AS action_id,
+         CASE WHEN id % 2 = 0 THEN prev_imp END AS impression_fk,
+         'c' || CAST(id % 40 AS VARCHAR) AS content_id,
+         ms AS action_ms
+  FROM w WHERE event_type = 'purchase'
+),
+m0 AS (
+  SELECT a.action_id, i.impression_id, i.content_id, i.impression_ms
+  FROM act a JOIN imp i ON a.impression_fk = i.impression_id
+),
+rem AS (SELECT * FROM act WHERE action_id NOT IN (SELECT action_id FROM m0)),
+s1 AS (
+  SELECT a.action_id, i.impression_id, i.content_id, i.impression_ms,
+         row_number() OVER (PARTITION BY a.action_id
+           ORDER BY abs(i.impression_ms - a.action_ms), i.impression_ms,
+                    i.impression_id) AS rn
+  FROM rem a JOIN imp i
+    ON a.platform_id = i.platform_id AND a.log_user_id = i.log_user_id
+   AND a.content_id = i.content_id
+   AND i.impression_ms BETWEEN a.action_ms - 86400000 AND a.action_ms + 1000
+  WHERE a.content_id IS NOT NULL
+),
+m AS (SELECT action_id, impression_id, content_id, impression_ms FROM m0
+      UNION ALL
+      SELECT action_id, impression_id, content_id, impression_ms
+      FROM s1 WHERE rn = 1)
+SELECT a.action_id, a.platform_id, a.log_user_id, a.action_ms, a.content_id,
+       m.impression_id, m.impression_ms
+FROM act a LEFT JOIN m ON a.action_id = m.action_id
+"""
+
+
+@register("bfj_joined_actions", oracle=_IMP_ACT_ORACLE, tags=("bfj", "join"))
+def bfj_joined_actions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """impression→action inferred join: every non-purchase event is an
+    impression; purchases reference the user's previous impression as
+    an explicit FK (even ids) or fall back to the content scope
+    within [-1d,+1s] (odd ids). Right-outer keeps unattributed
+    actions."""
+    e = _ev(spark, sf_dir)
+    wspec = (
+        Window.partitionBy("platform_id", "log_user_id")
+        .orderBy("ms", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = e.withColumn(
+        "prev_imp",
+        F.last(
+            F.when(
+                F.col("event_type") != "purchase",
+                F.concat(F.lit("m"), F.col("id")),
+            ),
+            ignorenulls=True,
+        ).over(wspec),
+    )
+    imp = (
+        e.filter(F.col("event_type") != "purchase")
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("m"), F.col("id")).alias("impression_id"),
+            F.concat(F.lit("c"), F.col("id") % 40).alias("content_id"),
+            F.col("ms").alias("impression_ms"),
+        )
+        .withColumn("ts", F.timestamp_millis("impression_ms"))
+    )
+    act = (
+        w.filter(F.col("event_type") == "purchase")
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("a"), F.col("id")).alias("action_id"),
+            F.when(F.col("id") % 2 == 0, F.col("prev_imp")).alias("impression_fk"),
+            F.concat(F.lit("c"), F.col("id") % 40).alias("content_id"),
+            F.col("ms").alias("action_ms"),
+        )
+        .withColumn("ts", F.timestamp_millis("action_ms"))
+    )
+    joined = inferred_join(
+        left=imp,
+        right=act,
+        scopes=[Scope(("platform_id", "log_user_id", "content_id"))],
+        fk=("impression_fk", "impression_id"),
+        left_ts="ts",
+        right_ts="ts",
+        window_before_ms=DAY,
+        window_after_ms=1000,
+        left_payload=["impression_id", "content_id", "impression_ms"],
+        right_id="action_id",
+        right_outer=True,
+    )
+    return joined.select(
+        "action_id",
+        "platform_id",
+        "log_user_id",
+        "action_ms",
+        "content_id",
+        F.col("__lpick.impression_id").alias("impression_id"),
+        F.col("__lpick.impression_ms").alias("impression_ms"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage: ReduceRedundantTinyImpressions (reference:
+# redundantimpression/ReduceRedundantTinyImpressions.java:24-249 — first
+# impression per key canonical until first_ts + ttl; next after the
+# window starts a new epoch)
+# ---------------------------------------------------------------------------
+
+_REDUNDANT_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+v AS (SELECT * FROM e WHERE event_type = 'view'),
+f AS (
+  SELECT id, k FROM v, range(4) r(k)
+  WHERE k <= (id % 3) + CASE WHEN id % 4 = 3 THEN 1 ELSE 0 END
+)
+SELECT 'm' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS impression_id,
+       CASE WHEN k = 1 THEN 'm' || CAST(id AS VARCHAR) || '_0'
+            WHEN k = 3 THEN 'm' || CAST(id AS VARCHAR) || '_2'
+            ELSE 'm' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+       END AS canonical_impression_id,
+       k IN (1, 3) AS is_redundant
+FROM f
+"""
+
+
+@register("bfj_redundant_remap", oracle=_REDUNDANT_ORACLE, tags=("bfj", "dedup"))
+def bfj_redundant_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReduceRedundantTinyImpressions epoch chain with ttl=1.5 s:
+    per insertion key, dup impressions at +0/+1/+2/+2.4 s. k=1 falls
+    inside k=0's epoch (redundant), k=2 starts a NEW epoch (past
+    first+ttl), k=3 falls inside k=2's epoch. Keys with a single row
+    take the singleton bypass."""
+    v = _ev(spark, sf_dir, "view")
+    nk = (F.col("id") % 3) + F.when(F.col("id") % 4 == 3, 1).otherwise(0)
+    fan = (
+        v.select(
+            "platform_id",
+            "log_user_id",
+            "id",
+            "ms",
+            F.explode(F.sequence(F.lit(0), nk)).alias("k"),
+        )
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(F.lit("m"), F.col("id"), F.lit("_"), F.col("k")).alias(
+                "impression_id"
+            ),
+            F.concat(F.lit("i"), F.col("id")).alias("insertion_id"),
+            F.lit(None).cast("string").alias("view_id"),
+            F.lit(None).cast("string").alias("content_id"),
+            (
+                F.col("ms")
+                + F.when(F.col("k") == 3, 2400).otherwise(F.col("k") * 1000)
+            ).alias("impression_ts"),
+        )
+    )
+    reduced = reduce_redundant_impressions(fan, ttl_ms=1500)
+    return reduced.remap.select(
+        "impression_id", "canonical_impression_id", "is_redundant"
+    )
+
+
+# ---------------------------------------------------------------------------
+# stage: FlatResponseInsertion session cogroup (reference:
+# FlatOutputJob.java:998-1044 + FlatUtil.java:561-607 — impressions +
+# actions cogrouped per (platform, logUser, insertion) in a 1 d-gap
+# event-time session, emitted as arrays)
+# ---------------------------------------------------------------------------
+
+_FLAT_SESS_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+u AS (
+  SELECT platform_id, log_user_id,
+         'i' || CAST(uid AS VARCHAR) || '_' || CAST(id % 2 AS VARCHAR) AS insertion_id,
+         ms, 0 AS side, 'm' || CAST(id AS VARCHAR) AS imp_id,
+         CAST(NULL AS VARCHAR) AS act_id, CAST(NULL AS BIGINT) AS qty
+  FROM e WHERE event_type = 'view'
+  UNION ALL
+  SELECT platform_id, log_user_id,
+         'i' || CAST(uid AS VARCHAR) || '_' || CAST(id % 2 AS VARCHAR),
+         ms, 1, NULL, 'a' || CAST(id AS VARCHAR), CAST(1 + id % 3 AS BIGINT)
+  FROM e WHERE event_type = 'purchase'
+),
+o AS (
+  SELECT *, CASE WHEN lag(ms) OVER w IS NULL
+                   OR ms - lag(ms) OVER w >= 86400000
+                 THEN 1 ELSE 0 END AS is_new
+  FROM u
+  WINDOW w AS (PARTITION BY platform_id, log_user_id, insertion_id ORDER BY ms)
+),
+s AS (
+  SELECT *, sum(is_new) OVER (
+    PARTITION BY platform_id, log_user_id, insertion_id ORDER BY ms
+    ROWS UNBOUNDED PRECEDING) AS sess
+  FROM o
+)
+SELECT platform_id, log_user_id, insertion_id,
+       min(ms) AS session_start_ms,
+       coalesce(string_agg(imp_id, ',' ORDER BY imp_id)
+                FILTER (WHERE side = 0), '') AS imp_ids,
+       coalesce(string_agg(act_id, ',' ORDER BY act_id)
+                FILTER (WHERE side = 1), '') AS act_ids,
+       CAST(count(*) FILTER (WHERE side = 0) AS BIGINT) AS n_impressions,
+       CAST(count(*) FILTER (WHERE side = 1) AS BIGINT) AS n_actions,
+       CAST(coalesce(sum(qty) FILTER (WHERE side = 1), 0) AS BIGINT) AS total_quantity
+FROM s
+GROUP BY platform_id, log_user_id, insertion_id, sess
+"""
+
+
+@register("bfj_flat_sessions", oracle=_FLAT_SESS_ORACLE, tags=("bfj", "session"))
+def bfj_flat_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FlatResponseInsertion cogroup: views play joined impressions and
+    purchases play joined actions, bucketed into 2 insertion keys per
+    user; 1 d-gap sessions per (platform, logUser, insertion) emit
+    impression[]/action[] arrays — pinned as sorted comma-joined id
+    strings so both engines hash identical values."""
+    v = _ev(spark, sf_dir, "view")
+    p = _ev(spark, sf_dir, "purchase")
+    imps = v.select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("i"), F.col("uid"), F.lit("_"), F.col("id") % 2).alias(
+            "insertion_id"
+        ),
+        F.concat(F.lit("m"), F.col("id")).alias("impression_id"),
+        F.concat(F.lit("c"), F.col("id") % 40).alias("content_id"),
+        F.col("ms").alias("impression_ts"),
+    )
+    acts = p.select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("i"), F.col("uid"), F.lit("_"), F.col("id") % 2).alias(
+            "insertion_id"
+        ),
+        F.concat(F.lit("a"), F.col("id")).alias("action_id"),
+        (2 + F.col("id") % 3).cast("int").alias("action_type"),
+        (1 + F.col("id") % 3).cast("long").alias("quantity"),
+        F.col("ms").alias("action_ts"),
+    )
+    flat = flat_response_insertions(imps, acts, gap_ms=DAY)
+    return flat.select(
+        "platform_id",
+        "log_user_id",
+        "insertion_id",
+        "session_start_ms",
+        F.array_join(
+            F.array_sort(F.transform("impressions", lambda x: x["impression_id"])),
+            ",",
+        ).alias("imp_ids"),
+        F.array_join(
+            F.array_sort(F.transform("actions", lambda x: x["action_id"])), ","
+        ).alias("act_ids"),
+        F.size("impressions").cast("long").alias("n_impressions"),
+        F.size("actions").cast("long").alias("n_actions"),
+        F.aggregate(
+            "actions", F.lit(0).cast("long"), lambda s, x: s + x["quantity"]
+        ).alias("total_quantity"),
+    )

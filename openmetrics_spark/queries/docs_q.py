@@ -78,10 +78,14 @@ FROM t
 
 @register("doc_token_stats", oracle=_TOKEN_STATS_ORACLE, headline=True, tags=("llm", "text"))
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting + quality scoring, all JVM-side expressions."""
+    """Token counting + quality scoring, all JVM-side expressions.
+    Tokenization is materialized in its own projection so the regexp
+    runs once per row — CollapseProject keeps non-cheap expressions
+    out of the downstream consumers instead of re-inlining them."""
     docs = table(spark, sf_dir, "documents")
-    tok = tokens("text")
-    return docs.select(
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    tok = F.col("tok")
+    return t.select(
         "doc_id",
         token_count(tok).alias("n_tokens"),
         unique_token_count(tok).alias("n_unique"),
@@ -124,8 +128,9 @@ def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language voting (n-gram-heuristic language ID).
     Ties break by the fixed priority en > de > fr > es."""
     docs = table(spark, sf_dir, "documents")
-    tok = tokens("text")
-    h = docs.select(
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    tok = F.col("tok")
+    h = t.select(
         "doc_id",
         marker_hits(tok, LANG_MARKERS["en"]).alias("en_hits"),
         marker_hits(tok, LANG_MARKERS["de"]).alias("de_hits"),

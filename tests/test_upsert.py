@@ -1,0 +1,123 @@
+"""Upsert sink (HudiOutput → Delta-MERGE-shaped parquet merge):
+last-write-wins per PK, partition-scoped, idempotent under replay."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openmetrics_spark.sources.upsert import UpsertTable, stream_upsert
+
+HOUR = 3600 * 1000
+T0 = 1704067200000  # 2024-01-01T00:00:00Z
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "pk string, payload string, event_api_timestamp long"
+    )
+
+
+@pytest.fixture()
+def table(tmp_path):
+    return UpsertTable(
+        str(tmp_path / "tbl"), pk_cols=["pk"], ts_ms_col="event_api_timestamp"
+    )
+
+
+def _rows(spark, table):
+    return {
+        (r["pk"], r["payload"], r["event_api_timestamp"])
+        for r in table.read(spark).collect()
+    }
+
+
+def test_insert_update_and_replay(spark, table):
+    b1 = _batch(
+        spark,
+        [("a", "a1", T0), ("b", "b1", T0 + 1), ("c", "c1", T0 + HOUR)],
+    )
+    table.upsert(b1)
+    assert _rows(spark, table) == {
+        ("a", "a1", T0),
+        ("b", "b1", T0 + 1),
+        ("c", "c1", T0 + HOUR),
+    }
+
+    # update b (same hour, later ts), insert d; a/c untouched
+    b2 = _batch(spark, [("b", "b2", T0 + 2), ("d", "d1", T0 + 3)])
+    table.upsert(b2)
+    expect = {
+        ("a", "a1", T0),
+        ("b", "b2", T0 + 2),
+        ("c", "c1", T0 + HOUR),
+        ("d", "d1", T0 + 3),
+    }
+    assert _rows(spark, table) == expect
+
+    # replaying the same batch must leave the table unchanged
+    # (at-least-once delivery: ties go to the incoming row)
+    table.upsert(b2)
+    assert _rows(spark, table) == expect
+
+
+def test_stale_update_loses(spark, table):
+    table.upsert(_batch(spark, [("a", "new", T0 + 10)]))
+    table.upsert(_batch(spark, [("a", "old", T0 + 5)]))  # older precombine
+    assert _rows(spark, table) == {("a", "new", T0 + 10)}
+
+
+def test_intra_batch_dedupe(spark, table):
+    b = _batch(spark, [("a", "v1", T0), ("a", "v2", T0 + 1)])
+    table.upsert(b)
+    assert _rows(spark, table) == {("a", "v2", T0 + 1)}
+
+
+def test_partition_scoped_index(spark, table):
+    """Hudi default-index semantics: the same key in a different
+    dt/hour partition inserts rather than migrating."""
+    table.upsert(_batch(spark, [("a", "h0", T0)]))
+    table.upsert(_batch(spark, [("a", "h1", T0 + HOUR)]))
+    assert _rows(spark, table) == {("a", "h0", T0), ("a", "h1", T0 + HOUR)}
+
+
+def test_untouched_partitions_not_rewritten(spark, table, tmp_path):
+    table.upsert(
+        _batch(spark, [("a", "a1", T0), ("z", "z1", T0 + 5 * HOUR)])
+    )
+    import os
+
+    part = str(tmp_path / "tbl" / "dt=2024-01-01" / "hour=5")
+    before = sorted(os.listdir(part))
+    table.upsert(_batch(spark, [("a", "a2", T0 + 1)]))  # touches hour=00 only
+    assert sorted(os.listdir(part)) == before
+    assert ("z", "z1", T0 + 5 * HOUR) in _rows(spark, table)
+
+
+def test_streaming_upsert_replay_idempotent(spark, table, tmp_path):
+    """End-to-end foreachBatch upsert; a second run from a FRESH
+    checkpoint re-delivers every micro-batch (at-least-once) and must
+    not change the table."""
+    src = str(tmp_path / "src")
+    _batch(
+        spark, [("a", "a1", T0), ("b", "b1", T0 + 1), ("c", "c1", T0 + HOUR)]
+    ).write.parquet(src)
+    schema = "pk string, payload string, event_api_timestamp long"
+
+    q = stream_upsert(
+        spark.readStream.schema(schema).parquet(src),
+        table,
+        str(tmp_path / "ckpt1"),
+    )
+    q.awaitTermination(120)
+    expect = _rows(spark, table)
+    assert {r[0] for r in expect} == {"a", "b", "c"}
+
+    # fresh checkpoint = full replay of the source
+    q2 = stream_upsert(
+        spark.readStream.schema(schema).parquet(src),
+        table,
+        str(tmp_path / "ckpt2"),
+    )
+    q2.awaitTermination(120)
+    assert _rows(spark, table) == expect

@@ -23,15 +23,19 @@ from openmetrics_spark.streaming.ops import (
     stream_tumbling_metrics,
 )
 from openmetrics_spark.streaming.stateful import (
+    stream_combine_delivery_logs,
     stream_cumulate_counter,
     stream_inferred_join,
     stream_last_time_and_count,
+    stream_reduce_redundant_impressions,
 )
 
 __all__ = [
     "run_to_memory",
     "stream_from_dir",
+    "stream_combine_delivery_logs",
     "stream_cumulate_counter",
+    "stream_reduce_redundant_impressions",
     "stream_inferred_join",
     "stream_interval_join",
     "stream_keep_first",

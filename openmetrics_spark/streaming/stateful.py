@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    BooleanType,
     LongType,
     StringType,
     StructField,
@@ -251,6 +252,287 @@ def stream_inferred_join(
             )
 
     return unioned.groupBy("u").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_combine_delivery_logs(
+    sdf: DataFrame,
+    window_ms: int = 2000,
+    delay_ms: int = 1000,
+) -> DataFrame:
+    """Streaming CombineDeliveryLog — the 2 s event-time window state
+    machine (reference: common/functions/CombineDeliveryLog.java:22-210:
+    delivery logs sharing a clientRequestId within ``window_ms`` of the
+    first merge into one, API preferred over SDK via getTrafficPriority,
+    then earliest; output watermark delayed by the window —
+    FlatOutputJob.java:453-475).
+
+    Input columns: platform_id, log_user_id, client_request_id,
+    request_id, api_execution (bool), log_timestamp (epoch ms), plus a
+    ``ts`` TimestampType event-time column. Rows with a null/empty
+    client_request_id pass through untouched (union'd around the
+    stateful op, no state).
+
+    State per open key: the buffered rows of the current window —
+    bounded by window_ms; a window closes (and emits its best row) when
+    the watermark passes ``first_ts + window_ms``; later rows open a
+    NEW window, exactly the reference's behavior for a reused
+    clientRequestId."""
+    import pandas as pd  # noqa: F401
+
+    out_cols = [
+        "platform_id",
+        "log_user_id",
+        "client_request_id",
+        "request_id",
+        "api_execution",
+        "log_ms",
+    ]
+    plat_type = sdf.schema["platform_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("platform_id", plat_type),
+            StructField("log_user_id", StringType()),
+            StructField("client_request_id", StringType()),
+            StructField("request_id", StringType()),
+            StructField("api_execution", BooleanType()),
+            StructField("log_ms", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("rows_json", StringType())])
+
+    with_wm = sdf.withWatermark("ts", f"{delay_ms} milliseconds")
+    has_cri = F.col("client_request_id").isNotNull() & (
+        F.col("client_request_id") != ""
+    )
+    passthrough = with_wm.filter(~has_cri).select(
+        "platform_id",
+        "log_user_id",
+        "client_request_id",
+        "request_id",
+        "api_execution",
+        F.col("log_timestamp").alias("log_ms"),
+    )
+    keyed = with_wm.filter(has_cri).select(
+        "platform_id",
+        "log_user_id",
+        "client_request_id",
+        "request_id",
+        "api_execution",
+        F.col("log_timestamp").alias("log_ms"),
+        "ts",
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        rows: list = []
+        if state.exists:
+            rows = json.loads(state.get[0])
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                rows.append([int(r.log_ms), bool(r.api_execution), str(r.request_id)])
+        wm = state.getCurrentWatermarkMs()
+        out = []
+        while rows:
+            w_start = min(r[0] for r in rows)
+            w_end = w_start + window_ms
+            if wm < w_end:
+                break
+            window_rows = [r for r in rows if r[0] <= w_end]
+            rows = [r for r in rows if r[0] > w_end]
+            best = min(window_rows, key=lambda r: (not r[1], r[0], r[2]))
+            out.append((key[0], key[1], key[2], best[2], best[1], best[0]))
+        if rows:
+            state.update((json.dumps(rows),))
+            state.setTimeoutTimestamp(min(r[0] for r in rows) + window_ms + 1)
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "platform_id",
+                    "log_user_id",
+                    "client_request_id",
+                    "request_id",
+                    "api_execution",
+                    "log_ms",
+                ],
+            )
+
+    combined = keyed.groupBy(
+        "platform_id", "log_user_id", "client_request_id"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return combined.unionByName(passthrough.select(*out_cols))
+
+
+def stream_reduce_redundant_impressions(
+    impressions_sdf: DataFrame,
+    actions_sdf: DataFrame,
+    ttl_ms: int,
+    delay_ms: int = 1000,
+    remap_retention_ms: int | None = None,
+) -> DataFrame:
+    """Streaming ReduceRedundantTinyImpressions (reference:
+    common/functions/redundantimpression/
+    ReduceRedundantTinyImpressions.java:24-249): per redundancy key
+    (RedundantImpressionKey.java:32-47 — (platform, logUser,
+    insertion_id) when the insertion id is set, else (platform,
+    logUser, view_id, content_id)), the first impression is canonical
+    until ``first_ts + ttl``; impressions inside that window are
+    redundant; the next one after it starts a new canonical epoch.
+    Actions referencing a redundant impression are rewritten to the
+    canonical impression id; out-of-order rows buffer until the
+    watermark decides them (the reference's OOO buffering).
+
+    Inputs both carry (platform_id, log_user_id, insertion_id,
+    view_id, content_id, ``ts``); impressions carry impression_id +
+    impression_ts, actions carry action_id + action_ts + impression_id
+    (the id to maybe rewrite). Output: one row per decided event —
+    ``kind`` 0 = impression (impression_id, canonical_impression_id,
+    is_redundant), ``kind`` 1 = action (action_id in ``event_id``,
+    rewritten id in ``canonical_impression_id``).
+
+    State per key: open epochs + remap entries, TTL-evicted
+    ``remap_retention_ms`` (default ttl — the reference's
+    StateTtlConfig at :80-93) after their epoch closes, plus pending
+    OOO rows bounded by the watermark delay."""
+    import pandas as pd  # noqa: F401
+
+    retention = ttl_ms if remap_retention_ms is None else remap_retention_ms
+
+    def norm(df, id_col, ms_col, side):
+        return df.select(
+            F.concat_ws(
+                "\x1f",
+                F.col("platform_id").cast("string"),
+                F.col("log_user_id"),
+                F.when(
+                    F.col("insertion_id").isNotNull() & (F.col("insertion_id") != ""),
+                    F.concat_ws("\x1f", F.col("insertion_id"), F.lit("")),
+                ).otherwise(
+                    F.concat_ws(
+                        "\x1f",
+                        F.coalesce(F.col("view_id"), F.lit("")),
+                        F.coalesce(F.col("content_id"), F.lit("")),
+                    )
+                ),
+            ).alias("rkey"),
+            F.col(id_col).alias("event_id"),
+            F.col(ms_col).cast("long").alias("ms"),
+            (
+                F.col("impression_id")
+                if side == 1
+                else F.lit(None).cast("string")
+            ).alias("ref_impression_id"),
+            F.lit(side).alias("side"),
+            F.col("ts").alias("__ts"),
+        )
+
+    unioned = norm(impressions_sdf, "impression_id", "impression_ts", 0).unionByName(
+        norm(actions_sdf, "action_id", "action_ts", 1)
+    ).withWatermark("__ts", f"{delay_ms} milliseconds")
+
+    out_schema = StructType(
+        [
+            StructField("kind", LongType()),
+            StructField("event_id", StringType()),
+            StructField("canonical_impression_id", StringType()),
+            StructField("is_redundant", BooleanType()),
+            StructField("ms", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("epoch_json", StringType()),  # [canon_id, end_ms]
+            StructField("remap_json", StringType()),  # {red_id: [canon, end]}
+            StructField("pending_json", StringType()),
+        ]
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        epoch, remap, pending = None, {}, []
+        if state.exists:
+            ej, rj, pj = state.get
+            epoch = json.loads(ej) if ej else None
+            remap = json.loads(rj)
+            pending = json.loads(pj)
+        for pdf in pdf_iter:
+            for r in pdf.itertuples(index=False):
+                pending.append(
+                    [
+                        int(r.ms),
+                        int(r.side),
+                        str(r.event_id),
+                        None if pd.isna(r.ref_impression_id) else str(r.ref_impression_id),
+                    ]
+                )
+        wm = state.getCurrentWatermarkMs()
+        ready = sorted([p for p in pending if p[0] < wm])
+        pending = [p for p in pending if p[0] >= wm]
+        out = []
+        for ms, side, eid, ref in ready:
+            if side == 0:
+                if epoch is None or ms > epoch[1]:
+                    epoch = [eid, ms + ttl_ms]
+                    out.append((0, eid, eid, False, ms))
+                else:
+                    remap[eid] = [epoch[0], epoch[1]]
+                    out.append((0, eid, epoch[0], True, ms))
+            else:
+                rewritten = remap.get(ref, [ref])[0] if ref is not None else None
+                out.append((1, eid, rewritten, ref in remap, ms))
+        # evict: closed epochs + remap entries past retention
+        if epoch is not None and epoch[1] + retention < wm:
+            epoch = None
+        remap = {k: v for k, v in remap.items() if v[1] + retention >= wm}
+        if pending:
+            state.setTimeoutTimestamp(min(p[0] for p in pending) + 1)
+            state.update(
+                (
+                    json.dumps(epoch) if epoch is not None else None,
+                    json.dumps(remap),
+                    json.dumps(pending),
+                )
+            )
+        elif epoch is not None or remap:
+            state.setTimeoutTimestamp(wm + retention + ttl_ms + 1)
+            state.update(
+                (
+                    json.dumps(epoch) if epoch is not None else None,
+                    json.dumps(remap),
+                    json.dumps([]),
+                )
+            )
+        else:
+            state.remove()
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "kind",
+                    "event_id",
+                    "canonical_impression_id",
+                    "is_redundant",
+                    "ms",
+                ],
+            )
+
+    return unioned.groupBy("rkey").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

@@ -372,3 +372,187 @@ def test_stream_cumulate_parity(spark, events_dir, tmp_path):
     ).filter(F.col("key") >= 0)
     cols = ["period_ms", "window_ms", "key", "n"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def _rows_nonesafe(df, cols):
+    return sorted(
+        (tuple(r) for r in df.select(*cols).collect()),
+        key=lambda t: tuple((v is None, v) for v in t),
+    )
+
+
+def _dl_frames(df):
+    """Derive an API/SDK delivery-log stream: every event an API row,
+    every third also an SDK twin (+500 ms) sharing the
+    client_request_id, every fifth with no client_request_id."""
+    eid, uid = F.col("event_id"), F.col("user_id")
+    cri = F.when(eid % 5 != 0, F.concat(F.lit("c"), eid))
+    base = [
+        (uid % 4).alias("platform_id"),
+        F.concat(F.lit("u"), uid).alias("log_user_id"),
+        cri.alias("client_request_id"),
+    ]
+    api = df.select(
+        *base,
+        F.concat(F.lit("r"), eid).alias("request_id"),
+        F.lit(True).alias("api_execution"),
+        F.col("ts_ms").alias("log_timestamp"),
+        "ts",
+    )
+    sdk = df.filter(eid % 3 == 0).select(
+        *base,
+        F.concat(F.lit("s"), eid).alias("request_id"),
+        F.lit(False).alias("api_execution"),
+        (F.col("ts_ms") + 500).alias("log_timestamp"),
+        F.timestamp_millis(F.col("ts_ms") + 500).alias("ts"),
+    )
+    return api.unionByName(sdk)
+
+
+def test_stream_combine_delivery_logs_parity(spark, events_dir, tmp_path):
+    """Streaming CombineDeliveryLog (2 s window state machine) must
+    equal the batch twin: API beats SDK per client_request_id, no-cri
+    rows pass through. All twins share their event's timestamp ±500 ms,
+    so the 2 s streaming window and the batch whole-key group agree."""
+    from openmetrics_spark.operators.flat import combine_delivery_logs
+    from openmetrics_spark.streaming import stream_combine_delivery_logs
+
+    b = _batch(spark, events_dir)
+    dl_b = _dl_frames(b).drop("ts")
+    want = combine_delivery_logs(dl_b).select(
+        "platform_id",
+        "log_user_id",
+        "client_request_id",
+        "request_id",
+        "api_execution",
+        F.col("log_timestamp").alias("log_ms"),
+    )
+
+    src_dir = str(tmp_path / "events_with_sentinel")
+    b.write.mode("overwrite").parquet(src_dir)
+    spark.createDataFrame(
+        [(1_000_000, -1, "view", 1_900_000_000_000)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.schema.fields]
+    ).write.mode("append").parquet(src_dir)
+
+    s = stream_from_dir(spark, src_dir, b.schema, max_files_per_trigger=4)
+    got = run_to_memory(
+        stream_combine_delivery_logs(_dl_frames(s)), output_mode="append"
+    ).filter(F.col("log_user_id") != "u-1")
+    cols = [
+        "platform_id",
+        "log_user_id",
+        "client_request_id",
+        "request_id",
+        "api_execution",
+        "log_ms",
+    ]
+    assert _rows_nonesafe(got, cols) == _rows_nonesafe(want, cols)
+
+
+def test_stream_reduce_redundant_impressions_parity(spark, events_dir, tmp_path):
+    """Streaming ReduceRedundantTinyImpressions must equal the batch
+    reduce + repoint: per key, dup impressions at +0/+1/+2 s with a
+    1.5 s ttl (k=1 redundant, k=2 opens a new epoch), and actions
+    referencing the k=1 impression are rewritten to its canonical."""
+    from openmetrics_spark.operators.flat import (
+        reduce_redundant_impressions,
+        repoint_actions,
+    )
+    from openmetrics_spark.streaming import stream_reduce_redundant_impressions
+
+    def imp_frames(df):
+        eid = F.col("event_id")
+        nk = eid % 3
+        return (
+            df.filter(F.col("event_type") == "view")
+            .select(
+                (F.col("user_id") % 4).alias("platform_id"),
+                F.concat(F.lit("u"), F.col("user_id")).alias("log_user_id"),
+                eid.alias("id"),
+                F.col("ts_ms"),
+                F.explode(F.sequence(F.lit(0), nk)).alias("k"),
+            )
+            .select(
+                "platform_id",
+                "log_user_id",
+                F.concat(F.lit("m"), F.col("id"), F.lit("_"), F.col("k")).alias(
+                    "impression_id"
+                ),
+                F.concat(F.lit("i"), F.col("id")).alias("insertion_id"),
+                F.lit(None).cast("string").alias("view_id"),
+                F.lit(None).cast("string").alias("content_id"),
+                (F.col("ts_ms") + F.col("k") * 1000).alias("impression_ts"),
+            )
+            .withColumn("ts", F.timestamp_millis("impression_ts"))
+        )
+
+    def act_frames(df):
+        eid = F.col("event_id")
+        return (
+            df.filter((F.col("event_type") == "view") & (eid % 3 >= 1))
+            .select(
+                (F.col("user_id") % 4).alias("platform_id"),
+                F.concat(F.lit("u"), F.col("user_id")).alias("log_user_id"),
+                F.concat(F.lit("a"), eid).alias("action_id"),
+                F.concat(F.lit("m"), eid, F.lit("_1")).alias("impression_id"),
+                F.concat(F.lit("i"), eid).alias("insertion_id"),
+                F.lit(None).cast("string").alias("view_id"),
+                F.lit(None).cast("string").alias("content_id"),
+                (F.col("ts_ms") + 5000).alias("action_ts"),
+            )
+            .withColumn("ts", F.timestamp_millis("action_ts"))
+        )
+
+    b = _batch(spark, events_dir)
+    imps_b, acts_b = imp_frames(b), act_frames(b)
+    reduced = reduce_redundant_impressions(imps_b, ttl_ms=1500)
+    want_imp = sorted(
+        tuple(r)
+        for r in reduced.remap.select(
+            "impression_id", "canonical_impression_id", "is_redundant"
+        ).collect()
+    )
+    want_act = sorted(
+        tuple(r)
+        for r in repoint_actions(
+            acts_b.select("action_id", "impression_id"), reduced.remap
+        ).collect()
+    )
+
+    src_dir = str(tmp_path / "events_with_sentinel")
+    b.write.mode("overwrite").parquet(src_dir)
+    spark.createDataFrame(
+        [(1_000_002, -1, "view", 1_900_000_000_000)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.schema.fields]
+    ).write.mode("append").parquet(src_dir)
+
+    s = stream_from_dir(spark, src_dir, b.schema, max_files_per_trigger=4)
+    got = run_to_memory(
+        # remap retention must cover the impression→action gap (the
+        # reference sets both to the 1 d join window; here the epoch
+        # ttl is shrunk to 1.5 s to exercise the chain, so the
+        # retention is widened past the +5 s action offset explicitly)
+        stream_reduce_redundant_impressions(
+            imp_frames(s), act_frames(s), ttl_ms=1500, remap_retention_ms=10_000
+        ),
+        output_mode="append",
+    ).filter(~F.col("event_id").startswith("m1000002"))
+    got_imp = sorted(
+        tuple(r)
+        for r in got.filter(F.col("kind") == 0)
+        .select("event_id", "canonical_impression_id", "is_redundant")
+        .collect()
+    )
+    got_act = sorted(
+        tuple(r)
+        for r in got.filter(F.col("kind") == 1)
+        .select("event_id", "canonical_impression_id")
+        .collect()
+    )
+    assert got_imp == want_imp
+    assert got_act == want_act

@@ -27,6 +27,7 @@ from openmetrics_spark.streaming.stateful import (
     stream_cumulate_counter,
     stream_inferred_join,
     stream_last_time_and_count,
+    stream_late_split,
     stream_reduce_redundant_impressions,
 )
 
@@ -40,6 +41,7 @@ __all__ = [
     "stream_interval_join",
     "stream_keep_first",
     "stream_last_time_and_count",
+    "stream_late_split",
     "stream_session_rollup",
     "stream_sliding_counter",
     "stream_tumbling_metrics",

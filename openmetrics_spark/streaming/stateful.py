@@ -21,6 +21,7 @@ large keyspaces — state per key here is O(horizon/bucket), so the
 from __future__ import annotations
 
 import json
+from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -152,8 +153,12 @@ def stream_inferred_join(
 
     Ids must be long; scope columns are compared as strings (null/empty
     never matches, like the batch operator's scope filters). Output:
-    (right_id, user, right_ms, left_id, left_ms) — left side null only
-    when ``right_outer`` keeps unmatched rows.
+    (right_id, user, right_ms, left_id, left_ms, late) — left side null
+    when ``right_outer`` keeps unmatched rows, and ``late=True`` marks
+    right rows that arrived behind the watermark (their decision point
+    had passed; the reference side-outputs these as LATE_EVENTS_TAG →
+    etl_side/late_* rather than mis-joining them against evicted
+    state). Filter ``late`` into a late_* side table.
     """
     import pandas as pd  # noqa: F401
 
@@ -191,6 +196,7 @@ def stream_inferred_join(
             StructField("right_ms", LongType()),
             StructField("left_id", LongType()),
             StructField("left_ms", LongType()),
+            StructField("late", BooleanType()),
         ]
     )
     state_schema = StructType(
@@ -205,9 +211,11 @@ def stream_inferred_join(
 
         views: list = []
         pending: list = []
+        late_out: list = []
         if state.exists:
             vj, pj = state.get
             views, pending = json.loads(vj), json.loads(pj)
+        wm = state.getCurrentWatermarkMs()
         for pdf in pdf_iter:
             for row in pdf.itertuples(index=False):
                 sc = [
@@ -215,11 +223,20 @@ def stream_inferred_join(
                     for i in range(n_sc)
                 ]
                 rec = [int(row.ms), int(row.rid), sc]
-                (views if row.side == 0 else pending).append(rec)
-        wm = state.getCurrentWatermarkMs()
+                if row.side == 0:
+                    views.append(rec)
+                elif rec[0] + after < wm:
+                    # right row behind the watermark at arrival: its
+                    # decision point already passed (candidates may be
+                    # evicted) — side-output instead of mis-joining
+                    # (reference: LATE_EVENTS_TAG,
+                    # BaseInferred.java:317-325)
+                    late_out.append((rec[1], key[0], rec[0], None, None, True))
+                else:
+                    pending.append(rec)
         ready = sorted(c for c in pending if c[0] + after < wm)
         pending = [c for c in pending if c[0] + after >= wm]
-        out = []
+        out = list(late_out)
         for cms, cid, csc in ready:
             best = None
             for plen in range(n_sc, -1, -1):
@@ -235,9 +252,9 @@ def stream_inferred_join(
                     best = min(cands, key=lambda v: (abs(v[0] - cms), v[0], v[1]))
                     break
             if best is not None:
-                out.append((cid, key[0], cms, best[1], best[0]))
+                out.append((cid, key[0], cms, best[1], best[0], False))
             elif right_outer:
-                out.append((cid, key[0], cms, None, None))
+                out.append((cid, key[0], cms, None, None, False))
         floor = min([wm] + [c[0] for c in pending]) - before
         views = [v for v in views if v[0] >= floor]
         if pending:
@@ -248,7 +265,10 @@ def stream_inferred_join(
             state.remove()
         if out:
             yield pd.DataFrame(
-                out, columns=["right_id", "u", "right_ms", "left_id", "left_ms"]
+                out,
+                columns=[
+                    "right_id", "u", "right_ms", "left_id", "left_ms", "late",
+                ],
             )
 
     return unioned.groupBy("u").applyInPandasWithState(
@@ -257,6 +277,61 @@ def stream_inferred_join(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def stream_late_split(
+    sdf: DataFrame,
+    ts_col: str,
+    delay_ms: int,
+    key_cols: Sequence[str],
+    n_buckets: int = 64,
+) -> DataFrame:
+    """Late-data side-output tagger (reference: late events land in
+    s3 etl_side/late_* side tables — FlatOutputJob.java:1257-1269,
+    BaseInferred.java:317-325 — instead of being silently dropped).
+
+    Spark's built-in windowed aggregations drop sub-watermark rows with
+    no hook, so this pass-through stateful op runs BEFORE them: each
+    row is tagged ``late = event_ts < current watermark`` and emitted
+    unchanged. The caller routes ``late`` rows to a late_* table and
+    feeds the rest to the aggregation (which then drops nothing).
+
+    Keyed by a hash bucket of ``key_cols`` purely for parallelism —
+    the watermark is global, so any partitioning works; the extra
+    shuffle mirrors the keyBy the reference pays in front of every
+    keyed operator. State per bucket: none (the op only reads the
+    watermark)."""
+    import pandas as pd  # noqa: F401
+
+    out_schema = StructType(
+        list(sdf.schema.fields) + [StructField("late", BooleanType())]
+    )
+    state_schema = StructType([StructField("unused", LongType())])
+    in_cols = [f.name for f in sdf.schema.fields]
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        wm = state.getCurrentWatermarkMs()
+        for pdf in pdf_iter:
+            if len(pdf):
+                out = pdf[in_cols].copy()
+                ts_ms = (
+                    pd.to_datetime(out[ts_col]).astype("int64") // 1_000_000
+                )
+                out["late"] = ts_ms < wm
+                yield out
+
+    bucketed = sdf.withWatermark(ts_col, f"{delay_ms} milliseconds").withColumn(
+        "__bucket", F.pmod(F.hash(*key_cols), F.lit(n_buckets))
+    )
+    return bucketed.groupBy("__bucket").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

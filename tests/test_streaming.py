@@ -556,3 +556,92 @@ def test_stream_reduce_redundant_impressions_parity(spark, events_dir, tmp_path)
     )
     assert got_imp == want_imp
     assert got_act == want_act
+
+
+def _write_ordered_files(spark, out_dir, batches, schema):
+    """Write each batch as one file with strictly increasing mtimes so
+    FileStreamSource replays them in order."""
+    import os
+
+    t0 = 1_000_000_000
+    for i, rows in enumerate(batches):
+        before = set(os.listdir(out_dir)) if os.path.exists(out_dir) else set()
+        spark.createDataFrame(rows, schema).withColumn(
+            "ts", F.timestamp_millis(F.col("ts_ms"))
+        ).coalesce(1).write.mode("append").parquet(out_dir)
+        for name in set(os.listdir(out_dir)) - before:
+            os.utime(os.path.join(out_dir, name), (t0 + i, t0 + i))
+
+
+def test_stream_late_split_side_table(spark, tmp_path):
+    """A row behind the watermark must surface tagged late=True (the
+    etl_side/late_* side table) instead of being silently dropped."""
+    from openmetrics_spark.streaming import stream_late_split
+
+    T = 1_700_000_000_000
+    HOUR_ = 3_600_000
+    src = str(tmp_path / "src")
+    schema = "event_id LONG, user_id LONG, ts_ms LONG"
+    _write_ordered_files(
+        spark,
+        src,
+        [
+            [(1, 1, T), (2, 2, T + HOUR_)],        # wm after batch 1: T+1h-1s
+            [(3, 1, T + 1000), (4, 2, T + 2 * HOUR_)],  # 3 is late
+        ],
+        schema,
+    )
+    full_schema = spark.read.parquet(src).schema
+    s = stream_from_dir(spark, src, full_schema, max_files_per_trigger=1)
+    got = run_to_memory(
+        stream_late_split(s, "ts", delay_ms=1000, key_cols=["user_id"]),
+        output_mode="append",
+    )
+    tags = {r["event_id"]: r["late"] for r in got.collect()}
+    assert tags == {1: False, 2: False, 3: True, 4: False}
+
+
+def test_stream_inferred_join_late_side_output(spark, tmp_path):
+    """A right row arriving behind the watermark lands in the late
+    side channel (late=True, unjoined) — LATE_EVENTS_TAG — rather than
+    mis-joining against evicted candidates."""
+    from openmetrics_spark.streaming import stream_inferred_join
+
+    T = 1_700_000_000_000
+    HOUR_ = 3_600_000
+    src = str(tmp_path / "src")
+    schema = "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG"
+    _write_ordered_files(
+        spark,
+        src,
+        [
+            # batch 1: a view + an on-time click 5s later, plus a
+            # watermark pusher at +1h on another user
+            [(10, 1, "view", T), (11, 1, "click", T + 5000),
+             (12, 9, "view", T + HOUR_)],
+            # batch 2: click at T+6s — one hour behind the watermark
+            [(13, 1, "click", T + 6000), (14, 9, "view", T + 2 * HOUR_)],
+        ],
+        schema,
+    )
+    full_schema = spark.read.parquet(src).schema
+    s = stream_from_dir(spark, src, full_schema, max_files_per_trigger=1)
+    got = run_to_memory(
+        stream_inferred_join(
+            s.filter(F.col("event_type") == "view"),
+            s.filter(F.col("event_type") == "click"),
+            user_col="user_id",
+            left_id_col="event_id",
+            right_id_col="event_id",
+            left_ts_col="ts",
+            right_ts_col="ts",
+            scope_cols=(),
+            window_before_ms=600_000,
+            window_after_ms=0,
+            delay_ms=1000,
+        ),
+        output_mode="append",
+    )
+    rows = {r["right_id"]: (r["left_id"], r["late"]) for r in got.collect()}
+    assert rows[11] == (10, False)   # on-time click joined to its view
+    assert rows[13] == (None, True)  # late click -> side channel

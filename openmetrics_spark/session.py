@@ -47,6 +47,10 @@ def get_spark(app_name: str = "openmetrics_spark", cpus: int | None = None) -> S
         # Parquet TIMESTAMP(NANOS) (pandas-written test data) is not a
         # Spark type; read it as long and normalize in tables.py.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Tz-naive parquet micros should surface as TimestampType (LTZ),
+        # not TIMESTAMP_NTZ — unix_millis & friends require TIMESTAMP.
+        # tables.py also casts defensively for driver-built sessions.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         # Quiet the UI in headless runs.
         .config("spark.ui.enabled", os.environ.get("SPARK_UI", "false"))
         # Broadcast threshold: generous — dimension tables (region,

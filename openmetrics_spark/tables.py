@@ -36,24 +36,36 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one test table. Plain parquet scan: column pruning and
     predicate pushdown happen automatically downstream.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads as a
-    long (session conf ``nanosAsLong``); normalize it to a proper
-    TimestampType here. Integer division (``div``) keeps full precision
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) (Spark reads a
+    long under ``nanosAsLong``), as tz-naive ``timestamp[us]`` (Spark 4
+    reads TIMESTAMP_NTZ), and could ship as tz-aware micros (plain
+    TimestampType). Normalize all three shapes to TimestampType so every
+    downstream ``unix_millis`` call works regardless of how the writer
+    annotated the column. Under the UTC session timezone the NTZ→LTZ
+    cast is an exact reinterpretation (epoch-millis match DuckDB's
+    ``epoch_ms(ts)``). Integer division (``div``) keeps full precision
     — ``/`` would go through double and lose sub-second digits at
     epoch-nanos magnitude.
     """
     try:
         # the driver may hand us a session built without these confs;
-        # both are session-level and safe to set idempotently. UTC
+        # all are session-level and safe to set idempotently. UTC
         # matters for timestamp→date casts matching UTC-naive oracles.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if field.name != "ts":
+            continue
+        if isinstance(field.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            # explicit cast (not to_timestamp) so the result is
+            # TimestampType even if spark.sql.timestampType=TIMESTAMP_NTZ
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 

@@ -142,7 +142,11 @@ def ngram_jaccard_pairs(
     # both sides of the self-join
     pr = posting.join(rare, "s").persist()
     sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    prs = pr.join(sizes, "doc")
+    # broadcast the one-row-per-doc sizes frame: attaching sz must not
+    # re-shuffle the full posting list ahead of the dominant self-join.
+    # At 100 TB sizes is still tiny relative to postings (one long per
+    # doc); if it ever outgrew broadcast, pre-bucket both by doc instead.
+    prs = pr.join(F.broadcast(sizes), "doc")
     inter = (
         prs.alias("x")
         .join(prs.alias("y"), "s")

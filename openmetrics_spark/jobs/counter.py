@@ -36,7 +36,7 @@ from openmetrics_spark.functions.feature_ids import (
     expand_feature_ids,
     feature_id_col,
 )
-from openmetrics_spark.operators.counters import sliding_counter
+from openmetrics_spark.operators.counters import last_time_and_count, sliding_counter
 
 JOIN_CHAR = "\x1f"  # RedisSink.JOIN_CHAR (ASCII unit separator)
 TYPE_SEPARATOR = "\x1d"  # counter/Constants.java (ASCII group separator)
@@ -128,13 +128,83 @@ FAMILIES = (
 )
 
 
+@dataclass(frozen=True)
+class LastFamily:
+    """One LastTimeAndCount key family = one redis hash with TWO
+    fields per (key, metric): the last-event timestamp (fid =
+    ``ts_fid_type`` | metric | NONE) and the trailing-90d count (fid =
+    ``count_fid_type`` | metric | DAY_90) — reference:
+    CounterKeys.java:478-545 (LastUserContentKey / LastUserQueryKey
+    mapTimestamp + mapCount90d), FeatureId.java:36-58.
+
+    ``ts_ttl_s``: content families expire the timestamp field with the
+    state TTL; query families write it with ttl 0 (no EXPIRE) —
+    CounterKeys.java:497 vs :525."""
+
+    name: str
+    count_fid_type: CountType
+    ts_fid_type: CountType
+    key_cols: tuple[str, ...]
+    key_extras: tuple[tuple[int, str], ...]
+    ts_ttl_s: int
+    count_ttl_s: int
+
+
+_90D_S = 90 * 86400
+
+# the 4 Last* families (CounterKeys.java:260-372). NB the reference's
+# LastLogUserQuery key is built from the USER id, not the log-user id
+# (CounterKeys.java:355-361 passes FlatUtil.getUserId) — mirrored here.
+LAST_FAMILIES = (
+    LastFamily(
+        "last-time-user-event",
+        CountType.USER_ITEM_COUNT,
+        CountType.USER_ITEM_HOURS_AGO,
+        ("platform_id", "user_id", "content_id"),
+        ((1, USER_TYPE),),
+        _90D_S,
+        _90D_S,
+    ),
+    LastFamily(
+        "last-time-log-user-event",
+        CountType.LOG_USER_ITEM_COUNT,
+        CountType.LOG_USER_ITEM_HOURS_AGO,
+        ("platform_id", "log_user_id", "content_id"),
+        ((1, USER_TYPE),),
+        _90D_S,
+        _90D_S,
+    ),
+    LastFamily(
+        "last-time-user-query",
+        CountType.USER_QUERY_COUNT,
+        CountType.USER_QUERY_HOURS_AGO,
+        ("platform_id", "user_id", "query_hex"),
+        ((1, USER_TYPE), (3, QUERY_TYPE)),
+        0,
+        _90D_S,
+    ),
+    LastFamily(
+        "last-time-log-user-query",
+        CountType.LOG_USER_QUERY_COUNT,
+        CountType.LOG_USER_QUERY_HOURS_AGO,
+        ("platform_id", "user_id", "query_hex"),
+        ((1, USER_TYPE), (3, QUERY_TYPE)),
+        0,
+        _90D_S,
+    ),
+)
+
+
 def _join_tuple(cols: list, sep: str = JOIN_CHAR) -> F.Column:
     return F.concat_ws(sep, *[c.cast("string") for c in cols])
 
 
-def _key_col(fam: KeyFamily) -> F.Column:
+def _key_col(fam) -> F.Column:
     parts: list = [F.col(c) for c in fam.key_cols]
-    for pos, lit in sorted(fam.key_extras, reverse=True):
+    # positions are FINAL tuple indices; ascending insertion keeps each
+    # later index valid once earlier markers are in place (needed for
+    # the two-marker Last*Query keys: (pid, \x1du, user, \x1dq, hex)).
+    for pos, lit in sorted(fam.key_extras):
         # the marker is a full tuple element — e.g. LogUserEvent.
         # getHashKey() = (platformId, USER_TYPE, userId) with
         # USER_TYPE = "\x1d"+"u" (Constants.java:4-6) — so RedisSink's
@@ -190,12 +260,156 @@ def counter_commands(
     return out
 
 
+def last_commands(
+    flat: DataFrame,
+    fam: LastFamily,
+    horizon_ms: int = _90D_S * 1000,
+    ts_col: str = "ts",
+    metric_col: str = "agg_metric",
+) -> DataFrame:
+    """LastTimeAndCount commands for one Last* family: per (key,
+    metric), an HSET of the last-event timestamp and an HSET of the
+    trailing-90d count (CounterJob.java:832-834,882-884 union the two
+    map streams; LastTimeAndCount.java:36-299 is the state machine).
+    Batch twin: one ``last_time_and_count`` per family — a single
+    shuffle on the family key."""
+    ltc = last_time_and_count(
+        flat, [*fam.key_cols, metric_col], ts_col, horizon_ms
+    )
+    ts_fid = feature_id_col(
+        int(fam.ts_fid_type), F.col(metric_col), int(CountWindow.NONE)
+    )
+    count_fid = feature_id_col(
+        int(fam.count_fid_type), F.col(metric_col), int(CountWindow.DAY_90)
+    )
+    hset_or_del = (
+        F.when(F.col("n_horizon") != 0, F.lit("HSET")).otherwise(F.lit("HDEL"))
+    )
+    ts_cmds = ltc.select(
+        hset_or_del.alias("command"),
+        _key_col(fam).alias("key"),
+        ts_fid.cast("string").alias("field"),
+        F.col("last_ms").cast("string").alias("value"),
+        F.lit(fam.ts_ttl_s).cast("long").alias("ttl_s"),
+        F.col("last_ms").alias("emit_ms"),
+    )
+    count_cmds = ltc.select(
+        hset_or_del.alias("command"),
+        _key_col(fam).alias("key"),
+        count_fid.cast("string").alias("field"),
+        F.col("n_horizon").cast("string").alias("value"),
+        F.lit(fam.count_ttl_s).cast("long").alias("ttl_s"),
+        F.col("last_ms").alias("emit_ms"),
+    )
+    return ts_cmds.unionByName(count_cmds)
+
+
+def query_hex_col(query_col: F.Column) -> F.Column:
+    """``Long.toHexString(xxhash64(lower(query)))`` — the query key
+    the counter families hash on (FlatUtil.java:850-884: lowercase
+    then cespare-compatible xxhash64 seed 0; hex is lowercase with no
+    leading zeros). The hash runs in the vectorized Arrow UDF; hex
+    formatting stays JVM-side (``hex`` of the signed long is the
+    two's-complement 64-bit pattern = unsigned hex)."""
+    from openmetrics_spark.functions.hashing import xxhash64_udf
+
+    return F.lower(F.hex(xxhash64_udf(F.lower(query_col))))
+
+
+def enrich_with_log_user_user(
+    flat: DataFrame,
+    log_user_user: DataFrame,
+    ts_col: str = "ts",
+    luu_ts_col: str = "ts",
+) -> DataFrame:
+    """Temporal LogUserUser enrichment (CounterJob.java:887-929):
+    attach the latest (platform_id, log_user_id) → user_id mapping
+    with mapping-ts <= event-ts, and DROP events with no mapping yet —
+    the reference passes a null leftOuterJoinFunction to
+    TemporalJoinFunction (:927), so unmatched facts are not emitted.
+
+    One as-of shuffle of |events| + |mappings| rows (asof_join's
+    union+last_value plan); no range explosion."""
+    from openmetrics_spark.operators.joins import asof_join
+
+    luu = log_user_user.select(
+        "platform_id",
+        "log_user_id",
+        F.col("user_id").alias("__luu_user_id"),
+        F.col(luu_ts_col).alias("__luu_ts"),
+    )
+    joined = asof_join(
+        flat,
+        luu,
+        on=["platform_id", "log_user_id"],
+        left_ts=ts_col,
+        right_ts="__luu_ts",
+        right_cols=["__luu_user_id"],
+    )
+    return (
+        joined.filter(F.col("__luu_user_id").isNotNull())
+        .withColumn("user_id", F.col("__luu_user_id"))
+        .drop("__luu_user_id")
+    )
+
+
+def full_counter_commands(
+    flat: DataFrame,
+    log_user_user: DataFrame | None = None,
+    families: tuple[KeyFamily, ...] = FAMILIES,
+    last_families: tuple[LastFamily, ...] = LAST_FAMILIES,
+    window_configs: tuple = WINDOW_CONFIGS,
+    last_horizon_ms: int = _90D_S * 1000,
+    ts_col: str = "ts",
+    metric_col: str = "agg_metric",
+    with_metadata: bool = True,
+) -> DataFrame:
+    """The counter job end-to-end (CounterJob.defineJob:388-500):
+    temporal LogUserUser enrichment, then the sliding-count fan-out
+    (families × windows), the 4 Last* families, and the prepareSink
+    metadata rows, unioned into one redis command stream.
+
+    ``flat`` must carry platform_id, log_user_id, content_id,
+    query_hex, os, user_agent_family, ``metric_col`` and ``ts_col``
+    (user_id too unless ``log_user_user`` supplies it)."""
+    if log_user_user is not None:
+        flat = enrich_with_log_user_user(flat, log_user_user, ts_col=ts_col)
+    out: DataFrame | None = None
+    for fam in families:
+        for window_ms, slide_ms, window_enum, ttl_s in window_configs:
+            cmds = family_counts(
+                flat, fam, window_ms, slide_ms, window_enum, ttl_s, ts_col, metric_col
+            )
+            out = cmds if out is None else out.unionByName(cmds)
+    for lfam in last_families:
+        out = out.unionByName(
+            last_commands(flat, lfam, last_horizon_ms, ts_col, metric_col)
+        )
+    if with_metadata:
+        windows = [w for _, _, w, _ in window_configs]
+        out = out.unionByName(
+            metadata_commands(
+                flat.sparkSession, families, last_families, windows
+            )
+        )
+    return out
+
+
 def metadata_commands(
-    spark, families: tuple[KeyFamily, ...] = FAMILIES
+    spark,
+    families: tuple[KeyFamily, ...] = FAMILIES,
+    last_families: tuple[LastFamily, ...] = (),
+    windows: list | None = None,
 ) -> DataFrame:
     """The prepareSink metadata rows: row_format and feature_ids CSV
-    per family (CounterJob.createMetadataCommands)."""
-    windows = [CountWindow.HOUR, CountWindow.DAY, CountWindow.DAY_7, CountWindow.DAY_30]
+    per family (CounterJob.createMetadataCommands; Last* feature-id
+    sets per CounterKeys.getLastUserEventFeatureIds:376-383 — the
+    count fid pinned to DAY_90, the hours-ago fid to NONE, crossed
+    with every metric)."""
+    if windows is None:
+        windows = [
+            CountWindow.HOUR, CountWindow.DAY, CountWindow.DAY_7, CountWindow.DAY_30
+        ]
     rows = []
     for fam in families:
         fids = sorted(
@@ -206,6 +420,21 @@ def metadata_commands(
         rows.append(("HSET", ROW_FORMAT_KEY, fam.name, fam.row_format, -1, 0))
         rows.append(
             ("HSET", FEATURE_IDS_KEY, fam.name, ",".join(map(str, fids)), -1, 0)
+        )
+    for lfam in last_families:
+        fids = sorted(
+            {
+                int(lfam.count_fid_type) | int(m) | int(CountWindow.DAY_90)
+                for m in STANDARD_METRICS
+            }
+            | {
+                int(lfam.ts_fid_type) | int(m) | int(CountWindow.NONE)
+                for m in STANDARD_METRICS
+            }
+        )
+        rows.append(("HSET", ROW_FORMAT_KEY, lfam.name, "fid:value", -1, 0))
+        rows.append(
+            ("HSET", FEATURE_IDS_KEY, lfam.name, ",".join(map(str, fids)), -1, 0)
         )
     return spark.createDataFrame(
         rows, "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG"

@@ -60,6 +60,13 @@ def register(
 
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
-    from openmetrics_spark.queries import bfj_q, docs_q, events_q, media_q, tpch  # noqa: F401
+    from openmetrics_spark.queries import (  # noqa: F401
+        bfj_q,
+        counter_q,
+        docs_q,
+        events_q,
+        media_q,
+        tpch,
+    )
 
     return REGISTRY

@@ -1,0 +1,291 @@
+"""Counter-job end-to-end query: the full redis command stream over
+the events table, driver-checked against a DuckDB reconstruction.
+
+Composition mirrors CounterJob.defineJob (reference: pipeline/.../job/
+counter/CounterJob.java:388-500): temporal LogUserUser enrichment
+(:887-929) in front of the family fan-out, the 4 Last* families
+(:832-834,882-884), query hashing (common/util/FlatUtil.java:845-882
+— lowercase + cespare-compatible xxhash64 seed 0), and the
+prepareSink metadata rows (:588-636).
+
+Flat-frame derivation (identical in Spark and the oracle SQL):
+
+- facts = view/click/purchase events; signups are the LogUserUser
+  mapping stream. Each signup's mapped user id embeds its event id
+  ('u<uid>.<eid>'), so the as-of join MUST pick the latest mapping at
+  or before the fact's timestamp — a wrong-version match changes the
+  bytes of every user-keyed redis key. Facts before the first mapping
+  are dropped (the reference's TemporalJoinFunction gets a null
+  leftOuterJoinFunction, CounterJob.java:927).
+- query = 'Q' || props.k, lowered before hashing — proving the
+  lowercase step; hex via Long.toHexString semantics.
+- the driver entry runs the HOUR and DAY window configs (the 7d/30d
+  configs multiply oracle row counts ~30x without exercising any new
+  code path; the full set stays the library default and is covered by
+  unit tests).
+
+Scale: one as-of shuffle for enrichment; per family x window one
+pre-tumbled sliding counter (map-side combined); Last* families one
+shuffle each; the union is written by foreachBatch — no collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmetrics_spark.functions.feature_ids import CountType, CountWindow
+from openmetrics_spark.functions.hashing_sql import query_hex_sql
+from openmetrics_spark.jobs.counter import (
+    DAY_MS,
+    FAMILIES,
+    HOUR_MS,
+    LAST_FAMILIES,
+    full_counter_commands,
+    query_hex_col,
+)
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import table
+
+# HOUR emitted each 15 m, DAY each 4 h (SlidingHourlyCounter.java:20-41,
+# SlidingDailyCounter.java:10-58)
+DRIVER_WINDOWS = (
+    (HOUR_MS, HOUR_MS // 4, CountWindow.HOUR, 4 * 3600),
+    (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400),
+)
+_90D_MS = 90 * 86400 * 1000
+
+_STANDARD_METRIC_VALUES = (32, 64, 128, 256, 96, 8160)
+
+
+def _flat_and_luu(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias("log_user_id"),
+        F.col("user_id").alias("__uid"),
+        "event_id",
+        "ts",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("int").alias("__k"),
+    )
+    flat = (
+        base.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "platform_id",
+            "log_user_id",
+            "ts",
+            F.when(F.col("__uid") % 3 == 0, "Linux")
+            .when(F.col("__uid") % 3 == 1, "iOS")
+            .otherwise("Windows")
+            .alias("os"),
+            F.when(F.col("__uid") % 2 == 0, "Chrome")
+            .otherwise("Mobile Safari")
+            .alias("user_agent_family"),
+            F.concat(F.lit("c"), (F.col("__k") % 10).cast("string")).alias(
+                "content_id"
+            ),
+            F.concat(F.lit("Q"), F.col("__k").cast("string")).alias("query_raw"),
+            F.when(F.col("event_type") == "view", 32)
+            .when(F.col("event_type") == "click", 64)
+            .otherwise(96)
+            .cast("long")
+            .alias("agg_metric"),
+        )
+        .withColumn("query_hex", query_hex_col(F.col("query_raw")))
+        .drop("query_raw")
+    )
+    # collapse same-millisecond mappings deterministically (max event
+    # id) so as-of tie-breaks are engine-independent
+    luu = (
+        base.filter(F.col("event_type") == "signup")
+        .groupBy(
+            "platform_id",
+            "log_user_id",
+            "__uid",
+            F.unix_millis("ts").alias("__ms"),
+        )
+        .agg(F.max("event_id").alias("__eid"))
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.concat(
+                F.lit("u"),
+                F.col("__uid").cast("string"),
+                F.lit("."),
+                F.col("__eid").cast("string"),
+            ).alias("user_id"),
+            F.timestamp_millis(F.col("__ms")).alias("ts"),
+        )
+    )
+    return flat, luu
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL generation
+# ---------------------------------------------------------------------------
+
+_J = "chr(31)"  # RedisSink.JOIN_CHAR \x1f
+_USER_T = "chr(29) || 'u'"  # Constants.java USER_TYPE
+_QUERY_T = "chr(29) || 'q'"
+
+
+def _sql_tuple(elems: list[str]) -> str:
+    return f" || {_J} || ".join(elems)
+
+
+def _sql_key(fam) -> str:
+    elems = [f"CAST({c} AS VARCHAR)" for c in fam.key_cols]
+    for pos, lit in sorted(fam.key_extras):
+        elems.insert(pos, _USER_T if lit.endswith("u") else _QUERY_T)
+    return _sql_tuple(elems)
+
+
+def _sliding_sql(fam, window_ms: int, slide_ms: int, window_enum, ttl_s: int) -> str:
+    k = window_ms // slide_ms
+    base_fid = int(fam.count_type) | int(window_enum)
+    fid = f"CAST({base_fid} + agg_metric AS VARCHAR)"
+    field = _sql_tuple([f"CAST({c} AS VARCHAR)" for c in fam.field_cols] + [fid])
+    cols = ", ".join([*fam.key_cols, *fam.field_cols, "agg_metric"])
+    return f"""
+SELECT CASE WHEN n != 0 THEN 'HSET' ELSE 'HDEL' END AS command,
+       {_sql_key(fam)} AS key,
+       {field} AS field,
+       CAST(CAST(n AS BIGINT) AS VARCHAR) AS value,
+       CAST({ttl_s} AS BIGINT) AS ttl_s,
+       emit_ms
+FROM (
+  SELECT {cols}, bucket_ms + i * {slide_ms} AS emit_ms, SUM(bn) AS n
+  FROM (
+    SELECT {cols}, (ms // {slide_ms}) * {slide_ms} AS bucket_ms, COUNT(*) AS bn
+    FROM flat GROUP BY ALL
+  ), generate_series(1, {k}) AS g(i)
+  GROUP BY ALL
+)"""
+
+
+def _last_sql(fam) -> str:
+    cols = ", ".join([*fam.key_cols, "agg_metric"])
+    ts_fid = int(fam.ts_fid_type) | int(CountWindow.NONE)
+    count_fid = int(fam.count_fid_type) | int(CountWindow.DAY_90)
+    agg = f"""
+  SELECT {cols}, MAX(ms) AS last_ms,
+         SUM(CASE WHEN ms > anchor - {_90D_MS} AND ms <= anchor THEN 1 ELSE 0 END) AS n
+  FROM (
+    SELECT {cols}, ms, MAX(ms) OVER (PARTITION BY {cols}) AS anchor FROM flat
+  ) GROUP BY {cols}"""
+    return f"""
+SELECT CASE WHEN n != 0 THEN 'HSET' ELSE 'HDEL' END AS command,
+       {_sql_key(fam)} AS key,
+       CAST({ts_fid} + agg_metric AS VARCHAR) AS field,
+       CAST(last_ms AS VARCHAR) AS value,
+       CAST({fam.ts_ttl_s} AS BIGINT) AS ttl_s,
+       last_ms AS emit_ms
+FROM ({agg})
+UNION ALL
+SELECT CASE WHEN n != 0 THEN 'HSET' ELSE 'HDEL' END AS command,
+       {_sql_key(fam)} AS key,
+       CAST({count_fid} + agg_metric AS VARCHAR) AS field,
+       CAST(CAST(n AS BIGINT) AS VARCHAR) AS value,
+       CAST({fam.count_ttl_s} AS BIGINT) AS ttl_s,
+       last_ms AS emit_ms
+FROM ({agg})"""
+
+
+def _metadata_sql() -> str:
+    metrics = "(VALUES " + ", ".join(f"({m})" for m in _STANDARD_METRIC_VALUES) + ") m(m)"
+    parts = []
+    for fam in FAMILIES:
+        windows = f"(VALUES ({int(CountWindow.HOUR)}), ({int(CountWindow.DAY)})) w(w)"
+        fid = f"{int(fam.count_type)} + m.m + w.w"
+        csv = (
+            f"(SELECT string_agg(CAST({fid} AS VARCHAR), ',' ORDER BY {fid}) "
+            f"FROM {metrics}, {windows})"
+        )
+        parts.append(
+            f"SELECT 'HSET' AS command, chr(29) || {_J} || 'row_format' AS key, "
+            f"'{fam.name}' AS field, '{fam.row_format}' AS value, "
+            f"CAST(-1 AS BIGINT) AS ttl_s, CAST(0 AS BIGINT) AS emit_ms"
+        )
+        parts.append(
+            f"SELECT 'HSET', chr(29) || {_J} || 'feature_ids', '{fam.name}', "
+            f"{csv}, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)"
+        )
+    for fam in LAST_FAMILIES:
+        c_fid = f"{int(fam.count_fid_type) | int(CountWindow.DAY_90)} + m.m"
+        t_fid = f"{int(fam.ts_fid_type) | int(CountWindow.NONE)} + m.m"
+        csv = (
+            f"(SELECT string_agg(CAST(f AS VARCHAR), ',' ORDER BY f) FROM ("
+            f"SELECT {c_fid} AS f FROM {metrics} "
+            f"UNION SELECT {t_fid} AS f FROM {metrics}))"
+        )
+        parts.append(
+            f"SELECT 'HSET', chr(29) || {_J} || 'row_format', "
+            f"'{fam.name}', 'fid:value', CAST(-1 AS BIGINT), CAST(0 AS BIGINT)"
+        )
+        parts.append(
+            f"SELECT 'HSET', chr(29) || {_J} || 'feature_ids', '{fam.name}', "
+            f"{csv}, CAST(-1 AS BIGINT), CAST(0 AS BIGINT)"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+def _counter_oracle() -> str:
+    fl1 = """
+SELECT f.*, l.user_id
+FROM fl0 f ASOF JOIN luu l
+  ON f.platform_id = l.platform_id
+ AND f.log_user_id = l.log_user_id
+ AND f.ms >= l.ms"""
+    flat = query_hex_sql(fl1, s="__q", out="query_hex")
+    streams = []
+    for fam in FAMILIES:
+        for window_ms, slide_ms, window_enum, ttl_s in DRIVER_WINDOWS:
+            streams.append(_sliding_sql(fam, window_ms, slide_ms, window_enum, ttl_s))
+    for lfam in LAST_FAMILIES:
+        streams.append(_last_sql(lfam))
+    streams.append(_metadata_sql())
+    body = "\nUNION ALL\n".join(streams)
+    return f"""
+WITH base AS (
+  SELECT user_id % 4 AS platform_id,
+         'lu' || CAST(user_id AS VARCHAR) AS log_user_id,
+         user_id AS uid, event_id, epoch_ms(ts) AS ms, event_type,
+         CAST(json_extract(props, '$.k') AS INT) AS k
+  FROM events
+),
+luu AS (
+  SELECT platform_id, log_user_id,
+         'u' || CAST(uid AS VARCHAR) || '.' || CAST(MAX(event_id) AS VARCHAR) AS user_id,
+         ms
+  FROM base WHERE event_type = 'signup'
+  GROUP BY platform_id, log_user_id, uid, ms
+),
+fl0 AS (
+  SELECT platform_id, log_user_id, ms,
+         CASE uid % 3 WHEN 0 THEN 'Linux' WHEN 1 THEN 'iOS' ELSE 'Windows' END AS os,
+         CASE uid % 2 WHEN 0 THEN 'Chrome' ELSE 'Mobile Safari' END AS user_agent_family,
+         'c' || CAST(k % 10 AS VARCHAR) AS content_id,
+         lower('Q' || CAST(k AS VARCHAR)) AS __q,
+         CAST(CASE event_type WHEN 'view' THEN 32 WHEN 'click' THEN 64 ELSE 96 END AS BIGINT) AS agg_metric
+  FROM base WHERE event_type IN ('view', 'click', 'purchase')
+),
+flat AS (
+  SELECT * FROM {flat}
+)
+{body}
+"""
+
+
+@register("counter_commands_full", oracle=_counter_oracle(), tags=("counter",))
+def counter_commands_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The counter job end-to-end: LogUserUser temporal enrichment →
+    6 sliding families × (HOUR, DAY) + 4 Last* families + metadata,
+    as one (command, key, field, value, ttl_s, emit_ms) stream."""
+    flat, luu = _flat_and_luu(spark, sf_dir)
+    return full_counter_commands(
+        flat,
+        log_user_user=luu,
+        window_configs=DRIVER_WINDOWS,
+        last_horizon_ms=_90D_MS,
+    )

@@ -195,3 +195,101 @@ def test_ua_families(spark):
     assert (got[0].os, got[0].fam) == ("Linux", "Chrome")
     assert (got[1].os, got[1].fam) == ("iOS", "Mobile Safari")
     assert got[2].fam == "Googlebot"
+
+
+def test_last_family_key_encodings(spark, flat_events):
+    """Pin the Last* redis key layouts (CounterKeys.java:260-372):
+    content families (pid, \\x1du, user, content); query families
+    (pid, \\x1du, user, \\x1dq, query_hex) — the reference builds BOTH
+    query keys from the USER id (CounterKeys.java:355-361)."""
+    from openmetrics_spark.jobs.counter import LAST_FAMILIES, last_commands
+
+    by_name = {f.name: f for f in LAST_FAMILIES}
+    keys = {
+        name: {
+            r.key
+            for r in last_commands(flat_events, fam).select("key").distinct().collect()
+        }
+        for name, fam in by_name.items()
+    }
+    assert "1\x1f\x1du\x1fu0\x1fc0" in keys["last-time-user-event"]
+    assert "1\x1f\x1du\x1flu0\x1fc0" in keys["last-time-log-user-event"]
+    assert "1\x1f\x1du\x1fu0\x1f\x1dq\x1f0" in keys["last-time-user-query"]
+    assert "1\x1f\x1du\x1fu0\x1f\x1dq\x1f0" in keys["last-time-log-user-query"]
+
+
+def test_last_family_fields_and_values(spark, flat_events):
+    """Each Last* key carries a timestamp field (fid *_HOURS_AGO |
+    metric | NONE, value = last event ms) and a count field (fid
+    *_COUNT | metric | DAY_90, value = trailing-90d count)."""
+    from openmetrics_spark.jobs.counter import LAST_FAMILIES, last_commands
+
+    fam = LAST_FAMILIES[0]  # last-time-user-event
+    rows = last_commands(flat_events, fam).filter(
+        F.col("key") == "1\x1f\x1du\x1fu0\x1fc0"
+    ).collect()
+    fields = {int(r.field): r for r in rows}
+    ts_fid = feature_id(
+        CountType.USER_ITEM_HOURS_AGO, AggMetric.COUNT_IMPRESSION, CountWindow.NONE
+    )
+    cnt_fid = feature_id(
+        CountType.USER_ITEM_COUNT, AggMetric.COUNT_IMPRESSION, CountWindow.DAY_90
+    )
+    assert ts_fid in fields and cnt_fid in fields
+    # timestamp value is the key's own last event ms; count ≥ 1
+    assert int(fields[ts_fid].value) == fields[ts_fid].emit_ms
+    assert int(fields[cnt_fid].value) >= 1
+    assert fields[cnt_fid].ttl_s == 90 * 86400
+
+
+def test_enrich_with_log_user_user_drops_unmapped(spark):
+    """Temporal enrichment is an inner as-of join: facts before the
+    first mapping are dropped (CounterJob.java:927 passes a null
+    leftOuterJoinFunction), and each fact takes the LATEST mapping at
+    or before its timestamp."""
+    from openmetrics_spark.jobs.counter import enrich_with_log_user_user
+
+    facts = spark.createDataFrame(
+        [(1, "lu1", 1000), (1, "lu1", 5000), (1, "lu1", 9000), (1, "lu2", 5000)],
+        "platform_id LONG, log_user_id STRING, ms LONG",
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    luu = spark.createDataFrame(
+        [(1, "lu1", "uA", 2000), (1, "lu1", "uB", 6000)],
+        "platform_id LONG, log_user_id STRING, user_id STRING, ms LONG",
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    got = {
+        (r.log_user_id, r.ms): r.user_id
+        for r in enrich_with_log_user_user(facts, luu).collect()
+    }
+    assert got == {("lu1", 5000): "uA", ("lu1", 9000): "uB"}
+
+
+def test_query_hex_col_lowercases_and_hexes(spark):
+    from openmetrics_spark.functions.hashing import xxhash64_str
+    from openmetrics_spark.jobs.counter import query_hex_col
+
+    df = spark.createDataFrame([("Q7",), ("HeLLo",)], "q STRING")
+    got = dict(
+        df.select("q", query_hex_col(F.col("q")).alias("hx")).collect()
+    )
+    assert got["Q7"] == format(xxhash64_str("q7"), "x")
+    assert got["HeLLo"] == format(xxhash64_str("hello"), "x")
+
+
+def test_metadata_includes_last_families(spark):
+    from openmetrics_spark.jobs.counter import LAST_FAMILIES, metadata_commands
+
+    md = metadata_commands(spark, last_families=LAST_FAMILIES)
+    rows = {(r.key, r.field): r.value for r in md.collect()}
+    assert rows[("\x1d\x1frow_format", "last-time-user-query")] == "fid:value"
+    fids = rows[("\x1d\x1ffeature_ids", "last-time-user-event")].split(",")
+    assert str(
+        feature_id(
+            CountType.USER_ITEM_COUNT, AggMetric.COUNT_IMPRESSION, CountWindow.DAY_90
+        )
+    ) in fids
+    assert str(
+        feature_id(
+            CountType.USER_ITEM_HOURS_AGO, AggMetric.COUNT_IMPRESSION, CountWindow.NONE
+        )
+    ) in fids

@@ -81,27 +81,124 @@ def multimodal_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_av_features", tags=("llm", "multimodal"))
+_A_MAX = 1024  # PCM samples per document
+_V_FRAMES = 8  # 8 frames of 8x8 grayscale = 512 bytes per document
+_V_SIDE = 8
+_PCM_BIAS = 96  # sample = (byte - 96) * 256: ASCII corpus (32..126)
+#                 straddles 96, so the sign alternates and
+#                 zero-crossing counts are non-vacuous
+
+
+def av_media_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents.text → RAWA audio + RAWV video, deterministically:
+
+    - audio: first 1024 bytes as int16 PCM, sample = (byte - 96) * 256
+      (NOT zero-padded — the sample count is the text length, capped);
+    - video: first 512 bytes as 8 frames of 8x8 grayscale pixels,
+      zero-padded (short docs produce all-zero tail frames).
+
+    The same stand-in-for-decode trick as ``media_from_documents``:
+    the bytes are ASCII, so SQL can reconstruct every sample/pixel
+    with ord(), giving the A/V mapInPandas path a value-level oracle.
+    """
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = np.frombuffer(
+                    text.encode("utf-8")[:_A_MAX], dtype=np.uint8
+                ).astype(np.int32)
+                pcm = ((b - _PCM_BIAS) * 256).astype(np.int16)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "audio",
+                        bytearray(codecs.encode_audio(pcm, 16000)),
+                        (None, None, None, 16000, len(pcm), None, "rawa"),
+                    )
+                )
+                vb = np.zeros(_V_FRAMES * _V_SIDE * _V_SIDE, dtype=np.uint8)
+                vsrc = text.encode("utf-8")[: len(vb)]
+                vb[: len(vsrc)] = np.frombuffer(vsrc, dtype=np.uint8)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "video",
+                        bytearray(
+                            codecs.encode_video(
+                                vb.reshape(_V_FRAMES, _V_SIDE, _V_SIDE)
+                            )
+                        ),
+                        (_V_SIDE, _V_SIDE, 1, None, None, _V_FRAMES, "rawv"),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "data", "metadata"])
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(encode, ops.MEDIA_SCHEMA)
+
+
+_FRAME_PX = _V_SIDE * _V_SIDE
+
+_AV_ORACLE = f"""
+WITH b AS (
+  SELECT doc_id,
+         list_transform(split(text[1:{_A_MAX}], ''), x -> ord(x)) AS p,
+         least(length(text), {_A_MAX}) AS n
+  FROM documents
+),
+audio AS (
+  SELECT doc_id, 'audio' AS kind,
+         round(sqrt(
+           list_sum(list_transform(p, x -> ((x - {_PCM_BIAS}.0) * 256) ^ 2)) / n
+         ), 6) AS metric_a,
+         CAST(len(list_filter(range(1, n),
+                  i -> (p[i] - {_PCM_BIAS}) * (p[i + 1] - {_PCM_BIAS}) < 0))
+              AS DOUBLE) AS metric_b
+  FROM b WHERE n > 0
+),
+video AS (
+  SELECT doc_id, 'video' AS kind,
+         CAST(f AS DOUBLE) AS metric_a,
+         round(list_sum(list_transform(range(1, {_FRAME_PX} + 1),
+                  i -> CASE WHEN f * {_FRAME_PX} + i <= n
+                            THEN p[f * {_FRAME_PX} + i] ELSE 0 END))
+               / {_FRAME_PX}.0, 6) AS metric_b
+  FROM b, (VALUES (0), (2), (4), (6)) s(f)
+)
+SELECT * FROM audio UNION ALL SELECT * FROM video
+"""
+
+
+@register("multimodal_av_features", oracle=_AV_ORACLE, tags=("llm", "multimodal"))
 def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio RMS/zero-crossing features + video frame-sampling counts
-    over deterministic synthetic media — rows-only check (no SQL
-    oracle can demux the binary container; the codec itself is
-    covered by tests/test_multimodal.py)."""
-    audio = ops.audio_features(ops.synthetic_media(spark, 64, "audio")).select(
-        "media_id",
+    """Audio RMS + zero-crossings and sampled-frame mean pixels over
+    document-derived media. The binary containers are decoded in
+    Arrow-batched mapInPandas; the SQL oracle reconstructs every PCM
+    sample and pixel from the source bytes (ASCII: byte == ord), so
+    the whole decode → feature path is value-checked. Sums are exact
+    (integer-valued doubles < 2^53), so rounding is engine-stable."""
+    media = av_media_from_documents(spark, sf_dir)
+    audio = ops.audio_features(
+        media.filter(F.col("kind") == "audio")
+    ).select(
+        F.col("media_id").alias("doc_id"),
         F.lit("audio").alias("kind"),
         F.round("rms", 6).alias("metric_a"),
         F.col("zero_crossings").cast("double").alias("metric_b"),
     )
-    frames = (
-        ops.frame_sample(ops.synthetic_media(spark, 64, "video"), every_n=2)
-        .groupBy("media_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "media_id",
-            F.lit("video").alias("kind"),
-            F.col("n").cast("double").alias("metric_a"),
-            F.lit(0.0).alias("metric_b"),
-        )
+    # pack (doc, frame) into the decode id, then split it back out
+    frames = ops.frame_sample(
+        media.filter(F.col("kind") == "video"), every_n=2
+    ).select(
+        (F.col("media_id") * _V_FRAMES + F.col("frame_index")).alias("media_id"),
+        F.col("frame").alias("data"),
     )
-    return audio.unionByName(frames)
+    video = ops.decode_stats(frames).select(
+        (F.col("media_id") / _V_FRAMES).cast("long").alias("doc_id"),
+        F.lit("video").alias("kind"),
+        (F.col("media_id") % _V_FRAMES).cast("double").alias("metric_a"),
+        F.round("mean_px", 6).alias("metric_b"),
+    )
+    return audio.unionByName(video)

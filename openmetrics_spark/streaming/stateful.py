@@ -130,6 +130,9 @@ def stream_inferred_join(
     window_after_ms: int = 0,
     delay_ms: int = 1000,
     right_outer: bool = True,
+    scopes: tuple[tuple[str, ...], ...] | None = None,
+    fk_col: str | None = None,
+    content_col: str | None = None,
 ) -> DataFrame:
     """Streaming inferred-reference join — the transformWithState twin
     of ``operators.joins.inferred_join`` and the Spark port of the
@@ -159,10 +162,47 @@ def stream_inferred_join(
     had passed; the reference side-outputs these as LATE_EVENTS_TAG →
     etl_side/late_* rather than mis-joining them against evicted
     state). Filter ``late`` into a late_* side table.
+
+    Two scope models, mirroring the batch operator exactly:
+
+    - ``scope_cols`` (default): prefix walk — full prefix, each
+      shorter prefix, then the bare user key, nearest-in-time.
+    - ``scopes`` + ``fk_col`` + ``content_col``: the batch
+      ``inferred_join`` model — right rows with a set ``fk_col`` first
+      try the explicit-id join (left's own ``fk_col`` value equals it;
+      NO time window, earliest left wins, like the batch FK path),
+      falling through on a miss to the ordered ``scopes`` list (each
+      an independent key tuple, nearest-in-time within the window,
+      with the batch's content-filter semantics when ``content_col``
+      is set: a right row carrying a content id only accepts
+      candidates with the same one). An empty tuple scope is the
+      bare-user fallback.
     """
     import pandas as pd  # noqa: F401
 
-    n_sc = len(scope_cols)
+    if scopes is None:
+        # prefix-walk compatibility: (c1..cn), (c1..cn-1), …, ()
+        all_cols = tuple(scope_cols)
+        walk = [tuple(scope_cols[:i]) for i in range(len(scope_cols), -1, -1)]
+        fk_c = None
+        content_c = None
+    else:
+        seen: dict[str, None] = {}
+        for c in (
+            *((fk_col,) if fk_col else ()),
+            *(c for s in scopes for c in s),
+            *((content_col,) if content_col else ()),
+        ):
+            seen.setdefault(c)
+        all_cols = tuple(seen)
+        walk = [tuple(s) for s in scopes]
+        fk_c = fk_col
+        content_c = content_col
+    idx = {c: i for i, c in enumerate(all_cols)}
+    walk_idx = [[idx[c] for c in s] for s in walk]
+    fk_i = idx[fk_c] if fk_c is not None else None
+    content_i = idx[content_c] if content_c is not None else None
+    n_sc = len(all_cols)
     user_type = left_sdf.schema[user_col].dataType
     before, after = window_before_ms, window_after_ms
 
@@ -171,7 +211,7 @@ def stream_inferred_join(
             F.col(user_col).alias("u"),
             *[
                 F.col(c).cast("string").alias(f"s{i}")
-                for i, c in enumerate(scope_cols)
+                for i, c in enumerate(all_cols)
             ],
             F.col(id_col).cast("long").alias("rid"),
             F.unix_millis(ts_col).alias("ms"),
@@ -237,20 +277,46 @@ def stream_inferred_join(
         ready = sorted(c for c in pending if c[0] + after < wm)
         pending = [c for c in pending if c[0] + after >= wm]
         out = list(late_out)
+
+        # tie-break must mirror the batch operator bit-for-bit: batch
+        # nearest_join breaks (|Δt|, left_ms) ties on the payload
+        # struct, whose first field is the left's pk STRING. In scopes
+        # mode that string rides in the fk slot of the scope values;
+        # hashed ids do NOT sort like the strings they hash.
+        def okey(v):
+            if fk_i is not None:
+                return v[2][fk_i] or ""
+            return v[1]
+
         for cms, cid, csc in ready:
             best = None
-            for plen in range(n_sc, -1, -1):
-                need = csc[:plen]
-                if any(v is None or v == "" for v in need):
-                    continue
-                cands = [
-                    v
-                    for v in views
-                    if cms - before <= v[0] <= cms + after and v[2][:plen] == need
-                ]
+            # explicit-FK path: no window, earliest left (batch
+            # inferred_join's fk join); a miss falls through to scopes
+            if fk_i is not None and csc[fk_i] is not None:
+                cands = [v for v in views if v[2][fk_i] == csc[fk_i]]
                 if cands:
-                    best = min(cands, key=lambda v: (abs(v[0] - cms), v[0], v[1]))
-                    break
+                    best = min(cands, key=lambda v: (v[0], okey(v)))
+            if best is None:
+                rc = csc[content_i] if content_i is not None else None
+                for s in walk_idx:
+                    if any(csc[i] is None or csc[i] == "" for i in s):
+                        continue
+                    cands = [
+                        v
+                        for v in views
+                        if cms - before <= v[0] <= cms + after
+                        and all(v[2][i] == csc[i] for i in s)
+                        and (
+                            rc is None
+                            or rc == ""
+                            or v[2][content_i] == rc
+                        )
+                    ]
+                    if cands:
+                        best = min(
+                            cands, key=lambda v: (abs(v[0] - cms), v[0], okey(v))
+                        )
+                        break
             if best is not None:
                 out.append((cid, key[0], cms, best[1], best[0], False))
             elif right_outer:
@@ -264,11 +330,20 @@ def stream_inferred_join(
         else:
             state.remove()
         if out:
+            # build id/ms columns as nullable Int64 DIRECTLY: a plain
+            # DataFrame constructor coerces a mixed int/None column to
+            # float64, which silently rounds 64-bit ids above 2^53
+            # (xxhash64 ids in the assembled job lost their low bits)
+            cols = list(zip(*out))
             yield pd.DataFrame(
-                out,
-                columns=[
-                    "right_id", "u", "right_ms", "left_id", "left_ms", "late",
-                ],
+                {
+                    "right_id": pd.array(cols[0], dtype="Int64"),
+                    "u": list(cols[1]),
+                    "right_ms": pd.array(cols[2], dtype="Int64"),
+                    "left_id": pd.array(cols[3], dtype="Int64"),
+                    "left_ms": pd.array(cols[4], dtype="Int64"),
+                    "late": list(cols[5]),
+                }
             )
 
     return unioned.groupBy("u").applyInPandasWithState(

@@ -36,6 +36,8 @@ QUERIES = ["shoes", "red dress", "laptop", "coffee", "garden hose", None]
 @dataclass
 class FixtureOptions:
     users: int = 10
+    auto_view_rate: float = 0.3
+    diagnostics_rate: float = 0.3
     sessions_per_user: int = 1
     views_per_session: int = 2
     requests_per_view: int = 2
@@ -65,6 +67,9 @@ class FixtureOptions:
 class Fixtures:
     user: list[dict] = field(default_factory=list)
     view: list[dict] = field(default_factory=list)
+    auto_view: list[dict] = field(default_factory=list)
+    cohort_membership: list[dict] = field(default_factory=list)
+    diagnostics: list[dict] = field(default_factory=list)
     delivery_log: list[dict] = field(default_factory=list)
     impression: list[dict] = field(default_factory=list)
     action: list[dict] = field(default_factory=list)
@@ -75,6 +80,9 @@ class Fixtures:
         return {
             "user": self.user,
             "view": self.view,
+            "auto_view": self.auto_view,
+            "cohort_membership": self.cohort_membership,
+            "diagnostics": self.diagnostics,
             "delivery_log": self.delivery_log,
             "impression": self.impression,
             "action": self.action,
@@ -93,8 +101,12 @@ def _ts(base: int, rng: random.Random, opt: FixtureOptions) -> tuple[int, int]:
 def generate(opt: FixtureOptions | None = None) -> Fixtures:
     opt = opt or FixtureOptions()
     rng = random.Random(opt.seed)
+    # independent stream for the envelope-only types (auto_view,
+    # cohort_membership, diagnostics): keeps the core event graph
+    # byte-identical to pre-8-way-split fixtures for any seed
+    rng2 = random.Random(opt.seed + 1)
     fx = Fixtures()
-    counters = {k: 0 for k in "usvdria"}
+    counters = {k: 0 for k in "usvdriawm"}
 
     def nid(kind: str) -> str:
         counters[kind] += 1
@@ -137,6 +149,28 @@ def generate(opt: FixtureOptions | None = None) -> Fixtures:
                 "event_time_millis": log,
             }
         )
+        fx.cohort_membership.append(
+            {
+                "platform_id": opt.platform_id,
+                "membership_id": nid("m"),
+                "cohort_id": f"exp-{_u % 3}",
+                "arm": _u % 2 + 1,  # TREATMENT/CONTROL
+                "log_user_id": log_user_id,
+                "log_timestamp": log,
+                "event_api_timestamp": api,
+            }
+        )
+        if rng2.random() < opt.diagnostics_rate:
+            fx.diagnostics.append(
+                {
+                    "platform_id": opt.platform_id,
+                    "log_user_id": log_user_id,
+                    "device": rng2.choice(["ios", "android", "web"]),
+                    "diagnostics_json": '{"battery": %d}' % rng2.randint(1, 100),
+                    "log_timestamp": log + 5,
+                    "event_api_timestamp": api + 5,
+                }
+            )
         is_bot = rng.random() < opt.bot_rate
         ua = BOT_UA if is_bot else REAL_UA
 
@@ -160,6 +194,21 @@ def generate(opt: FixtureOptions | None = None) -> Fixtures:
                 fx.view.append(vrow)
                 if rng.random() < opt.duplicate_event_rate:
                     fx.view.append(dict(vrow, log_timestamp=log + 1))
+
+                if rng2.random() < opt.auto_view_rate:
+                    fx.auto_view.append(
+                        {
+                            "platform_id": opt.platform_id,
+                            "auto_view_id": nid("w"),
+                            "view_id": view_id,
+                            "session_id": session_id,
+                            "log_user_id": log_user_id,
+                            "name": f"auto-{view_id}",
+                            "content_id": rng2.choice(contents),
+                            "log_timestamp": log + 10,
+                            "event_api_timestamp": api + 10,
+                        }
+                    )
 
                 for _r in range(opt.requests_per_view):
                     request_id = nid("d")

@@ -40,6 +40,11 @@ from openmetrics_spark.sources.sinks import write_partitioned
 RAW_PK = {
     "user": ["platform_id", "log_user_id"],
     "view": ["platform_id", "view_id"],
+    "auto_view": ["platform_id", "auto_view_id"],
+    "cohort_membership": ["platform_id", "membership_id"],
+    # Diagnostics has no entity pk; archive-dedupe per
+    # (platform, log_user, timestamp) — exact-duplicate collapse only
+    "diagnostics": ["platform_id", "log_user_id", "log_timestamp"],
     "delivery_log": ["platform_id", "request_id"],
     "impression": ["platform_id", "impression_id"],
     "action": ["platform_id", "action_id"],

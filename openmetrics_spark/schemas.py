@@ -112,6 +112,50 @@ ACTION = T.StructType(
     ]
 )
 
+# AutoView: client-auto-logged views (scroll-into-viewport), same
+# join skeleton as View (reference: LogRequestFilter.java:80-86,
+# PushDownAndFlatMapAutoView.java; TinyFlatUtil.java:96,150 carries
+# auto_view_id through the joins)
+AUTO_VIEW = T.StructType(
+    [
+        T.StructField("platform_id", T.LongType(), False),
+        T.StructField("auto_view_id", T.StringType(), False),
+        T.StructField("view_id", T.StringType(), True),
+        T.StructField("session_id", T.StringType(), True),
+        T.StructField("log_user_id", T.StringType(), True),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("content_id", T.StringType(), True),
+        *_TS_FIELDS,
+    ]
+)
+
+# CohortMembership: experiment arm assignment (reference:
+# LogRequestFilter.java:73-79; keyed (platform, membership_id),
+# RawKeys.java:40-45)
+COHORT_MEMBERSHIP = T.StructType(
+    [
+        T.StructField("platform_id", T.LongType(), False),
+        T.StructField("membership_id", T.StringType(), False),
+        T.StructField("cohort_id", T.StringType(), True),
+        T.StructField("arm", T.IntegerType(), True),
+        T.StructField("log_user_id", T.StringType(), True),
+        *_TS_FIELDS,
+    ]
+)
+
+# Diagnostics: client-side health payloads; no entity pk — archived
+# per (platform, log_user, timestamp) (reference:
+# LogRequestFilter.java:113-119, PushDownAndFlatMapDiagnostics.java)
+DIAGNOSTICS = T.StructType(
+    [
+        T.StructField("platform_id", T.LongType(), False),
+        T.StructField("log_user_id", T.StringType(), True),
+        T.StructField("device", T.StringType(), True),
+        T.StructField("diagnostics_json", T.StringType(), True),
+        *_TS_FIELDS,
+    ]
+)
+
 CONTENT = T.StructType(
     [
         T.StructField("content_id", T.StringType(), False),
@@ -143,6 +187,9 @@ TRAFFIC_SHADOW = 4
 EVENT_SCHEMAS: dict[str, T.StructType] = {
     "user": USER,
     "view": VIEW,
+    "auto_view": AUTO_VIEW,
+    "cohort_membership": COHORT_MEMBERSHIP,
+    "diagnostics": DIAGNOSTICS,
     "delivery_log": DELIVERY_LOG,
     "impression": IMPRESSION,
     "action": ACTION,

@@ -15,6 +15,8 @@ watermark plumbing it feeds.
 from openmetrics_spark.sources.envelope import (
     LOG_REQUEST,
     assemble_log_requests,
+    decode_log_requests,
+    encode_log_requests,
     split_log_requests,
 )
 from openmetrics_spark.sources.sinks import (
@@ -27,6 +29,8 @@ from openmetrics_spark.sources.sinks import (
 __all__ = [
     "LOG_REQUEST",
     "assemble_log_requests",
+    "decode_log_requests",
+    "encode_log_requests",
     "split_log_requests",
     "kafka_sink_options",
     "with_dt_hour",

@@ -36,10 +36,25 @@ def _nullable(st: T.StructType) -> T.StructType:
     return fix(st)
 
 
-# the repeated child fields of a LogRequest (reference splits user,
+# the repeated child fields of a LogRequest — the full 8-way split
+# (reference: LogRequestFilter.java:35-120 side-outputs user,
 # cohort_membership, auto_view, view, delivery_log, impression,
-# action, diagnostics; the event graph here carries these five)
-CHILD_TYPES = ("user", "view", "delivery_log", "impression", "action")
+# action, diagnostics)
+CHILD_TYPES = (
+    "user",
+    "cohort_membership",
+    "auto_view",
+    "view",
+    "delivery_log",
+    "impression",
+    "action",
+    "diagnostics",
+)
+
+
+def _plural(name: str) -> str:
+    # proto repeated-field naming: getDiagnosticsList, not *ses
+    return name if name == "diagnostics" else f"{name}s"
 
 LOG_REQUEST = T.StructType(
     [
@@ -49,7 +64,7 @@ LOG_REQUEST = T.StructType(
         T.StructField("event_api_timestamp", T.LongType(), True),
         *[
             T.StructField(
-                f"{name}s", T.ArrayType(_nullable(EVENT_SCHEMAS[name])), True
+                _plural(name), T.ArrayType(_nullable(EVENT_SCHEMAS[name])), True
             )
             for name in CHILD_TYPES
         ],
@@ -72,7 +87,7 @@ def split_log_requests(envelopes: DataFrame) -> dict[str, DataFrame]:
         schema = EVENT_SCHEMAS[name]
         child = envelopes.select(
             *[F.col(c).alias(f"__env_{c}") for c in _PUSHDOWN],
-            F.explode(f"{name}s").alias("__c"),
+            F.explode(_plural(name)).alias("__c"),
         )
         cols = []
         for fld in schema.fields:
@@ -101,7 +116,7 @@ def assemble_log_requests(streams: dict[str, DataFrame]) -> DataFrame:
             "platform_id",
             "log_user_id",
             (F.col("event_api_timestamp") / 1000).cast("long").alias("__sec"),
-        ).agg(F.collect_list(F.struct(*df.columns)).alias(f"{name}s"))
+        ).agg(F.collect_list(F.struct(*df.columns)).alias(_plural(name)))
         bundles.append(b)
     env = bundles[0]
     for b in bundles[1:]:
@@ -110,9 +125,35 @@ def assemble_log_requests(streams: dict[str, DataFrame]) -> DataFrame:
         "log_timestamp", F.col("__sec") * 1000
     )
     for name in CHILD_TYPES:
-        col = f"{name}s"
+        col = _plural(name)
         if col not in env.columns:
             env = env.withColumn(
                 col, F.lit(None).cast(T.ArrayType(_nullable(EVENT_SCHEMAS[name])))
             )
     return env.drop("__sec")
+
+
+def encode_log_requests(envelopes: DataFrame) -> DataFrame:
+    """LogRequest envelopes → Kafka wire records: ``key`` =
+    platform_id \\x1f log_user_id (the reference partitions the
+    tracking.event.log-request topic by logUserId so one consumer sees
+    a user's events in order), ``value`` = the envelope as one JSON
+    document. JVM-side ``to_json`` — no Python in the hot path.
+    Writable via ``spark.writeStream.format("kafka")`` with the option
+    builders in ``streaming.core``."""
+    return envelopes.select(
+        F.concat_ws(
+            "\x1f", F.col("platform_id").cast("string"), F.col("log_user_id")
+        ).alias("key"),
+        F.to_json(F.struct(*envelopes.columns)).alias("value"),
+    )
+
+
+def decode_log_requests(records: DataFrame) -> DataFrame:
+    """Kafka wire records → LogRequest envelopes: ``from_json`` against
+    the LOG_REQUEST schema (the shape ``kafka_source_options`` readers
+    assume). Malformed payloads decode to all-null rows (PERMISSIVE),
+    which validation downstream drops."""
+    return records.select(
+        F.from_json(F.col("value").cast("string"), LOG_REQUEST).alias("__r")
+    ).select("__r.*")

@@ -25,13 +25,30 @@ def fx_tables(spark):
     return to_spark(spark, fx)
 
 
+from openmetrics_spark.sources.envelope import CHILD_TYPES
+
+
 @pytest.fixture(scope="module")
 def event_streams(fx_tables):
-    return {
-        k: v
-        for k, v in fx_tables.items()
-        if k in ("user", "view", "delivery_log", "impression", "action")
+    return {k: v for k, v in fx_tables.items() if k in CHILD_TYPES}
+
+
+def test_split_covers_all_eight_types(fx_tables, event_streams):
+    """The envelope split covers the reference's full 8-way fan-out
+    (LogRequestFilter.java:35-120) and the fixture graph populates
+    every one of them."""
+    assert set(CHILD_TYPES) == {
+        "user",
+        "cohort_membership",
+        "auto_view",
+        "view",
+        "delivery_log",
+        "impression",
+        "action",
+        "diagnostics",
     }
+    for name in CHILD_TYPES:
+        assert event_streams[name].count() > 0, name
 
 
 def test_envelope_split_roundtrip(spark, event_streams):
@@ -149,3 +166,32 @@ def test_log_user_user_extraction(spark, event_streams):
         == 0
     )
     assert luu.filter(F.col("user_id").isNull() | (F.col("user_id") == "")).count() == 0
+
+
+def test_kafka_envelope_codec_roundtrip(spark, event_streams):
+    """Pin the Kafka wire shape the option builders assume
+    (streaming/core.py kafka_source_options → from_json): envelopes →
+    (key, value JSON) → envelopes → split must return the original
+    typed rows, and the record key must be the topic partitioning key
+    (platform \\x1f log_user_id, the reference's logUserId keying)."""
+    from openmetrics_spark.sources import (
+        assemble_log_requests,
+        decode_log_requests,
+        encode_log_requests,
+        split_log_requests,
+    )
+
+    env = assemble_log_requests(event_streams)
+    wire = encode_log_requests(env)
+    assert set(wire.columns) == {"key", "value"}
+    k = wire.select("key").first().key
+    assert "\x1f" in k
+    back = split_log_requests(decode_log_requests(wire))
+    for name, df in event_streams.items():
+        pk = [c for c in df.columns if c.endswith("_id")]
+        a = {tuple(r) for r in df.select(*pk).collect()}
+        b = {tuple(r) for r in back[name].select(*pk).collect()}
+        assert a == b, name
+    # malformed payloads decode to null rows, not errors
+    bad = spark.createDataFrame([("k", b"not json")], "key STRING, value BINARY")
+    assert decode_log_requests(bad).first().platform_id is None

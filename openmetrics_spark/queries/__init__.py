@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events_q,
         media_q,
         tpch,
+        upsert_q,
     )
 
     return REGISTRY

@@ -1,0 +1,102 @@
+"""Upsert-sink correctness query: apply two overlapping batches to a
+PK-upsert table and read the table back — the driver's DuckDB oracle
+reconstructs Hudi COW last-write-wins semantics in SQL (reference:
+common/job/hudi/HudiOutput.java:63-485; sink at
+openmetrics_spark/sources/upsert.py).
+
+Semantics under test (exactly the sink's contract):
+- last-write-wins per (pk, dt, hour) by the precombine column, with
+  ties going to the LATER batch (idempotent replay);
+- partition-scoped matching: the same pk in a different dt/hour
+  partition inserts rather than migrates;
+- batches dedupe internally to the max-precombine row first.
+
+Input rows are pre-collapsed to one per (pk, ms) so every ordering the
+sink relies on is total — the oracle reproduces each step closed-form.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmetrics_spark.queries import register
+from openmetrics_spark.sources.upsert import UpsertTable
+from openmetrics_spark.tables import table
+
+_UPSERT_ORACLE = """
+WITH dedup AS (
+  SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
+         MAX(event_id) AS event_id
+  FROM events
+  WHERE ts < TIMESTAMP '2024-01-04 00:00:00'
+  GROUP BY user_id, event_type, epoch_ms(ts)
+),
+parts AS (
+  SELECT *, CAST(epoch_ms(ts_ms) AS DATE) AS dt,
+         CAST(EXTRACT(hour FROM epoch_ms(ts_ms)) AS INT) AS hour
+  FROM dedup
+),
+w1 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, dt, hour ORDER BY ts_ms DESC
+    ) AS rn
+    FROM parts WHERE event_id % 3 != 0
+  ) WHERE rn = 1
+),
+w2 AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY user_id, event_type, dt, hour ORDER BY ts_ms DESC
+    ) AS rn
+    FROM parts WHERE event_id % 2 = 0
+  ) WHERE rn = 1
+)
+SELECT COALESCE(w2.user_id, w1.user_id) AS user_id,
+       COALESCE(w2.event_type, w1.event_type) AS event_type,
+       COALESCE(w2.dt, w1.dt) AS dt,
+       COALESCE(w2.hour, w1.hour) AS hour,
+       CASE WHEN w2.ts_ms IS NOT NULL
+                 AND (w1.ts_ms IS NULL OR w2.ts_ms >= w1.ts_ms)
+            THEN w2.ts_ms ELSE w1.ts_ms END AS ts_ms,
+       CASE WHEN w2.ts_ms IS NOT NULL
+                 AND (w1.ts_ms IS NULL OR w2.ts_ms >= w1.ts_ms)
+            THEN w2.event_id ELSE w1.event_id END AS event_id
+FROM w1 FULL OUTER JOIN w2
+  ON w1.user_id = w2.user_id AND w1.event_type = w2.event_type
+ AND w1.dt = w2.dt AND w1.hour = w2.hour
+"""
+
+
+@register("upsert_two_batches", oracle=_UPSERT_ORACLE, tags=("sink",))
+def upsert_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two overlapping event batches through the COW upsert sink; the
+    read-back table must equal the closed-form last-write-wins state."""
+    ev = table(spark, sf_dir, "events").filter(
+        # first 3 days only: bounds the upsert to ~72 dt/hour
+        # partitions (the sink's unit of rewrite)
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    dedup = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_id",
+        )
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    b1 = dedup.filter(F.col("event_id") % 3 != 0)
+    b2 = dedup.filter(F.col("event_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="upsert_q_") + "/t"
+    t = UpsertTable(path, ["user_id", "event_type"], "ts_ms")
+    t.upsert(b1)
+    t.upsert(b2)
+    return t.read(spark).select(
+        "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
+        "ts_ms", "event_id",
+    )

@@ -33,7 +33,6 @@ remains the tested fallback.
 
 from __future__ import annotations
 
-import os
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -86,9 +85,14 @@ class UpsertTable:
         )
 
     def exists(self, spark: SparkSession) -> bool:
-        # local/posix path check is enough for this sandbox; an
-        # object-store deployment would check the Delta/Hudi log
-        return os.path.isdir(self.path) and bool(os.listdir(self.path))
+        """Table presence via Spark's Hadoop FileSystem API — resolves
+        whatever scheme ``path`` carries (s3a://, hdfs://, file:/...),
+        so the same check works against an object store. (A Delta/Hudi
+        deployment would consult the table log instead.)"""
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(self.path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
 
     def read(self, spark: SparkSession) -> DataFrame:
         return spark.read.parquet(self.path)
@@ -125,11 +129,19 @@ class UpsertTable:
             (r["dt"], r["hour"])
             for r in prepared.select("dt", "hour").distinct().collect()
         ]
-        part_filter = None
-        for dt, hour in parts:
-            clause = (F.col("dt") == dt) & (F.col("hour") == hour)
-            part_filter = clause if part_filter is None else (part_filter | clause)
-        existing = self.read(spark).filter(part_filter)
+        # IN-list predicates, not an OR-chain: a wide backfill batch can
+        # touch thousands of partitions and a thousand-deep boolean tree
+        # overflows the analyzer stack. Pruning runs on the per-column
+        # IN lists (plain partition-column predicates); the exact
+        # (dt, hour) pair filter rides along as a residual to trim the
+        # cross product the per-column lists admit.
+        prune = F.col("dt").isin([d for d, _ in parts]) & F.col("hour").isin(
+            [h for _, h in parts]
+        )
+        exact = F.concat_ws(
+            "/", F.col("dt").cast("string"), F.col("hour").cast("string")
+        ).isin([f"{d}/{h}" for d, h in parts])
+        existing = self.read(spark).filter(prune & exact)
         # keep existing rows whose key is absent from the batch OR
         # whose precombine beats the batch row (ties -> incoming wins)
         incoming_keys = prepared.select(

@@ -441,6 +441,72 @@ def metadata_commands(
     )
 
 
+def backfill_gate(
+    cmds: DataFrame,
+    output_start_ms: int,
+    output_stop_ms: int = -1,
+    buffer_ms: int = 0,
+    buffer_until_ms: int | None = None,
+    emit_col: str = "emit_ms",
+) -> DataFrame:
+    """Backfill output gating (CounterJob.java:501-583):
+
+    - with ``buffer_ms > 0`` (backfill spreading), commands emitted
+      before ``buffer_until_ms`` — the reference compares against the
+      job-launch wall clock (:501 ``startTimeMillis``), defaulted here
+      the same way — collapse per (key, field) to the LATEST one,
+      re-stamped to the next ``buffer_ms`` boundary: the batch closed
+      form of the cached-command KeyedProcessFunction (a later live
+      command drops the cache, so only keys with no live write flush a
+      buffered value);
+    - then the start/stop window filter on ``output_start_ms`` /
+      ``output_stop_ms`` (CounterJob.java:569-583; stop < 0 means
+      unbounded). For backfills the reference sets start to 0 so the
+      buffered state evolution still lands; steady-state jobs set
+      start to the checkpoint timestamp and buffer to 0.
+    """
+    import time as _time
+
+    stop = output_stop_ms if output_stop_ms >= 0 else (1 << 62)
+    if buffer_ms > 0:
+        until = (
+            int(_time.time() * 1000) if buffer_until_ms is None else buffer_until_ms
+        )
+        pre = cmds.filter(F.col(emit_col) < until)
+        post = cmds.filter(F.col(emit_col) >= until)
+        latest = pre.groupBy("key", "field").agg(
+            F.max_by(
+                F.struct(*[c for c in cmds.columns if c not in ("key", "field")]),
+                F.struct(F.col(emit_col), F.col("value")),
+            ).alias("__c")
+        )
+        flushed = latest.join(
+            post.select("key", "field").distinct(), ["key", "field"], "left_anti"
+        ).select(
+            "key",
+            "field",
+            *[F.col(f"__c.{c}").alias(c) for c in cmds.columns if c not in ("key", "field")],
+        ).withColumn(
+            emit_col,
+            (F.floor(F.col(emit_col) / buffer_ms) + 1) * buffer_ms,
+        )
+        cmds = post.unionByName(flushed.select(*cmds.columns))
+    return cmds.filter(
+        (F.col(emit_col) >= output_start_ms) & (F.col(emit_col) <= stop)
+    )
+
+
+def wipe_command(spark) -> DataFrame:
+    """The --wipe backfill preamble: flush the feature store before
+    writing (CounterJob.java:238-243, prepareSink :589-593 — ONLY for
+    backfills). Union this ahead of the command stream; the writer
+    executes FLUSHALL before any HSET."""
+    return spark.createDataFrame(
+        [("FLUSHALL", "", "", "", -1, 0)],
+        "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG",
+    )
+
+
 def redis_writer(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cover
     """foreachBatch writer: pipeline HSET/HDEL/EXPIRE to redis —
     idempotent (last-write-wins) so at-least-once replays are safe
@@ -460,7 +526,9 @@ def redis_writer(batch_df: DataFrame, batch_id: int) -> None:  # pragma: no cove
         pipe = r.pipeline(transaction=False)
         n = 0
         for row in rows:
-            if row.command == "HSET":
+            if row.command == "FLUSHALL":
+                pipe.flushall()
+            elif row.command == "HSET":
                 pipe.hset(row.key, row.field, row.value)
                 if row.ttl_s and row.ttl_s > 0:
                     pipe.expire(row.key, row.ttl_s)

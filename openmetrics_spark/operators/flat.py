@@ -330,15 +330,40 @@ def flat_response_insertions(
 
 
 def clear_user_id(df: DataFrame) -> DataFrame:
-    """PII strip: drop/null authenticated user ids anywhere in the
-    schema before any sink (reference: UserInfoUtil.clearUserId,
+    """PII strip: null the authenticated user id at EVERY nesting
+    depth — top-level columns, struct fields, and structs inside
+    arrays — before any sink. The reference recurses through each
+    nested message the same way (UserInfoUtil.clearUserId walks
+    ids/user/session/view/request/impression/action builders,
     common/functions/UserInfoUtil.java:24-218; applied
     FlatOutputJob.java:1181-1188)."""
-    out = df
+    from pyspark.sql import types as T
+
+    def strip(col: F.Column, dt) -> F.Column:
+        if isinstance(dt, T.StructType):
+            return F.struct(
+                *[
+                    (
+                        F.lit(None).cast(f.dataType)
+                        if f.name == "user_id"
+                        else strip(col[f.name], f.dataType)
+                    ).alias(f.name)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return F.transform(col, lambda x: strip(x, dt.elementType))
+        return col
+
+    cols = []
     for f in df.schema.fields:
         if f.name == "user_id":
-            out = out.withColumn("user_id", F.lit(None).cast(f.dataType))
-    return out
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif isinstance(f.dataType, (T.StructType, T.ArrayType)):
+            cols.append(strip(F.col(f.name), f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
 
 
 def restructure_delivery_log(dl: DataFrame) -> DataFrame:

@@ -293,3 +293,73 @@ def test_metadata_includes_last_families(spark):
             CountType.USER_ITEM_HOURS_AGO, AggMetric.COUNT_IMPRESSION, CountWindow.NONE
         )
     ) in fids
+
+
+def test_backfill_gate_start_stop_window(spark):
+    from openmetrics_spark.jobs.counter import backfill_gate
+
+    cmds = spark.createDataFrame(
+        [("HSET", "k1", "f", "1", -1, 500), ("HSET", "k1", "f", "2", -1, 1500),
+         ("HSET", "k1", "f", "3", -1, 2500)],
+        "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG",
+    )
+    got = backfill_gate(cmds, 1000, 2000).collect()
+    assert [r.value for r in got] == ["2"]
+    # stop < 0 = unbounded
+    got = backfill_gate(cmds, 1000, -1).collect()
+    assert sorted(r.value for r in got) == ["2", "3"]
+
+
+def test_backfill_gate_buffer_collapses_prestart(spark):
+    """With buffering on (backfill mode, start=0): pre-start commands
+    collapse to the latest per (key, field), re-stamped to the next
+    buffer boundary; a key with a post-start write drops its cache
+    (CounterJob.java:501-567)."""
+    from openmetrics_spark.jobs.counter import backfill_gate
+
+    start = 10_000
+    cmds = spark.createDataFrame(
+        [
+            ("HSET", "a", "f", "old1", -1, 1_000),
+            ("HSET", "a", "f", "old2", -1, 2_000),  # latest pre-start for a
+            ("HSET", "b", "f", "old", -1, 3_000),
+            ("HSET", "b", "f", "new", -1, 11_000),  # post-start: drops b's cache
+        ],
+        "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG",
+    )
+    got = {(r.key, r.value): r.emit_ms for r in backfill_gate(
+        cmds, 0, -1, buffer_ms=4_000, buffer_until_ms=start
+    ).collect()}
+    assert got == {("a", "old2"): 4_000, ("b", "new"): 11_000}
+
+
+def test_wipe_command(spark):
+    from openmetrics_spark.jobs.counter import wipe_command
+
+    row = wipe_command(spark).first()
+    assert row.command == "FLUSHALL" and row.ttl_s == -1
+
+
+def test_clear_user_id_recursive(spark):
+    """user_id must be nulled at every depth: top level, nested
+    struct, struct-in-array (UserInfoUtil.java:24-218)."""
+    from openmetrics_spark.operators.flat import clear_user_id
+
+    df = spark.createDataFrame(
+        [
+            (
+                "u1",
+                {"user_id": "u1", "view_id": "v1"},
+                [{"user_id": "u1", "n": 1}, {"user_id": "u2", "n": 2}],
+                "keep",
+            )
+        ],
+        "user_id STRING, view STRUCT<user_id: STRING, view_id: STRING>, "
+        "events ARRAY<STRUCT<user_id: STRING, n: INT>>, other STRING",
+    )
+    r = clear_user_id(df).first()
+    assert r.user_id is None
+    assert r.view.user_id is None and r.view.view_id == "v1"
+    assert all(e.user_id is None for e in r.events)
+    assert [e.n for e in r.events] == [1, 2]
+    assert r.other == "keep"

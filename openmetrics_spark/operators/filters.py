@@ -1,8 +1,8 @@
 """Stateless filters.
 
 - bot filter (reference: pipeline/.../common/util/BotUtil.java:235-246
-  — UA regex from the public isbot list; we carry a compact pattern of
-  the same families)
+  — UA regex from the public isbot list; the full list lives in
+  functions.isbot)
 - traffic filter (reference: DeliveryLogUtil.java:26-53 — only
   PRODUCTION traffic joins; shadow/replay dropped)
 - split_filter (reference: common/functions/FilterOperator.java:11-30
@@ -16,12 +16,13 @@ from pyspark.sql import functions as F
 
 from openmetrics_spark.schemas import TRAFFIC_PRODUCTION
 
-# compact, case-insensitive bot-UA pattern (public isbot families)
-BOT_UA_PATTERN = r"(?i)(bot|crawler|spider|crawling|headless|scrapy|wget|curl|slurp)"
-
-
 def is_bot(ua: Column) -> Column:
-    return F.coalesce(ua.rlike(BOT_UA_PATTERN), F.lit(False))
+    """BotUtil.isBot: lowercase the UA, then `find` any pattern of the
+    full public isbot list (functions.isbot) — one rlike, one compiled
+    automaton per task, JVM-side."""
+    from openmetrics_spark.functions.isbot import ISBOT_REGEX
+
+    return F.coalesce(F.lower(ua).rlike(ISBOT_REGEX), F.lit(False))
 
 
 def split_filter(df: DataFrame, keep: Column, reason: str) -> tuple[DataFrame, DataFrame]:

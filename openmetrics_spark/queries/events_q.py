@@ -630,62 +630,98 @@ def latest_impressions_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # top-queries gating — RightSeenOutput + TopNFilter (reference:
 # common/functions/RightSeenOutput.java:17-100, job/counter/TopNFilter.
-# java:17-100, top-query computation CounterJob.java:393-455: sliding
-# count per query hash, keep hot ones, gate the metric stream on
-# membership). props.k plays the query hash; clicks elect the hot set,
-# purchase counts are gated on it.
+# java:17-100, top-query computation CounterJob.java:393-455: lowercase
+# the query string, drop blank/over-length ones (searchQueryLengthLimit
+# = 100), xxhash64-seed-0 it, sliding-count per hash, keep hot ones,
+# gate the metric stream on membership). The query string derives from
+# props.k ('Q' || k); clicks elect the hot set, purchase counts are
+# gated on it. Keys travel as the reference's query_hex
+# (Long.toHexString of the hash, FlatUtil.java:845-882).
 # ---------------------------------------------------------------------------
 
-_GATED_ORACLE = """
-WITH cb AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+
+def _gated_oracle() -> str:
+    from openmetrics_spark.functions.hashing_sql import query_hex_sql
+
+    hashed_keys = query_hex_sql(
+        """
+SELECT k, lower('Q' || CAST(k AS VARCHAR)) AS __q
+FROM (SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+      FROM events WHERE event_type IN ('click', 'purchase'))
+WHERE strlen(lower('Q' || CAST(k AS VARCHAR))) BETWEEN 1 AND 100
+"""
+    )
+    return f"""
+WITH hx AS (SELECT k, query_hex FROM {hashed_keys}),
+cb AS (
+  SELECT h.query_hex,
          (epoch_ms(ts) // 259200000) * 259200000 AS bucket_ms,
          count(*) AS bn
-  FROM events WHERE event_type = 'click' GROUP BY 1, 2
+  FROM events e
+  JOIN hx h ON CAST(json_extract_string(e.props, '$.k') AS INTEGER) = h.k
+  WHERE e.event_type = 'click' GROUP BY 1, 2
 ), top AS (
-  SELECT k, bucket_ms + i * 259200000 AS emit_ms,
+  SELECT query_hex, bucket_ms + i * 259200000 AS emit_ms,
          CAST(sum(bn) AS BIGINT) AS n_clicks
   FROM cb, range(1, 5) r(i) GROUP BY 1, 2 HAVING sum(bn) >= 3
 ), pb AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+  SELECT h.query_hex,
          (epoch_ms(ts) // 259200000) * 259200000 AS bucket_ms,
          count(*) AS bn
-  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+  FROM events e
+  JOIN hx h ON CAST(json_extract_string(e.props, '$.k') AS INTEGER) = h.k
+  WHERE e.event_type = 'purchase' GROUP BY 1, 2
 ), pur AS (
-  SELECT k, bucket_ms + i * 259200000 AS emit_ms,
+  SELECT query_hex, bucket_ms + i * 259200000 AS emit_ms,
          CAST(sum(bn) AS BIGINT) AS n_purchases
   FROM pb, range(1, 5) r(i) GROUP BY 1, 2
 )
-SELECT p.k, p.emit_ms, p.n_purchases, t.n_clicks
-FROM pur p JOIN top t ON p.k = t.k AND p.emit_ms = t.emit_ms
+SELECT p.query_hex, p.emit_ms, p.n_purchases, t.n_clicks
+FROM pur p JOIN top t ON p.query_hex = t.query_hex AND p.emit_ms = t.emit_ms
 """
 
 
-@register("gated_query_counts", oracle=_GATED_ORACLE, tags=("counter", "join"))
+@register("gated_query_counts", oracle=_gated_oracle(), tags=("counter", "join"))
 def gated_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Purchase counts per (query-key, 12 d window sliding 3 d), gated
-    on the key being 'hot' (≥3 clicks) in the same window — the
-    top-queries computation + RightSeenOutput membership gate. The hot
-    set is tiny → broadcast join; both sides pre-tumble to 3 d buckets
-    before the 4× window expansion so raw events shuffle once."""
+    """Purchase counts per (query_hex, 12 d window sliding 3 d), gated
+    on the query being 'hot' (≥3 clicks) in the same window — the
+    top-queries computation (lowercase → length-cap → xxhash64 →
+    hex) + RightSeenOutput membership gate. The hash runs once per
+    DISTINCT query and broadcast-joins back onto the event stream (at
+    100 TB queries dedupe by orders of magnitude — never hash per
+    event); the hot set is tiny → broadcast join; both sides
+    pre-tumble to 3 d buckets before the 4× window expansion so raw
+    events shuffle once."""
+    from openmetrics_spark.jobs.counter import query_hex_col
+
     DAY3 = 3 * DAY
     DAY12 = 12 * DAY
     ev = table(spark, sf_dir, "events")
     k = F.get_json_object("props", "$.k").cast("int")
-    clicks = ev.filter(F.col("event_type") == "click").select(k.alias("k"), "ts")
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        k.alias("k"), "ts"
+    events = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        k.alias("k"), "ts", "event_type"
+    )
+    q = F.lower(F.concat(F.lit("Q"), F.col("k").cast("string")))
+    hx = (
+        events.select("k").distinct()
+        .filter((F.length(q) >= 1) & (F.length(q) <= 100))
+        .withColumn("query_hex", query_hex_col(q))
+    )
+    keyed = events.join(F.broadcast(hx), "k")
+    clicks = keyed.filter(F.col("event_type") == "click").select("query_hex", "ts")
+    purchases = keyed.filter(F.col("event_type") == "purchase").select(
+        "query_hex", "ts"
     )
     top = (
-        sliding_counter(clicks, ["k"], "ts", DAY12, DAY3)
+        sliding_counter(clicks, ["query_hex"], "ts", DAY12, DAY3)
         .filter(F.col("n") >= 3)
         .withColumnRenamed("n", "n_clicks")
     )
-    pur = sliding_counter(purchases, ["k"], "ts", DAY12, DAY3).withColumnRenamed(
-        "n", "n_purchases"
-    )
-    return pur.join(F.broadcast(top), ["k", "emit_ms"]).select(
-        "k", "emit_ms", "n_purchases", "n_clicks"
+    pur = sliding_counter(
+        purchases, ["query_hex"], "ts", DAY12, DAY3
+    ).withColumnRenamed("n", "n_purchases")
+    return pur.join(F.broadcast(top), ["query_hex", "emit_ms"]).select(
+        "query_hex", "emit_ms", "n_purchases", "n_clicks"
     )
 
 

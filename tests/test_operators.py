@@ -220,3 +220,35 @@ def test_merge_details_reattaches_payload(spark):
     rows = {r.impression_id: r for r in out.collect()}
     assert rows["imp1"].search_query == "shoes"
     assert rows["imp2"].search_query is None  # left join keeps unmatched
+
+
+def test_isbot_full_list(spark):
+    """The bot filter carries the full public isbot list (the same
+    upstream the reference copies, BotUtil.java:12-13): classic
+    crawlers, HTTP libraries, and headless agents flag; real browser
+    agents pass; the two upstream patterns the reference disables
+    (bare-word / name-slash-version) stay disabled so okhttp-style
+    agents pass."""
+    from openmetrics_spark.operators.filters import is_bot
+    from pyspark.sql import functions as F
+
+    cases = [
+        ("Mozilla/5.0 (compatible; Googlebot/2.1; +http://www.google.com/bot.html)", True),
+        ("Mozilla/5.0 (compatible; bingbot/2.0)", True),
+        ("curl/8.4.0", True),
+        ("python-requests/2.31.0", True),
+        ("Wget/1.21", True),
+        # upstream isbot only catches Scrapy via the generic
+        # name/version pattern the reference disables — so not a bot
+        # here, faithfully
+        ("Scrapy/2.11 (+https://scrapy.org)", False),
+        ("Mozilla/5.0 (X11; Linux x86_64) HeadlessChrome/119.0", True),
+        ("facebookexternalhit/1.1", True),
+        ("Mozilla/5.0 (X11; Linux x86_64) AppleWebKit/537.36 Chrome/120.0 Safari/537.36", False),
+        ("Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) Version/17.0 Mobile/15E148 Safari/604.1", False),
+        ("okhttp/4.12.0", False),  # reference-disabled pattern
+        (None, False),
+    ]
+    df = spark.createDataFrame([(ua,) for ua, _ in cases], "ua STRING")
+    got = [r.b for r in df.select(is_bot(F.col("ua")).alias("b")).collect()]
+    assert got == [want for _, want in cases]

@@ -289,3 +289,105 @@ def inferred_join(
 
     how = "left" if right_outer else "inner"
     return right.join(all_picks, on="__rid", how=how).drop("__rid")
+
+
+USER_MERGE_RULES = {
+    # field-wise REPLACE, not proto mergeFrom (UserUpdateMerger.java:
+    # 37-110): a later update's non-empty user id wins; "once an
+    # internal user, always an internal user"; ignore_usage takes the
+    # latest update's value; properties replace wholesale.
+    "user_id": "last_non_empty",
+    "is_internal_user": "sticky_true",
+    "ignore_usage": "latest",
+    "properties_json": "latest_non_null",
+}
+
+
+def effective_users(
+    users: DataFrame,
+    on: Sequence[str] = ("platform_id", "log_user_id"),
+    ts_col: str = "log_timestamp",
+    order_col: str | None = None,
+    rules: dict[str, str] | None = None,
+) -> DataFrame:
+    """Versioned "effective user" per key: each update row becomes the
+    fold of every update at or before it (reference:
+    userjoin/UserUpdateMerger.java:19-110 advanceTo — the reference
+    folds the sorted update list imperatively; one pass of running
+    window aggregates is the same fold, map-side sorted within each
+    key partition). ``order_col`` breaks same-timestamp update ties
+    (defaults to the first rule column)."""
+    from pyspark.sql import Window
+
+    rules = USER_MERGE_RULES if rules is None else rules
+    present = [c for c in rules if c in users.columns]
+    order = [F.col(ts_col)] + (
+        [F.col(order_col)] if order_col is not None else []
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = users
+    for c in present:
+        rule = rules[c]
+        if rule == "last_non_empty":
+            src = F.when(F.col(c).isNotNull() & (F.col(c) != ""), F.col(c))
+            expr = F.last(src, ignorenulls=True).over(w)
+        elif rule == "sticky_true":
+            expr = F.max(F.coalesce(F.col(c), F.lit(False)).cast("int")).over(w) == 1
+        elif rule == "latest":
+            expr = F.last(F.col(c), ignorenulls=False).over(w)
+        else:  # latest_non_null
+            expr = F.last(F.col(c), ignorenulls=True).over(w)
+        out = out.withColumn(c, expr)
+    return out
+
+
+def user_join(
+    events: DataFrame,
+    users: DataFrame,
+    on: Sequence[str] = ("platform_id", "log_user_id"),
+    event_ts: str = "ts",
+    user_ts_ms: str = "log_timestamp",
+    user_cols: Sequence[str] | None = None,
+    order_col: str | None = None,
+) -> DataFrame:
+    """UserJoin (reference: userjoin/UserJoin.java:36-358): attach the
+    effective (version-merged) user at each event's timestamp. Batch
+    form: fold the updates into versions (``effective_users``), then
+    one as-of join — |events| + |updates| rows through one shuffle.
+    Same-timestamp versions collapse to the last fold so the as-of
+    pick is deterministic.
+
+    ``event_ts`` is a TimestampType column; ``user_ts_ms`` is the
+    update stream's epoch-millis long (the flat USER schema's
+    log_timestamp)."""
+    from pyspark.sql import Window
+
+    eff = effective_users(users, on, ts_col=user_ts_ms, order_col=order_col)
+    cols = [c for c in (user_cols or USER_MERGE_RULES) if c in eff.columns]
+    # one version per (key, ts): the final fold at that instant
+    worder = [F.col(user_ts_ms).desc()] + (
+        [F.col(order_col).desc()] if order_col is not None else []
+    )
+    wv = Window.partitionBy(*on, user_ts_ms).orderBy(*worder)
+    eff = (
+        eff.withColumn("__vn", F.row_number().over(wv))
+        .filter(F.col("__vn") == 1)
+        .drop("__vn")
+        .select(
+            *on,
+            F.timestamp_millis(F.col(user_ts_ms)).alias("__user_ts"),
+            *cols,
+        )
+    )
+    return asof_join(
+        events,
+        eff,
+        on=on,
+        left_ts=event_ts,
+        right_ts="__user_ts",
+        right_cols=cols,
+    )

@@ -79,3 +79,19 @@ def validate_action(df: DataFrame):
             | (F.size(F.coalesce(F.col("cart"), F.array())) > 0),
         },
     )
+
+
+def set_log_timestamp(df, arrival_ts_col: str = "__kafka_timestamp"):
+    """Stamp every event's log_timestamp with its ingestion time
+    (reference: common/functions/SetLogTimestamp.java — overwrites
+    timing.logTimestamp with the element's stream timestamp,
+    unconditionally, one instance per event type at the raw-output
+    ingest). ``arrival_ts_col`` is the transport's record time — the
+    Kafka source's `timestamp` column in production; pass an epoch-ms
+    LongType or TimestampType column name."""
+    from pyspark.sql import types as T
+
+    src = F.col(arrival_ts_col)
+    if isinstance(df.schema[arrival_ts_col].dataType, T.TimestampType):
+        src = F.unix_millis(src)
+    return df.withColumn("log_timestamp", src.cast("long"))

@@ -68,6 +68,7 @@ def all_queries() -> dict[str, QuerySpec]:
         media_q,
         tpch,
         upsert_q,
+        users_q,
     )
 
     return REGISTRY

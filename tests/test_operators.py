@@ -252,3 +252,55 @@ def test_isbot_full_list(spark):
     df = spark.createDataFrame([(ua,) for ua, _ in cases], "ua STRING")
     got = [r.b for r in df.select(is_bot(F.col("ua")).alias("b")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_user_join_version_merge(spark):
+    """UserUpdateMerger field rules (UserUpdateMerger.java:37-110):
+    last non-empty user id wins, is_internal_user is sticky-true,
+    ignore_usage takes the latest update's value, properties replace
+    wholesale; events before the first update get no user."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.operators.joins import user_join
+
+    upd = spark.createDataFrame(
+        [
+            # t=1000: full record
+            (1, "lu1", 1000, 1, "uA", False, True, '{"a":1}'),
+            # t=2000: partial — only marks internal (no user id/props)
+            (1, "lu1", 2000, 2, None, True, False, None),
+            # t=3000: partial — new user id, no internal flag
+            (1, "lu1", 3000, 3, "uB", False, False, None),
+        ],
+        "platform_id LONG, log_user_id STRING, log_timestamp LONG, event_id LONG,"
+        " user_id STRING, is_internal_user BOOLEAN, ignore_usage BOOLEAN,"
+        " properties_json STRING",
+    )
+    events = spark.createDataFrame(
+        [(1, "lu1", 500), (1, "lu1", 1500), (1, "lu1", 2500), (1, "lu1", 3500)],
+        "platform_id LONG, log_user_id STRING, ms LONG",
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    got = {
+        r.ms: (r.user_id, r.is_internal_user, r.ignore_usage, r.properties_json)
+        for r in user_join(
+            events, upd, event_ts="ts", order_col="event_id"
+        ).collect()
+    }
+    assert got[500] == (None, None, None, None)  # before any update
+    assert got[1500] == ("uA", False, True, '{"a":1}')
+    # internal flag sticks from t=2000 on; ignore_usage follows latest
+    assert got[2500] == ("uA", True, False, '{"a":1}')
+    assert got[3500] == ("uB", True, False, '{"a":1}')
+
+
+def test_set_log_timestamp_overwrites(spark):
+    """SetLogTimestamp stamps log_timestamp from the transport record
+    time unconditionally (SetLogTimestampTest.java pins the same:
+    even a default-instance event gets ctx.timestamp())."""
+    from openmetrics_spark.operators.validate import set_log_timestamp
+
+    df = spark.createDataFrame(
+        [(1, 999), (2, None)], "event_id LONG, log_timestamp LONG"
+    ).withColumn("__kafka_timestamp", F.timestamp_millis(F.col("event_id") * 1000))
+    got = {r.event_id: r.log_timestamp for r in set_log_timestamp(df).collect()}
+    assert got == {1: 1000, 2: 2000}

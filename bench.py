@@ -29,8 +29,19 @@ def main() -> int:
     from openmetrics_spark.tables import table
 
     spark = get_spark("bench")
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + whole-stage codegen + parquet footer caches. The
+    # tiny expression job exercises the regex/higher-order-function
+    # codegen paths so their one-time JIT cost isn't attributed to
+    # whichever headline query happens to run first.
+    from pyspark.sql import functions as F
+
     table(spark, sf_dir, "region").count()
+    (
+        table(spark, sf_dir, "documents")
+        .limit(64)
+        .select(F.md5("text"), F.split(F.lower("text"), "[^a-z0-9]+"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     specs = {n: s for n, s in all_queries().items() if s.headline}
     times: dict[str, float] = {}

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from openmetrics_spark.functions.hashing import portable_hash60
 from openmetrics_spark.llm.text import tokens
+from openmetrics_spark.tables import spread_for_compute
 
 # MinHash "permutations" are independent salted hashes
 # h_i(x) = md5_60(f"{seed}_{i}_{x}") rather than affine (a*x+b) mod p:
@@ -128,18 +129,25 @@ def ngram_jaccard_pairs(
     in the self-join filter — before the pair groupBy — and the sizes
     arrive at the Jaccard computation for free (grouped through), no
     post-hoc size joins."""
+    # persist the RAW posting list: tokenize+shingle+md5 is by far the
+    # dominant stage (profiled ~55% of query wall at sf0.1), and both
+    # the document-frequency aggregate and the join consume it — an
+    # unpersisted plan runs the shingling scan twice. 260k (long,long)
+    # rows per 5k docs: trivially memory-resident; at 100 TB this is
+    # the materialized inverted-index table stage.
+    docs = spread_for_compute(docs)
     posting = docs.select(
         F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
-    )
+    ).persist()
     rare = (
         posting.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") <= max_df)
         .select("s")
     )
-    # persist the rare-shingle posting list: the tokenize+explode scan
-    # is the expensive stage and feeds the sizes agg plus (via prs)
-    # both sides of the self-join
+    # persisted too: it feeds the sizes agg plus both sides of the
+    # self-join (cheap to rebuild from the persisted posting, but the
+    # broadcast-sizes attach would still run 3x)
     pr = posting.join(rare, "s").persist()
     sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # broadcast the one-row-per-doc sizes frame: attaching sz must not
@@ -186,6 +194,7 @@ def minhash_lsh_pairs(
     with exact Jaccard on the shingle sets. Scale path: candidate
     generation is a groupBy on band keys, not an all-pairs product."""
     rows = num_hashes // bands
+    docs = spread_for_compute(docs)
     base = docs.select(
         F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
     ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
@@ -226,6 +235,7 @@ def simhash_neardup_pairs(
     chunk keys, never all-pairs)."""
     n_chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
+    docs = spread_for_compute(docs)
     base = docs.select(
         F.col(id_col).alias("doc"), simhash(text_col, bits).alias("fp")
     )

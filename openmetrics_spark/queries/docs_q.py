@@ -24,7 +24,7 @@ from openmetrics_spark.llm.text import (
     unique_token_count,
 )
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import table
+from openmetrics_spark.tables import spread_for_compute, table
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -41,7 +41,7 @@ GROUP BY 1
 @register("doc_exact_dedup", oracle=_EXACT_DEDUP_ORACLE, tags=("llm", "dedup"))
 def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle of (hash, id) pairs; canonical = min id."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     return (
         docs.select(F.md5("text").alias("text_hash"), "doc_id")
         .groupBy("text_hash")
@@ -82,7 +82,7 @@ def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tokenization is materialized in its own projection so the regexp
     runs once per row — CollapseProject keeps non-cheap expressions
     out of the downstream consumers instead of re-inlining them."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", tokens("text").alias("tok"))
     tok = F.col("tok")
     return t.select(
@@ -127,7 +127,7 @@ FROM h
 def doc_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language voting (n-gram-heuristic language ID).
     Ties break by the fixed priority en > de > fr > es."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     t = docs.select("doc_id", tokens("text").alias("tok"))
     tok = F.col("tok")
     h = t.select(
@@ -168,7 +168,7 @@ FROM t
 @register("doc_fingerprint", oracle=_FP_ORACLE, tags=("llm", "text"))
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonicalized 64-token-prefix fingerprint (rolling-hash family)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     return docs.select("doc_id", fingerprint("text", 64).alias("fp"))
 
 
@@ -216,7 +216,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram shingle Jaccard near-dup pairs (≥0.5) over the
     stop-shingle-filtered space (df ≤ 50): one inverted-index
     self-join + pair-count aggregation; no arrays in any shuffle."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
 
 
@@ -250,7 +250,7 @@ WHERE rank <= 5
 def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact top-5 cosine neighbors for query vectors (vec_id < 10):
     broadcast queries × one streaming pass over candidates."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
     q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
     out = brute_topk(emb, "vec_id", "embedding", q_ids, k=5)
     return out.withColumn("rank", F.col("rank").cast("long"))
@@ -275,7 +275,7 @@ def embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the query non-vacuous), blocked by label — the blocking key
     stands in for an LSH bucket at this scale; the lsh_topk operator
     is the unblocked scale path."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
     e = emb.select("vec_id", "label", _dvec(F.col("embedding")).alias("v"))
     a = e.select(
         F.col("vec_id").alias("vec_a"), F.col("label").alias("la"), F.col("v").alias("va")
@@ -343,7 +343,7 @@ def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) banded 4x4 LSH candidate pairs, verified by exact
     Jaccard >= 0.5. All signature math is salted md5 column expressions
     (JVM-side), so the DuckDB oracle reproduces identical buckets."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     return minhash_lsh_pairs(
         docs, "doc_id", "text", n=3, num_hashes=16, bands=4, threshold=0.5
     )
@@ -390,7 +390,7 @@ def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-60 near-dup pairs within Hamming distance 3, blocked on
     15-bit fingerprint chunks (pigeonhole guarantees recall at d<=3
     with 4 chunks)."""
-    docs = table(spark, sf_dir, "documents")
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
     return simhash_neardup_pairs(
         docs, "doc_id", "text", bits=60, chunk_bits=15, max_hamming=3
     )
@@ -450,7 +450,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline."""
     from openmetrics_spark.llm.similarity import lsh_topk
 
-    emb = table(spark, sf_dir, "embeddings")
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
     q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
     out = lsh_topk(emb, "vec_id", "embedding", q_ids, k=5, planes=8, dim=64, seed=11)
     return out.withColumn("rank", F.col("rank").cast("long"))

@@ -79,3 +79,20 @@ def load_tables(
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def spread_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
+    """Repartition a narrow scan up to cluster parallelism ahead of a
+    CPU-heavy stage. Small parquet inputs arrive as one split, which
+    serializes per-row compute (tokenize/hash/shingle) on one core of
+    the whole cluster; a round-robin repartition of the (tiny) source
+    rows buys back full parallelism for the expensive projection. At
+    100 TB inputs carry thousands of splits and this is a no-op — the
+    guard keeps the shuffle out of plans that don't need it (do NOT
+    shrink files.maxPartitionBytes instead: that knob would explode
+    task counts on real-scale inputs)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, int(target * min_fraction)):
+        return df
+    return df.repartition(target)

@@ -138,3 +138,14 @@ def xxhash64_udf(s: pd.Series) -> pd.Series:  # pragma: no cover - thin wrapper
     returned as a signed 64-bit long (two's complement, matching how a
     JVM long would carry it)."""
     return s.map(lambda x: None if x is None else _to_signed64(xxhash64_str(x)))
+
+
+def java_string_hash(s: str) -> int:
+    """Java ``String.hashCode`` — the 32-bit polynomial hash the
+    reference keys other-content-id maps on (StringUtil.hash,
+    common/util/StringUtil.java:75-82; the reference pins it with its
+    own test so the JDK can't drift under it). Signed 32-bit result."""
+    h = 0
+    for ch in s:
+        h = (31 * h + ord(ch)) & 0xFFFFFFFF
+    return h - (1 << 32) if h >= (1 << 31) else h

@@ -419,3 +419,29 @@ def merge_details(
     is a plain key join: Catalyst broadcasts ``details`` when small,
     else sort-merge on the pk — no custom state needed (SURVEY §2.4)."""
     return tiny_result.join(details, pk_cols, how)
+
+
+def other_content_ids(props_json_col, property_keys: list[str]):
+    """OtherContentIdsConverter (reference: job/join/
+    OtherContentIdsConverter.java:19-60): extract the configured
+    property keys (e.g. storeId) from an event's JSON properties into
+    a {java_string_hash(key) -> id} map — the FK map hierarchical
+    content joins walk. Key hashes are config-time constants computed
+    driver-side; value extraction is get_json_object per key,
+    JVM-side. Missing keys are absent from the map; non-string values
+    stringify (Double.toString / Boolean.toString per the reference).
+    """
+    from openmetrics_spark.functions.hashing import java_string_hash
+
+    if not property_keys:
+        return F.lit(None).cast("map<int,string>")
+    entries = []
+    for key in property_keys:
+        v = F.get_json_object(props_json_col, f"$.{key}")
+        entries.append(
+            F.when(v.isNotNull(), F.struct(
+                F.lit(java_string_hash(key)).alias("k"), v.alias("v")
+            ))
+        )
+    arr = F.filter(F.array(*entries), lambda e: e.isNotNull())
+    return F.map_from_entries(arr)

@@ -304,3 +304,28 @@ def test_set_log_timestamp_overwrites(spark):
     ).withColumn("__kafka_timestamp", F.timestamp_millis(F.col("event_id") * 1000))
     got = {r.event_id: r.log_timestamp for r in set_log_timestamp(df).collect()}
     assert got == {1: 1000, 2: 2000}
+
+
+def test_other_content_ids_map(spark):
+    """OtherContentIdsConverter: configured property keys become a
+    {String.hashCode(key) -> value} map; absent keys are absent;
+    numbers stringify (OtherContentIdsConverter.java:41-58)."""
+    from openmetrics_spark.functions.hashing import java_string_hash
+    from openmetrics_spark.operators.flat import other_content_ids
+
+    # golden: Java "storeId".hashCode()
+    assert java_string_hash("abc") == 96354  # JDK-pinned value
+    df = spark.createDataFrame(
+        [('{"storeId": "s1", "brandId": 7}',), ('{"storeId": "s2"}',), ("{}",)],
+        "props STRING",
+    )
+    got = [
+        r.m
+        for r in df.select(
+            other_content_ids(F.col("props"), ["storeId", "brandId"]).alias("m")
+        ).collect()
+    ]
+    sk, bk = java_string_hash("storeId"), java_string_hash("brandId")
+    assert got[0] == {sk: "s1", bk: "7"}
+    assert got[1] == {sk: "s2"}
+    assert got[2] == {}

@@ -147,3 +147,145 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
     )
+
+
+def lsh_multiprobe_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    planes: int = 8,
+    dim: int = 64,
+    seed: int = 11,
+) -> DataFrame:
+    """Multi-probe variant of ``lsh_topk``: each query probes its own
+    bucket PLUS every single-bit-flip neighbor bucket (``planes`` + 1
+    probes), recovering most of the recall lost to unlucky sign flips
+    without adding hash tables. Candidates are still found by one equi
+    hash join — the query side just carries ``planes + 1`` rows per
+    query (exploded JVM-side), all broadcast. A stored vector lives in
+    exactly one bucket and the probe set is distinct, so no candidate
+    dedup is needed before ranking."""
+    hp = hyperplanes(dim, planes, seed)
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("v")
+    ).withColumn("bucket", lsh_bucket(F.col("v"), hp))
+    probe_set = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(planes)
+        ],
+    )
+    q = (
+        base.join(
+            query_ids.select(F.col(query_ids.columns[0]).alias("vid")),
+            "vid",
+            "left_semi",
+        )
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(probe_set).alias("bucket"),
+        )
+    )
+    scored = (
+        base.join(F.broadcast(q), "bucket")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    nprobe: int = 3,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: partition the vector
+    space into ``n_cells`` coarse cells, assign every vector to its
+    nearest centroid, and score a query only against the ``nprobe``
+    cells nearest to it.
+
+    The coarse quantizer here takes the ``n_cells`` lowest-id vectors
+    as centroids — a deterministic stand-in for the sampled k-means a
+    production build would run (the assignment/probe plumbing is
+    identical either way, and determinism lets a SQL oracle rebuild
+    the exact same cells). Centroids are bounded driver state
+    (``n_cells`` rows, exactly like MLlib k-means iterations), inlined
+    as literals so cell assignment is a NARROW projection — the big
+    table never shuffles; the only shuffle is the tiny per-query
+    top-k."""
+    centroids = [
+        (r["cid"], [float(x) for x in r["cv"]])
+        for r in embeddings.select(
+            F.col(id_col).alias("cid"), _dvec(F.col(vec_col)).alias("cv")
+        )
+        .orderBy("cid")
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def nearest_cells(vec: Column, take: int) -> Column:
+        # array of (cos, cid) structs -> sort desc -> first `take` cids
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(vec, F.array(*[F.lit(x) for x in cv])).alias("cos"),
+                    F.lit(cid).cast("long").alias("cid"),
+                )
+                for cid, cv in centroids
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.slice(F.transform(ordered, lambda s: s["cid"]), 1, take)
+
+    base = embeddings.select(
+        F.col(id_col).alias("vid"), _dvec(F.col(vec_col)).alias("v")
+    )
+    assigned = base.withColumn("cell", nearest_cells(F.col("v"), 1)[0])
+    q = (
+        base.join(
+            query_ids.select(F.col(query_ids.columns[0]).alias("vid")),
+            "vid",
+            "left_semi",
+        )
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(nearest_cells(F.col("v"), nprobe)).alias("cell"),
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv"), F.col("v")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("cos", 6).alias("cos"))
+    )

@@ -441,6 +441,111 @@ WHERE rank <= 5
 """
 
 
+def _lsh_multiprobe_oracle() -> str:
+    from openmetrics_spark.llm.similarity import hyperplanes
+
+    hp = hyperplanes(dim=64, planes=8, seed=11)
+    terms = []
+    for i, p in enumerate(hp):
+        arr = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), hb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM e
+), q AS (
+  SELECT query_id, qv, unnest(probes) AS bucket FROM (
+    SELECT vec_id AS query_id, v AS qv,
+           list_prepend(bucket, list_transform(range(8),
+             i -> xor(bucket, CAST(1 AS BIGINT) << i))) AS probes
+    FROM hb WHERE vec_id < 10
+  )
+), s AS (
+  SELECT query_id, hb.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, v) AS raw_cos
+  FROM q JOIN hb USING (bucket) WHERE hb.vec_id != query_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+
+
+_IVF_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16
+), ranked AS (
+  SELECT e.vec_id, e.v, c.cid,
+         row_number() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cid DESC
+         ) AS rn
+  FROM e, c
+), a AS (
+  SELECT vec_id, v, cid AS cell FROM ranked WHERE rn = 1
+), qp AS (
+  SELECT vec_id AS query_id, v AS qv, cid AS cell
+  FROM ranked WHERE vec_id < 10 AND rn <= 3
+), s AS (
+  SELECT query_id, a.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, v) AS raw_cos
+  FROM qp JOIN a USING (cell) WHERE a.vec_id != query_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+
+
+@register("ann_lsh_multiprobe_topk", oracle=_lsh_multiprobe_oracle(), tags=("llm", "similarity"))
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-5: each query probes its sign bucket plus
+    all 8 single-bit flips (9 probes), closing most of single-probe
+    LSH's recall gap at ~9× the (still tiny, broadcast) query side.
+    The candidate join stays one equi hash join on bucket id."""
+    from openmetrics_spark.llm.similarity import lsh_multiprobe_topk
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    out = lsh_multiprobe_topk(
+        emb, "vec_id", "embedding", q_ids, k=5, planes=8, dim=64, seed=11
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_ivf_topk", oracle=_IVF_ORACLE, tags=("llm", "similarity"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-5: 16 coarse cells (deterministic lowest-id centroids
+    standing in for sampled k-means), nprobe=3. Cell assignment is a
+    narrow projection against literal centroids — the big table never
+    shuffles; queries probe their 3 nearest cells via one equi join."""
+    from openmetrics_spark.llm.similarity import ivf_topk
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    out = ivf_topk(emb, "vec_id", "embedding", q_ids, k=5, n_cells=16, nprobe=3)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("ann_lsh_topk", oracle=_lsh_oracle(), tags=("llm", "similarity"))
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 cosine neighbors via 8-bit random-hyperplane

@@ -1,0 +1,61 @@
+"""Recall of the approximate ANN paths against the exact baseline.
+
+The DuckDB oracle (test_queries_oracle) proves each path computes what
+it claims; these tests prove the approximations are USEFUL — that the
+candidate pruning (LSH buckets / IVF cells) still surfaces most of the
+true neighbors, and that multi-probe strictly widens single-probe LSH.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmetrics_spark.llm.similarity import (
+    brute_topk,
+    ivf_topk,
+    lsh_multiprobe_topk,
+    lsh_topk,
+)
+from openmetrics_spark.tables import table
+
+
+def _pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ann_recall_hierarchy(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    exact = _pairs(brute_topk(emb, "vec_id", "embedding", q_ids, k=5))
+    # planes=4 (16 buckets) is the right granularity for this tiny
+    # corpus — at 100 TB you'd raise planes with corpus size; recall
+    # here is about the method, measured at a matched bucket density.
+    single = _pairs(lsh_topk(emb, "vec_id", "embedding", q_ids, k=5, planes=4))
+    multi = _pairs(
+        lsh_multiprobe_topk(emb, "vec_id", "embedding", q_ids, k=5, planes=4)
+    )
+    ivf = _pairs(ivf_topk(emb, "vec_id", "embedding", q_ids, k=5, nprobe=3))
+
+    assert exact, "brute-force baseline returned nothing"
+    # multi-probe candidates are a superset of single-probe candidates,
+    # so its recall vs exact can only be >= single-probe's
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    recall_ivf = len(ivf & exact) / len(exact)
+    assert recall_multi >= recall_single
+    # measured on the fixed synthetic corpus: 0.64 multi-probe (vs
+    # 0.14 single-probe) and 0.94 ivf; thresholds leave headroom
+    assert recall_multi >= 0.5, f"multi-probe recall {recall_multi:.2f}"
+    assert recall_ivf >= 0.7, f"ivf recall {recall_ivf:.2f}"
+
+
+def test_ivf_assignment_is_total(spark, sf_dir):
+    """Every vector lands in exactly one cell and every query probes
+    exactly nprobe cells (the join fan-out the plan promises)."""
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 3)
+    out = ivf_topk(emb, "vec_id", "embedding", q_ids, k=n, n_cells=4, nprobe=4)
+    # nprobe == n_cells -> no pruning -> must equal brute force exactly
+    exact = brute_topk(emb, "vec_id", "embedding", q_ids, k=n)
+    assert _pairs(out) == _pairs(exact)

@@ -5,7 +5,7 @@ analysis, similarity search) designed for 100 TB corpora.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmetrics_spark.llm.dedup import (
@@ -178,8 +178,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_SQL_HASH = "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+3)], ' ')), 1, 15)) AS BIGINT)"
 
-_JACCARD_ORACLE = f"""
-WITH t AS (
+_JACCARD_CTES = f"""t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
   FROM documents
 ), g AS (
@@ -206,7 +205,10 @@ WITH t AS (
   FROM inter
   JOIN sz a ON a.doc_id = doc_a
   JOIN sz b ON b.doc_id = doc_b
-)
+)"""
+
+_JACCARD_ORACLE = f"""
+WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
@@ -218,6 +220,59 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join + pair-count aggregation; no arrays in any shuffle."""
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
     return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5, max_df=50)
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: pairs -> connected components -> canonical ids
+# (the step a real dedup pipeline runs after candidate scoring: keep
+# one survivor per cluster, drop the rest)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+), sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.d
+), lab AS (
+  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+)
+SELECT doc_id, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
+       doc_id = canonical_id AS keep
+FROM lab
+"""
+
+
+@register("doc_dedup_clusters", oracle=_CLUSTER_ORACLE, tags=("llm", "dedup"))
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: n-gram-Jaccard pairs (>=0.5) resolved
+    into connected components; every clustered doc gets its component's
+    min doc_id as canonical and a keep flag (the survivor). This is the
+    drop-the-duplicates step after any of the pair generators
+    (ngram/minhash/simhash/embedding) — the DuckDB oracle rebuilds the
+    same components with a recursive transitive closure."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    w = Window.partitionBy("canonical_id")
+    return (
+        comp.select(
+            F.col("id").alias("doc_id"),
+            F.col("component").alias("canonical_id"),
+        )
+        .withColumn("cluster_size", F.count("*").over(w))
+        .withColumn("keep", F.col("doc_id") == F.col("canonical_id"))
+    )
 
 
 # ---------------------------------------------------------------------------

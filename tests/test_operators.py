@@ -329,3 +329,28 @@ def test_other_content_ids_map(spark):
     assert got[0] == {sk: "s1", bk: "7"}
     assert got[1] == {sk: "s2"}
     assert got[2] == {}
+
+
+def test_connected_components_chain_and_clique(spark):
+    """A 6-node chain (worst-case diameter for pointer jumping), a
+    triangle, and an isolated pair must resolve to min-id components."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    edges = [
+        # chain 1-2-3-4-5-6
+        (2, 1), (2, 3), (4, 3), (5, 4), (6, 5),
+        # triangle 10-11-12
+        (10, 11), (11, 12), (10, 12),
+        # pair
+        (20, 21),
+    ]
+    df = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    out = {
+        r["id"]: r["component"]
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    assert out == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20,
+    }

@@ -419,6 +419,107 @@ def cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# cumulated per-content metrics in the Kinesis JSON envelope
+# (reference: job/contentmetrics/resources/15_create_table_..._kinesis.sql
+# + 16_insert_into_..._kinesis.sql — header.id = dt@platform@content
+# dedups replays downstream; contentId top-level = partition key)
+# ---------------------------------------------------------------------------
+
+_KINESIS_ENVELOPE_ORACLE = """
+WITH h AS (
+  SELECT concat('c', CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS VARCHAR)) AS content_id,
+         (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nav,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur,
+         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+  FROM events
+  GROUP BY 1, 2
+), c AS (
+  SELECT content_id, (window_ms // 86400000) * 86400000 AS period_ms, window_ms,
+         CAST(sum(v) OVER w AS BIGINT) AS views,
+         CAST(sum(nav) OVER w AS BIGINT) AS navigates,
+         CAST(sum(pur) OVER w AS BIGINT) AS purchases,
+         CAST(round(sum(rev) OVER w * 100, 0) AS BIGINT) AS gmv_usd_cents
+  FROM h
+  WINDOW w AS (PARTITION BY content_id, window_ms // 86400000 ORDER BY window_ms
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT strftime(epoch_ms(period_ms), '%Y-%m-%d') AS dt,
+       content_id AS contentId,
+       '1.0' AS header_version,
+       'Metric' AS header_source_id,
+       strftime(epoch_ms(period_ms), '%Y-%m-%d') || '@1@' || content_id AS header_id,
+       'TODO' AS header_correlation_id,
+       CAST(1 AS BIGINT) AS platform_id,
+       'content-metrics' AS message_type,
+       window_ms + 3600000 AS event_ts_ms,
+       views, navigates, purchases, gmv_usd_cents
+FROM c
+"""
+
+
+@register("cumulated_metrics_envelope", oracle=_KINESIS_ENVELOPE_ORACLE, tags=("metrics", "sink"))
+def cumulated_metrics_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-content CUMULATE(1 h, 1 d) metrics wrapped in the Kinesis
+    JSON envelope and flattened so every header/body field is
+    value-checked (the struct/JSON rendering itself is pinned by the
+    codec round-trip test)."""
+    from openmetrics_spark.sources.sinks import kinesis_metric_envelope
+
+    ev = table(spark, sf_dir, "events")
+    t = F.col("event_type")
+    content = F.concat(
+        F.lit("c"), (F.get_json_object("props", "$.k").cast("int") % 10).cast("string")
+    )
+    aggs = {
+        "views": F.sum(F.when(t == "view", 1).otherwise(0)),
+        "navigates": F.sum(F.when(t == "click", 1).otherwise(0)),
+        "purchases": F.sum(F.when(t == "purchase", 1).otherwise(0)),
+        "rev": F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)),
+    }
+    cum = cumulate_metrics(
+        ev.withColumn("content_id", content), ["content_id"], "ts", HOUR, DAY, aggs
+    )
+    rows = (
+        cum.withColumn("gmv_usd_cents", F.round(F.col("rev") * 100, 0).cast("long"))
+        .withColumn("platform_id", F.lit(1).cast("long"))
+        .withColumn(
+            "dt", F.date_format(F.timestamp_millis(F.col("period_ms")), "yyyy-MM-dd")
+        )
+        .withColumn("event_ts_ms", F.col("window_ms") + F.lit(HOUR))
+    )
+    env = kinesis_metric_envelope(
+        rows,
+        content_col="content_id",
+        platform_col="platform_id",
+        dt_col="dt",
+        event_ts_ms_col="event_ts_ms",
+        metric_cols={
+            "views": "views",
+            "navigates": "navigates",
+            "purchases": "purchases",
+            "gmvUsdCents": "gmv_usd_cents",
+        },
+    )
+    return env.select(
+        "dt",
+        "contentId",
+        F.col("header.version").alias("header_version"),
+        F.col("header.sourceId").alias("header_source_id"),
+        F.col("header.id").alias("header_id"),
+        F.col("header.correlationId").alias("header_correlation_id"),
+        F.col("header.platformId").alias("platform_id"),
+        F.col("header.messageType").alias("message_type"),
+        F.unix_millis(F.col("header.eventDateTimestamp")).alias("event_ts_ms"),
+        F.col("body.metrics.views").alias("views"),
+        F.col("body.metrics.navigates").alias("navigates"),
+        F.col("body.metrics.purchases").alias("purchases"),
+        F.col("body.metrics.gmvUsdCents").alias("gmv_usd_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # top-n (reference: job/counter/TopNEmitter.java + top-query computation
 # CounterJob.java:393-455)
 # ---------------------------------------------------------------------------

@@ -80,3 +80,64 @@ def stream_write_partitioned(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def kinesis_metric_envelope(
+    df: DataFrame,
+    content_col: str,
+    platform_col: str,
+    dt_col: str,
+    event_ts_ms_col: str,
+    metric_cols: dict[str, str],
+    source_id: str = "Metric",
+    message_type: str = "content-metrics",
+    version: str = "1.0",
+) -> DataFrame:
+    """Wrap per-content metric rows in the reference's Kinesis JSON
+    envelope (pipeline/.../job/contentmetrics/resources/
+    15_create_table_cumulated_content_metrics_kinesis.sql:1-37 +
+    16_insert_into_...:1-29): top-level ``dt``/``contentId`` (the
+    partition key must be top-level for the connector), a ``header``
+    whose ``id`` = dt@platformId@contentId deduplicates replays
+    downstream, and a ``body`` carrying the metric struct.
+
+    ``metric_cols`` maps envelope metric names to source columns.
+    Pure column expressions — at scale this is a narrow projection on
+    whatever aggregate feeds it."""
+    content = F.col(content_col).cast("string")
+    platform = F.col(platform_col).cast("long")
+    header = F.struct(
+        F.lit(version).alias("version"),
+        F.lit(source_id).alias("sourceId"),
+        F.concat_ws("@", F.col(dt_col), platform, content).alias("id"),
+        F.lit("TODO").alias("correlationId"),
+        platform.alias("platformId"),
+        F.lit(message_type).alias("messageType"),
+        F.timestamp_millis(F.col(event_ts_ms_col)).alias("eventDateTimestamp"),
+    )
+    body = F.struct(
+        content.alias("contentId"),
+        F.struct(
+            *[F.col(src).cast("long").alias(name) for name, src in metric_cols.items()]
+        ).alias("metrics"),
+    )
+    return df.select(
+        F.col(dt_col).alias("dt"),
+        content.alias("contentId"),
+        header.alias("header"),
+        body.alias("body"),
+    )
+
+
+def to_kinesis_records(enveloped: DataFrame) -> DataFrame:
+    """Render envelope rows to the wire shape a Kinesis producer puts:
+    (partitionKey, data) with ISO-8601 timestamps in the JSON payload —
+    the actual putRecords call is connector territory (boto3/KPL, not
+    bundled); everything up to the byte payload is real and tested."""
+    return enveloped.select(
+        F.col("contentId").alias("partitionKey"),
+        F.to_json(
+            F.struct("dt", "contentId", "header", "body"),
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"},
+        ).alias("data"),
+    )

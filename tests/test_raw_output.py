@@ -195,3 +195,49 @@ def test_kafka_envelope_codec_roundtrip(spark, event_streams):
     # malformed payloads decode to null rows, not errors
     bad = spark.createDataFrame([("k", b"not json")], "key STRING, value BINARY")
     assert decode_log_requests(bad).first().platform_id is None
+
+
+def test_kinesis_record_codec_roundtrip(spark):
+    """Kinesis wire shape: envelope → (partitionKey, json data) →
+    from_json recovers every header/body field; partitionKey equals
+    the top-level contentId (the connector's partitioning contract)."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.sources.sinks import (
+        kinesis_metric_envelope,
+        to_kinesis_records,
+    )
+
+    rows = spark.createDataFrame(
+        [("c1", 1, "2024-03-01", 1709251200000, 7, 3, 2, 1234),
+         ("c2", 1, "2024-03-01", 1709254800000, 1, 0, 0, 0)],
+        "content_id string, platform_id long, dt string, event_ts_ms long, "
+        "views long, navigates long, purchases long, gmv long",
+    )
+    env = kinesis_metric_envelope(
+        rows, "content_id", "platform_id", "dt", "event_ts_ms",
+        {"views": "views", "navigates": "navigates",
+         "purchases": "purchases", "gmvUsdCents": "gmv"},
+    )
+    rec = to_kinesis_records(env)
+    decoded = rec.select(
+        "partitionKey",
+        F.from_json(
+            "data",
+            env.schema,
+            {"timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSXXX"},
+        ).alias("e"),
+    )
+    got = {r["e"]["contentId"]: r for r in decoded.collect()}
+    assert set(got) == {"c1", "c2"}
+    r1 = got["c1"]
+    assert r1["partitionKey"] == "c1"
+    e = r1["e"]
+    assert e["dt"] == "2024-03-01"
+    assert e["header"]["id"] == "2024-03-01@1@c1"
+    assert e["header"]["version"] == "1.0"
+    assert e["header"]["sourceId"] == "Metric"
+    assert int(e["header"]["eventDateTimestamp"].timestamp() * 1000) == 1709251200000
+    assert e["body"]["contentId"] == "c1"
+    assert e["body"]["metrics"]["views"] == 7
+    assert e["body"]["metrics"]["gmvUsdCents"] == 1234

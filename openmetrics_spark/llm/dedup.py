@@ -129,16 +129,32 @@ def ngram_jaccard_pairs(
     in the self-join filter — before the pair groupBy — and the sizes
     arrive at the Jaccard computation for free (grouped through), no
     post-hoc size joins."""
-    # persist the RAW posting list: tokenize+shingle+md5 is by far the
+    # persist the RAW posting list: tokenize+shingle+hash is by far the
     # dominant stage (profiled ~55% of query wall at sf0.1), and both
     # the document-frequency aggregate and the join consume it — an
     # unpersisted plan runs the shingling scan twice. 260k (long,long)
     # rows per 5k docs: trivially memory-resident; at 100 TB this is
     # the materialized inverted-index table stage.
+    #
+    # The md5 runs AFTER the explode, not inside the shingle transform:
+    # lambda bodies in higher-order functions are evaluated interpreted
+    # per element, while the post-explode projection is whole-stage
+    # codegen'd — measured 5x faster at sf0.1 for identical output
+    # (distinct on gram strings == distinct on their hashes).
     docs = spread_for_compute(docs)
-    posting = docs.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("s")
-    ).persist()
+    tok = tokens(text_col)
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
+    posting = (
+        docs.select(
+            F.col(id_col).alias("doc"),
+            F.explode(F.array_distinct(grams)).alias("g"),
+        )
+        .select("doc", _hash_expr(F.col("g")).alias("s"))
+        .persist()
+    )
     rare = (
         posting.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))

@@ -759,7 +759,10 @@ def stream_cumulate_counter(
             state.remove()
         else:
             state.update((cum, json.dumps({})))
-            state.setTimeoutTimestamp(key[1] + period_ms + step_ms)
+            # int(): the Arrow group key is a numpy scalar, and pyspark
+            # serializes the timeout through json.dumps, which rejects
+            # numpy int64
+            state.setTimeoutTimestamp(int(key[1]) + period_ms + step_ms)
         if out:
             yield pd.DataFrame(
                 out, columns=["period_ms", "window_ms", "key", "n"]

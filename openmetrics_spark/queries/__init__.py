@@ -67,6 +67,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events_q,
         media_q,
         tpch,
+        tpch_ext,
         upsert_q,
         users_q,
     )

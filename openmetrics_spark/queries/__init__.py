@@ -62,6 +62,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from openmetrics_spark.queries import (  # noqa: F401
         bfj_q,
+        corpus_q,
         counter_q,
         docs_q,
         events_q,

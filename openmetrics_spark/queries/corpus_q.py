@@ -1,0 +1,166 @@
+"""End-to-end training-corpus preparation: the composed pipeline a
+100 TB pretraining-data job actually runs, as ONE query —
+
+  stats (tokenize → token counts, quality score, language vote)
+    → gate (keep en-voted docs above quality/length floors)
+    → exact dedup (keep min doc_id per identical text)
+    → near-dup removal (n-gram Jaccard pairs → connected components →
+      keep each cluster's canonical)
+    → surviving manifest (doc_id, n_tokens, quality)
+
+Every stage is one of the already-oracled operators (doc_token_stats,
+doc_lang_guess, doc_exact_dedup, ngram_jaccard_neardup,
+doc_dedup_clusters); this query proves they compose — filters stay
+pushed down through the stats projection, the dedup stages only ever
+shuffle (long, long) pairs, and the final manifest join is a
+left_anti against the (tiny) drop list.
+
+The DuckDB oracle replays the identical chain, with a recursive
+transitive closure standing in for the distributed label-propagation
+connected components.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmetrics_spark.llm.dedup import connected_components, ngram_jaccard_pairs
+from openmetrics_spark.llm.text import (
+    LANG_MARKERS,
+    marker_hits,
+    quality_score,
+    token_count,
+    tokens,
+)
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import spread_for_compute, table
+
+_MIN_QUALITY = 0.30
+_MIN_TOKENS = 20
+
+_STOP_SQL = "['the','and','of','to','a','in','is','that','it','for','on','with','as','this']"
+_JACCARD_SQL_HASH = "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+3)], ' ')), 1, 15)) AS BIGINT)"
+
+
+def _sql_list(lang: str) -> str:
+    return "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+_MANIFEST_ORACLE = f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, text, tok,
+    CAST(len(tok) AS BIGINT) AS n_tokens,
+    round(
+      0.5 * (CASE WHEN len(tok) > 0
+                  THEN CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)
+                  ELSE 0 END)
+      + 0.5 * least(
+          (CASE WHEN len(tok) > 0
+                THEN CAST(len(list_filter(tok, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(tok)
+                ELSE 0 END) * 5, 1.0),
+      6) AS quality,
+    len(list_filter(tok, x -> list_contains({_sql_list('en')}, x))) AS en_hits,
+    len(list_filter(tok, x -> list_contains({_sql_list('de')}, x))) AS de_hits,
+    len(list_filter(tok, x -> list_contains({_sql_list('fr')}, x))) AS fr_hits,
+    len(list_filter(tok, x -> list_contains({_sql_list('es')}, x))) AS es_hits
+  FROM t
+), kept AS (
+  SELECT * FROM s
+  WHERE en_hits >= greatest(de_hits, fr_hits, es_hits)
+    AND quality >= {_MIN_QUALITY} AND n_tokens >= {_MIN_TOKENS}
+), exact AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), k2 AS (
+  SELECT kept.* FROM kept JOIN exact USING (doc_id)
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM k2 WHERE len(tok) >= 3
+), p AS (
+  SELECT doc_id, unnest(sh) AS sid FROM g
+), rare AS (
+  SELECT sid FROM p GROUP BY sid HAVING count(*) <= 50
+), pr AS (
+  SELECT p.doc_id, p.sid FROM p JOIN rare USING (sid)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM pr GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM pr x JOIN pr y USING (sid)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz a ON a.doc_id = doc_a
+  JOIN sz b ON b.doc_id = doc_b
+  WHERE round(CAST(inter AS DOUBLE) / (a.sz + b.sz - inter), 6) >= 0.5
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+), reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
+), lab AS (
+  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+)
+SELECT k2.doc_id, k2.n_tokens, k2.quality
+FROM k2 LEFT JOIN lab ON k2.doc_id = lab.doc_id
+WHERE lab.doc_id IS NULL OR lab.canonical_id = k2.doc_id
+"""
+
+
+@register(
+    "corpus_prep_manifest",
+    oracle=_MANIFEST_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def corpus_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed corpus-prep pipeline (see module docstring). The
+    stats projection runs once; the quality/language gate cuts the
+    corpus before any dedup shuffle happens, so at 100 TB the
+    expensive inverted-index stage only ever sees gated survivors."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "text", tokens("text").alias("tok"))
+    tok = F.col("tok")
+    stats = t.select(
+        "doc_id",
+        "text",
+        token_count(tok).alias("n_tokens"),
+        quality_score("text", tok).alias("quality"),
+        marker_hits(tok, LANG_MARKERS["en"]).alias("en_hits"),
+        marker_hits(tok, LANG_MARKERS["de"]).alias("de_hits"),
+        marker_hits(tok, LANG_MARKERS["fr"]).alias("fr_hits"),
+        marker_hits(tok, LANG_MARKERS["es"]).alias("es_hits"),
+    )
+    kept = stats.filter(
+        (F.col("en_hits") >= F.greatest("de_hits", "fr_hits", "es_hits"))
+        & (F.col("quality") >= _MIN_QUALITY)
+        & (F.col("n_tokens") >= _MIN_TOKENS)
+    )
+    # exact dedup: canonical = min doc_id per identical text. The
+    # aggregate frame carries only (hash, id); the semi join restores
+    # the full stats row for survivors without re-tokenizing.
+    exact_ids = (
+        kept.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    k2 = kept.join(exact_ids, "doc_id", "left_semi").persist()
+    pairs = ngram_jaccard_pairs(
+        k2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    return k2.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "n_tokens", "quality"
+    )

@@ -1,0 +1,116 @@
+"""Checkpoint recovery: stop a streaming aggregation mid-stream and
+restart it from its checkpoint over the remaining input. Exactly-once
+means the final output EQUALS the batch aggregate over the full input:
+windows straddling the stop point must aggregate rows from both runs
+(state restored), and windows emitted before the stop must not be
+re-emitted (offsets restored). Mirrors the reference's stance of 5 m
+checkpoints + EXACTLY_ONCE restarts (SURVEY §2.7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmetrics_spark.jobs.streaming_flat_output import (
+    SENTINEL_MS,
+    _drain,
+    _restage,
+    _stream,
+)
+from openmetrics_spark.operators.metrics import tumbling_metrics
+from openmetrics_spark.streaming.ops import stream_tumbling_metrics
+from openmetrics_spark.tables import table
+
+HOUR_MS = 3_600_000
+
+
+def _read_out(spark, out):
+    return (
+        spark.read.parquet(out)
+        .filter((F.col("event_type") != "zz") & (F.col("window_start_ms") < SENTINEL_MS))
+    )
+
+
+def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    # stop INSIDE the busiest hour, between two of its events, so the
+    # window containing the stop point has rows on both sides of the
+    # restart (a fixed midpoint can land in an hour with no trailing
+    # events at sparse SFs)
+    bucket = (F.floor(F.col("ms") / HOUR_MS) * HOUR_MS).cast("long")
+    busy = (
+        ev.groupBy(bucket.alias("b")).count().orderBy(F.desc("count"), "b").first()["b"]
+    )
+    in_hour = sorted(
+        r["ms"]
+        for r in ev.filter(bucket == busy).select("ms").collect()
+    )
+    assert len(in_hour) >= 2
+    mid = in_hour[len(in_hour) // 2]
+    assert in_hour[0] < mid <= in_hour[-1]
+    stage = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    aggs = lambda: {  # noqa: E731 — fresh Column objects per use
+        "n": F.count(F.lit(1)),
+        "value_cents": F.round(F.sum("value") * 100, 0).cast("long"),
+    }
+
+    def run_drain():
+        agg = stream_tumbling_metrics(
+            _stream(spark, stage), ["event_type"], "ts", HOUR_MS, aggs(), delay_ms=2000
+        )
+        _drain(agg, out, chk)
+
+    # ---- run 1: first half only, then the query stops (no sentinel:
+    # the trailing open windows stay in state, not in output) ----
+    first = ev.filter(F.col("ms") < mid)
+    _restage(spark, first, stage, "ms", [lo + (mid - lo) // 2], sentinel=False)
+    run_drain()
+    n_before = _read_out(spark, out).count()
+
+    # ---- run 2: a NEW query object, SAME checkpoint, over the
+    # remaining files + the flush sentinel ----
+    rest = ev.filter(F.col("ms") >= mid)
+    _restage(spark, rest, stage, "ms", [mid + (hi - mid) // 2], sentinel=True)
+    run_drain()
+
+    got = _read_out(spark, out)
+    want = tumbling_metrics(ev, ["event_type"], "ts", HOUR_MS, aggs()).withColumnRenamed(
+        "window_ms", "window_start_ms"
+    )
+
+    # the restart had to matter: run 1 emitted some but not all windows
+    assert 0 < n_before < want.count()
+
+    cols = ["event_type", "window_start_ms", "n", "value_cents"]
+    g = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    w = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert g == w
+
+    # belt and braces: append mode re-emitting a pre-stop window would
+    # duplicate its (key, window) pair
+    dups = (
+        got.groupBy("event_type", "window_start_ms")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dups == 0
+
+    # the straddling window really spans the stop point (state from
+    # run 1 merged with rows from run 2)
+    straddle_start = (mid // HOUR_MS) * HOUR_MS
+    n_first = first.filter(
+        (F.col("ms") >= straddle_start) & (F.col("ms") < straddle_start + HOUR_MS)
+    ).count()
+    n_rest = rest.filter(F.col("ms") < straddle_start + HOUR_MS).count()
+    assert n_first > 0 and n_rest > 0
+    emitted = (
+        got.filter(F.col("window_start_ms") == straddle_start)
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert emitted == n_first + n_rest

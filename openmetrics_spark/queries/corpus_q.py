@@ -164,3 +164,46 @@ def corpus_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k2.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "n_tokens", "quality"
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus vocabulary: top-k token frequencies (the tokenizer-building
+# counting pass: explode -> map-side-combined count -> tiny top-k)
+# ---------------------------------------------------------------------------
+
+_VOCAB_ORACLE = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents
+), u AS (
+  SELECT unnest(tok) AS token FROM t
+), c AS (
+  SELECT token, count(*) AS freq FROM u GROUP BY token
+)
+SELECT token, freq, rank FROM (
+  SELECT token, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank
+  FROM c
+)
+WHERE rank <= 100
+"""
+
+
+@register("corpus_vocab_topk", oracle=_VOCAB_ORACLE, tags=("llm", "text"))
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 corpus token frequencies — the counting pass a
+    (BPE-ish) tokenizer build starts from. The explode shuffles one
+    (token) row with map-side partial counts; the global order runs
+    as TakeOrderedAndProject over the aggregated vocab (never the raw
+    token stream), and the rank window touches only the 100 survivors.
+    """
+    from pyspark.sql import Window
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    counts = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(100)
+    w = Window.orderBy(F.col("freq").desc(), F.col("token"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))

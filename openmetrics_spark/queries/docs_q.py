@@ -614,3 +614,77 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
     out = lsh_topk(emb, "vec_id", "embedding", q_ids, k=5, planes=8, dim=64, seed=11)
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# embedding normalization + int8 scalar quantization (how a 100 TB ANN
+# index is actually stored: unit vectors, one signed byte per dim)
+# ---------------------------------------------------------------------------
+
+_QUANT_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), n AS (
+  SELECT vec_id, v,
+         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+  FROM e
+), u AS (
+  SELECT vec_id, nrm, list_transform(v, x -> x / nrm) AS unit FROM n
+), q AS (
+  SELECT vec_id, nrm, unit,
+         list_transform(unit, x -> CAST(round(x * 127) AS INTEGER)) AS qv
+  FROM u
+)
+SELECT vec_id,
+       CAST(len(qv) AS INTEGER) AS dim,
+       round(nrm, 6) AS norm,
+       list_min(qv) AS q_min,
+       list_max(qv) AS q_max,
+       round(sqrt(
+         list_aggregate(
+           list_transform(range(len(unit)),
+                          i -> pow(unit[i + 1] - CAST(qv[i + 1] AS DOUBLE) / 127.0, 2)),
+           'sum') / len(unit)), 6) AS quant_rmse
+FROM q
+"""
+
+
+@register("embedding_quantize", oracle=_QUANT_ORACLE, tags=("llm", "similarity"))
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalize each embedding and scalar-quantize to int8
+    (q_i = round(127·unit_i)), reporting the per-vector reconstruction
+    RMSE. All higher-order column expressions — the quantized index
+    build is a narrow projection, no shuffle at any scale; downstream
+    ANN queries dot int8 vectors against broadcast queries."""
+    from openmetrics_spark.llm.similarity import norm as l2_norm
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    e = emb.select("vec_id", _dvec(F.col("embedding")).alias("v"))
+    n = e.select("vec_id", "v", l2_norm(F.col("v")).alias("nrm"))
+    u = n.select(
+        "vec_id",
+        "nrm",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("unit"),
+    )
+    q = u.select(
+        "vec_id",
+        "nrm",
+        "unit",
+        F.transform("unit", lambda x: F.round(x * 127).cast("int")).alias("qv"),
+    )
+    err2 = F.aggregate(
+        F.zip_with(
+            "unit", "qv", lambda x, y: F.pow(x - y.cast("double") / 127.0, F.lit(2))
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        F.size("qv").alias("dim"),
+        F.round("nrm", 6).alias("norm"),
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.round(F.sqrt(err2 / F.size("unit")), 6).alias("quant_rmse"),
+    )

@@ -42,6 +42,31 @@ def main() -> int:
         .select(F.md5("text"), F.split(F.lower("text"), "[^a-z0-9]+"))
         .write.format("noop").mode("overwrite").save()
     )
+    # second warmup leg: the higher-order-function interpreter
+    # (transform/slice/array_join), explode, hash-join and hash-agg
+    # code paths — these JIT lazily and otherwise bill their one-time
+    # compilation to the first query that touches them (measured ~6s
+    # of the ngram query's first run vs ~2.5s steady-state at sf0.1).
+    # 64 rows: compute cost is nil, only the code paths matter.
+    (
+        table(spark, sf_dir, "documents")
+        .limit(64)
+        .select(
+            F.col("doc_id").alias("doc"),
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.lit(3)),
+                        lambda i: F.array_join(
+                            F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), i, 3), " "
+                        ),
+                    )
+                )
+            ).alias("g"),
+        )
+        .select("doc", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("s"))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     specs = {n: s for n, s in all_queries().items() if s.headline}
     times: dict[str, float] = {}

@@ -639,3 +639,149 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+_Q2_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem GROUP BY 1, 2
+),
+rs AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier, nation, region
+  WHERE s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+    AND r_name = 'ASIA'
+)
+SELECT rs.s_acctbal, rs.s_name, rs.n_name, p_partkey, p_brand,
+       round(ps.ps_supplycost, 2) AS supplycost
+FROM part, ps, rs
+WHERE p_partkey = ps.ps_partkey AND rs.s_suppkey = ps.ps_suppkey
+  AND p_type = 'ECONOMY' AND p_size <= 15
+  AND ps.ps_supplycost = (
+    SELECT min(ps2.ps_supplycost) FROM ps ps2, rs rs2
+    WHERE ps2.ps_partkey = p_partkey AND rs2.s_suppkey = ps2.ps_suppkey)
+"""
+
+
+@register("q2_min_cost_supplier", oracle=_Q2_ORACLE, tags=("join", "subquery"))
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: cheapest regional supplier per qualifying part.
+    The driver tables carry no partsupp, so the part-supplier catalog
+    is derived from lineitem (supply cost = min observed unit price per
+    (part, supplier) — same grain as ps_supplycost). The correlated
+    scalar-min subquery becomes one extra aggregate over the SAME
+    region-filtered frame plus an equi-join back on (partkey, cost):
+    Catalyst would decorrelate the SQL form to exactly this. Scale:
+    the only big shuffle is the lineitem groupBy on (partkey, suppkey);
+    the region-filtered supplier side and the qualifying-part side are
+    dims and broadcast, and min-cost re-attach joins two frames already
+    partitioned by partkey."""
+    li = table(spark, sf_dir, "lineitem")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("ps_supplycost")
+    )
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    rs = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    ps_r = ps.join(F.broadcast(rs), ps.ps_suppkey == rs.s_suppkey)
+    min_cost = ps_r.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    part_f = (
+        table(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "ECONOMY") & (F.col("p_size") <= 15))
+        .select("p_partkey", "p_brand")
+    )
+    return (
+        ps_r.join(
+            min_cost,
+            (ps_r.ps_partkey == min_cost.mc_partkey)
+            & (ps_r.ps_supplycost == min_cost.min_cost),
+        )
+        .join(F.broadcast(part_f), ps_r.ps_partkey == part_f.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round("ps_supplycost", 2).alias("supplycost"),
+        )
+    )
+
+
+_Q20_ORACLE = """
+WITH ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         sum(l_quantity) AS total_qty,
+         sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                   AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                  THEN l_quantity ELSE 0 END) AS qty_1997
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT DISTINCT s_suppkey, s_name, n_name
+FROM supplier, nation, ps
+WHERE s_nationkey = n_nationkey
+  AND s_suppkey = ps.ps_suppkey
+  AND ps.qty_1997 > 0.25 * ps.total_qty
+  AND ps.ps_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  AND n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name = 'EUROPE')
+"""
+
+
+@register("q20_excess_suppliers", oracle=_Q20_ORACLE, tags=("semi", "subquery"))
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers holding "excess" stock of a named
+    part family in one region. Availability is derived from lineitem
+    (no partsupp): a (part, supplier) pair is excess when its 1997
+    shipments exceed a quarter of its all-time quantity — the same
+    availqty-vs-halfyear comparison re-expressed over observable
+    columns. The IN-subqueries become left_semi joins against
+    broadcast dims; the supplier emerges via one more semi join, so
+    no row ever fans out and DISTINCT falls out of the semi-join
+    (supplier side stays unique)."""
+    li = table(spark, sf_dir, "lineitem")
+    in_97 = (F.col("l_shipdate") >= _ts("1997-01-01 00:00:00")) & (
+        F.col("l_shipdate") < _ts("1998-01-01 00:00:00")
+    )
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.sum("l_quantity").alias("total_qty"),
+        F.sum(F.when(in_97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+            "qty_1997"
+        ),
+    )
+    red_parts = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    excess = (
+        ps.filter(F.col("qty_1997") > 0.25 * F.col("total_qty"))
+        .join(F.broadcast(red_parts), F.col("ps_partkey") == F.col("p_partkey"), "left_semi")
+        .select("ps_suppkey")
+    )
+    nation = table(spark, sf_dir, "nation")
+    europe = table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation.n_nationkey)
+        .join(
+            F.broadcast(europe.select("r_regionkey")),
+            nation.n_regionkey == F.col("r_regionkey"),
+            "left_semi",
+        )
+        .join(excess, F.col("s_suppkey") == excess.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )

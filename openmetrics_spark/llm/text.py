@@ -74,3 +74,74 @@ def fingerprint(text_col: str, prefix_tokens: int = 64) -> Column:
     tok = tokens(text_col)
     head = F.slice(tok, 1, prefix_tokens)
     return portable_hash60(F.array_join(head, " "))
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules, Rae et al. 2021
+# arXiv:2112.11446 Table A1) — repetitive documents are a dominant
+# failure mode in web-scale pretraining corpora.
+# ---------------------------------------------------------------------------
+
+
+def ngrams(tok: Column, n: int) -> Column:
+    """Array of space-joined token n-grams (empty when < n tokens)."""
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
+
+
+def dup_ngram_fraction(tok: Column, n: int = 2) -> Column:
+    """Fraction of n-grams that are repeats of an earlier n-gram
+    (1 - distinct/total); 0 for docs shorter than n tokens."""
+    g = ngrams(tok, n)
+    total = F.size(g)
+    return F.round(
+        F.when(
+            total > 0, 1.0 - F.size(F.array_distinct(g)) / total
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def mean_token_len(tok: Column) -> Column:
+    """Mean token length in characters (0 for empty docs)."""
+    total = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda s, x: s + F.length(x)
+    )
+    return F.round(
+        F.when(F.size(tok) > 0, total / F.size(tok)).otherwise(F.lit(0.0)), 6
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — redact the machine-recognizable identifier shapes
+# (emails, phone numbers, IPv4 addresses) before text ever reaches a
+# training shard. Patterns stay in the regex subset Java and RE2
+# interpret identically, so an SQL oracle can replay the scrub.
+# ---------------------------------------------------------------------------
+
+PII_EMAIL = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_IPV4 = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+# international-ish phone: optional +country, then 7+ digits with
+# common separators; anchored on digits at both ends so plain prose
+# numbers ("in 2021") never match.
+PII_PHONE = r"\+?[0-9][0-9()\-\. ]{6,}[0-9]"
+
+
+def pii_counts(c: Column) -> tuple[Column, Column, Column]:
+    """(email, ipv4, phone) match counts for a text column."""
+    return (
+        F.regexp_count(c, F.lit(PII_EMAIL)),
+        F.regexp_count(c, F.lit(PII_IPV4)),
+        F.regexp_count(c, F.lit(PII_PHONE)),
+    )
+
+
+def scrub_pii(c: Column) -> Column:
+    """Replace every email / IPv4 / phone match with a typed redaction
+    token. Order matters: emails and IPs are scrubbed before phones so
+    their digit runs can't be half-eaten by the phone pattern."""
+    out = F.regexp_replace(c, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    return F.regexp_replace(out, PII_PHONE, "<PHONE>")

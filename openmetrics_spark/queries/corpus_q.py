@@ -207,3 +207,93 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.col("freq").desc(), F.col("token")).limit(100)
     w = Window.orderBy(F.col("freq").desc(), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition stats: the quality gate that removes
+# degenerate repetitive documents before pretraining (Rae et al. 2021,
+# arXiv:2112.11446 Table A1 — top-unigram fraction and duplicate
+# n-gram fraction are the two strongest single signals).
+# ---------------------------------------------------------------------------
+
+_REPETITION_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(tok) AS token FROM t
+), tc AS (
+  SELECT doc_id, token, count(*) AS c FROM u GROUP BY 1, 2
+), topf AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS total FROM tc GROUP BY 1
+), g AS (
+  SELECT doc_id,
+    CASE WHEN len(tok) >= 2
+      THEN list_transform(range(len(tok) - 1), i -> tok[i+1] || ' ' || tok[i+2])
+      ELSE [] END AS grams,
+    CASE WHEN len(tok) > 0
+      THEN round(CAST(list_aggregate(list_transform(tok, x -> len(x)), 'sum') AS DOUBLE) / len(tok), 6)
+      ELSE 0.0 END AS mean_tok_len
+  FROM t
+), r AS (
+  SELECT doc_id,
+    CASE WHEN len(grams) > 0
+      THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 6)
+      ELSE 0.0 END AS dup_2gram_frac,
+    mean_tok_len
+  FROM g
+)
+SELECT r.doc_id,
+       coalesce(topf.total, 0) AS n_tokens,
+       coalesce(round(CAST(topf.topc AS DOUBLE) / topf.total, 6), 0.0) AS top_token_frac,
+       r.dup_2gram_frac,
+       r.mean_tok_len,
+       (coalesce(round(CAST(topf.topc AS DOUBLE) / topf.total, 6), 0.0) > 0.12
+        OR r.dup_2gram_frac > 0.05) AS is_repetitive
+FROM r LEFT JOIN topf ON r.doc_id = topf.doc_id
+"""
+
+
+@register("doc_repetition_stats", oracle=_REPETITION_ORACLE, tags=("llm", "text"))
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals + the repetitive flag. The
+    top-unigram fraction runs as explode → two map-side-combinable
+    aggregates (per (doc, token), then per doc) — the shuffled rows
+    are (doc, token, partial count), never token arrays; the n-gram
+    and token-length stats are per-row column expressions that shuffle
+    nothing. One equi-join on doc_id re-attaches the two frames, which
+    AQE plans as a local join at small SF and a co-partitioned
+    sort-merge at corpus scale."""
+    from openmetrics_spark.llm.text import dup_ngram_fraction, mean_token_len
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    per_row = t.select(
+        "doc_id",
+        dup_ngram_fraction(F.col("tok"), 2).alias("dup_2gram_frac"),
+        mean_token_len(F.col("tok")).alias("mean_tok_len"),
+    )
+    tc = (
+        t.select("doc_id", F.explode("tok").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topf = tc.groupBy("doc_id").agg(
+        F.max("c").alias("topc"), F.sum("c").alias("total")
+    )
+    top_frac = F.coalesce(
+        F.round(F.col("topc").cast("double") / F.col("total"), 6), F.lit(0.0)
+    )
+    return (
+        per_row.join(topf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("total"), F.lit(0)).alias("n_tokens"),
+            top_frac.alias("top_token_frac"),
+            "dup_2gram_frac",
+            "mean_tok_len",
+            ((top_frac > 0.12) | (F.col("dup_2gram_frac") > 0.05)).alias(
+                "is_repetitive"
+            ),
+        )
+    )

@@ -354,3 +354,56 @@ def test_connected_components_chain_and_clique(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20,
     }
+
+
+def test_scrub_pii_redacts_identifiers(spark):
+    """Emails, IPv4s, and phone-shaped digit runs become typed
+    redaction tokens; prose years and short numbers survive."""
+    from openmetrics_spark.llm.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "contact jane.doe+spam@example.co.uk or call +1 (415) 555-0199 now"),
+        (2, "server at 192.168.1.254 answered in 2021 with code 404"),
+        (3, "plain text with no identifiers at all"),
+        (4, "two mails: a@b.io c.d@e-f.org and line 8005551234"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    e, i, p = pii_counts(F.col("text"))
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            scrub_pii(F.col("text")).alias("clean"),
+            e.alias("emails"),
+            i.alias("ips"),
+            p.alias("phones"),
+        ).collect()
+    }
+    assert got[1]["emails"] == 1 and got[1]["phones"] == 1
+    assert got[1]["clean"] == "contact <EMAIL> or call <PHONE> now"
+    assert got[2]["ips"] == 1 and got[2]["emails"] == 0
+    assert got[2]["clean"] == "server at <IP> answered in 2021 with code 404"
+    assert got[3]["clean"] == rows[2][1]
+    assert got[4]["emails"] == 2 and got[4]["phones"] == 1
+    assert got[4]["clean"] == "two mails: <EMAIL> <EMAIL> and line <PHONE>"
+
+
+def test_repetition_stats_flags_degenerate_docs(spark):
+    from openmetrics_spark.llm.text import dup_ngram_fraction, mean_token_len, tokens
+
+    rows = [
+        (1, "spam spam spam spam spam spam"),
+        (2, "every token here is fully distinct okay"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            dup_ngram_fraction(tokens("text"), 2).alias("dup2"),
+            mean_token_len(tokens("text")).alias("mlen"),
+        ).collect()
+    }
+    assert out[1]["dup2"] == 0.8  # 5 bigrams, 1 distinct
+    assert out[1]["mlen"] == 4.0
+    assert out[2]["dup2"] == 0.0

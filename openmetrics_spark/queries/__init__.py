@@ -69,6 +69,7 @@ def all_queries() -> dict[str, QuerySpec]:
         media_q,
         tpch,
         tpch_ext,
+        corpus_mix_q,
         upsert_q,
         users_q,
     )

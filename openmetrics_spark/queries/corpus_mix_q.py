@@ -1,0 +1,418 @@
+"""Corpus curation beyond dedup: decontamination, packing, mixing.
+
+The second half of a pretraining-data pipeline — after cleaning and
+dedup (corpus_q.py) the corpus still has to be (a) scrubbed of eval
+benchmark text, (b) packed into fixed-length training sequences, and
+(c) re-weighted / down-sampled across domains. Each step here is a
+deterministic, SQL-oracle-checkable query over the `documents` table:
+
+- doc_decontaminate: flag training docs sharing any 5-gram with a
+  benchmark set (the GPT-3 / PaLM n-gram-collision decontamination;
+  Brown et al. 2020 appendix C). Benchmark n-grams are tiny relative
+  to the corpus, so the overlap test is a broadcast semi-join against
+  the exploded training n-grams — the 100 TB shape.
+- corpus_pack_chunks: greedy in-order sequence packing (concatenate
+  docs, cut every `seq_len` tokens) per source partition via a
+  windowed prefix sum — distributed because the window partitions by
+  source, never a global sort.
+- domain_mix_weights: temperature-scaled sampling weights per
+  (source, lang) — w_i ∝ tokens_i^alpha, the multilingual mixing rule
+  (alpha=0.7; Conneau & Lample 2019 §3.1).
+- corpus_sample_stratified: deterministic hash-based per-language
+  sampling that APPLIES a mix — membership depends only on
+  (doc_id, lang), so re-runs and the SQL oracle agree exactly.
+- quality_filter_funnel: the Gopher rule cascade as a funnel table —
+  per rule: rows in, rows dropped, rows out — the accounting view a
+  data-curation run reports before committing a corpus version.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from openmetrics_spark.functions.hashing import (
+    portable_hash60,
+    portable_hash60_sql,
+)
+from openmetrics_spark.llm.dedup import shingles
+from openmetrics_spark.llm.text import (
+    STOPWORDS_EN,
+    dup_ngram_fraction,
+    marker_hits,
+    mean_token_len,
+    tokens,
+)
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import spread_for_compute, table
+
+# ---------------------------------------------------------------------------
+# doc_decontaminate — benchmark n-gram overlap
+# ---------------------------------------------------------------------------
+
+_DECONTAM_N = 5
+_BENCH_MOD = 50  # doc_id % 50 == 0 stands in for the eval benchmark
+
+_DECONTAM_SQL_HASH = (
+    "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+5)], ' ')), 1, 15))"
+    " AS BIGINT)"
+)
+
+_DECONTAM_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - {_DECONTAM_N - 1}),
+                                      i -> {_DECONTAM_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= {_DECONTAM_N}
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s FROM g WHERE doc_id % {_BENCH_MOD} = 0
+), train AS (
+  SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS s
+  FROM g WHERE doc_id % {_BENCH_MOD} <> 0
+)
+SELECT doc_id,
+       CAST(max(n_grams) AS BIGINT) AS n_grams,
+       CAST(count(*) AS BIGINT) AS n_overlap
+FROM train JOIN bench USING (s)
+GROUP BY doc_id
+"""
+
+
+@register("doc_decontaminate", oracle=_DECONTAM_ORACLE, tags=("llm", "decontam"))
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs that collide with the benchmark on any 5-gram,
+    with their overlap counts — the decontamination drop list.
+
+    Scale shape: the benchmark's distinct n-gram hash set is tiny (eval
+    suites are MBs against a 100 TB corpus), so it broadcasts; the
+    training side streams through explode → broadcast hash join →
+    per-doc count, all map-side until the final (doc, count) agg. No
+    shingle ARRAY ever enters a shuffle — only (doc, long) pairs."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    sh = docs.select(
+        "doc_id", shingles("text", _DECONTAM_N).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bench = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+    train = (
+        sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
+        .select("doc_id", F.size("sh").cast("long").alias("n_grams"),
+                F.explode("sh").alias("s"))
+    )
+    return (
+        train.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_overlap"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_pack_chunks — in-order sequence packing
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 512
+
+_PACK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+           AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(coalesce(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM t
+)
+SELECT source,
+       CAST(floor(cum_before / {_SEQ_LEN}) AS BIGINT) AS chunk,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+"""
+
+
+@register("corpus_pack_chunks", oracle=_PACK_ORACLE, tags=("llm", "pipeline"))
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy in-order sequence packing: docs are concatenated in
+    doc_id order within each source and cut into `seq_len`-token
+    training chunks; output is the per-chunk manifest (doc count,
+    token count, doc-id span) a packed-dataset writer would emit.
+
+    The prefix sum is a window PARTITIONED BY source — each source
+    sorts independently, so the plan is a per-partition sort, never a
+    global one; at 100 TB a superhot source would additionally split
+    on a date prefix, which only changes the partition key."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    c = t.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / _SEQ_LEN).cast("long").alias("chunk"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# domain_mix_weights — temperature-scaled sampling weights
+# ---------------------------------------------------------------------------
+
+_MIX_ALPHA = 0.7
+
+_MIX_ORACLE = f"""
+WITH d AS (
+  SELECT source, lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+')))
+              AS BIGINT) AS n_tokens
+  FROM documents
+  GROUP BY 1, 2
+)
+SELECT source, lang, n_docs, n_tokens,
+       round(pow(n_tokens, {_MIX_ALPHA})
+             / sum(pow(n_tokens, {_MIX_ALPHA})) OVER (), 6) AS weight
+FROM d
+"""
+
+
+@register("domain_mix_weights", oracle=_MIX_ORACLE, tags=("llm", "pipeline"))
+def domain_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) token totals and temperature-scaled sampling
+    weights (w ∝ tokens^0.7) — the domain-mixing table a pretraining
+    run samples from. The heavy pass is the map-side-combined token
+    count; the unpartitioned window normalizing the weights runs over
+    the POST-AGG frame, whose row count is the number of domains
+    (hundreds at any corpus scale), so the single-partition window is
+    bounded regardless of input size."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    d = (
+        docs.select("source", "lang", F.size(tokens("text")).alias("nt"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("long").alias("n_tokens"),
+        )
+    )
+    scaled = F.pow(F.col("n_tokens").cast("double"), F.lit(_MIX_ALPHA))
+    w = Window.partitionBy()
+    return d.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        F.round(scaled / F.sum(scaled).over(w), 6).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus_sample_stratified — deterministic hash sampling
+# ---------------------------------------------------------------------------
+
+_EN_PCT = 40  # keep 40% of English docs ...
+_OTHER_PCT = 20  # ... and 20% of everything else (upsample the target lang)
+
+_SAMPLE_ORACLE = f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE {portable_hash60_sql("'smp_' || CAST(doc_id AS VARCHAR)")} % 100
+      < (CASE WHEN lang = 'en' THEN {_EN_PCT} ELSE {_OTHER_PCT} END)
+"""
+
+
+@register(
+    "corpus_sample_stratified", oracle=_SAMPLE_ORACLE, tags=("llm", "pipeline")
+)
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a domain mix as a deterministic per-row hash gate: keep
+    40% of English, 20% of other languages, membership a pure function
+    of doc_id — so backfills, retries, and the SQL oracle all select
+    the identical subset (`rand()`-based sampling can't be replayed or
+    oracle-checked). A narrow filter projection: no shuffle at all,
+    and the parquet scan prunes to three columns."""
+    docs = table(spark, sf_dir, "documents")
+    bucket = (
+        portable_hash60(F.concat(F.lit("smp_"), F.col("doc_id").cast("string")))
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_EN_PCT)).otherwise(
+        F.lit(_OTHER_PCT)
+    )
+    return docs.filter(bucket < rate).select("doc_id", "lang", "source")
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_funnel — the rule cascade with per-stage accounting
+# ---------------------------------------------------------------------------
+
+_STOP_SQL = "[" + ",".join(f"'{s}'" for s in STOPWORDS_EN) + "]"
+
+_FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(tok) AS token FROM t
+), tc AS (
+  SELECT doc_id, token, count(*) AS c FROM u GROUP BY 1, 2
+), topf AS (
+  SELECT doc_id, max(c) AS topc, sum(c) AS total FROM tc GROUP BY 1
+), f AS (
+  SELECT t.doc_id,
+    CAST(len(tok) AS BIGINT) AS n_tokens,
+    CASE WHEN len(tok) > 0
+      THEN round(CAST(list_aggregate(list_transform(tok, x -> len(x)), 'sum')
+                 AS DOUBLE) / len(tok), 6) ELSE 0.0 END AS mtl,
+    CASE WHEN len(tok) >= 2
+      THEN round(1.0 - CAST(len(list_distinct(list_transform(range(len(tok) - 1),
+             i -> tok[i+1] || ' ' || tok[i+2]))) AS DOUBLE) / (len(tok) - 1), 6)
+      ELSE 0.0 END AS dup2,
+    coalesce(round(CAST(topf.topc AS DOUBLE) / topf.total, 6), 0.0) AS topfrac,
+    len(list_filter(tok, x -> list_contains({_STOP_SQL}, x))) AS stop_hits
+  FROM t LEFT JOIN topf ON t.doc_id = topf.doc_id
+), r AS (
+  SELECT doc_id,
+    n_tokens >= 20 AS r1,
+    n_tokens <= 5000 AS r2,
+    mtl BETWEEN 2 AND 12 AS r3,
+    topfrac <= 0.12 AS r4,
+    dup2 <= 0.05 AS r5,
+    stop_hits >= 2 AS r6
+  FROM f
+), a AS (
+  SELECT
+    CAST(count(*) AS BIGINT) AS n0,
+    CAST(count(*) FILTER (WHERE NOT r1) AS BIGINT) AS d1,
+    CAST(count(*) FILTER (WHERE r1 AND NOT r2) AS BIGINT) AS d2,
+    CAST(count(*) FILTER (WHERE r1 AND r2 AND NOT r3) AS BIGINT) AS d3,
+    CAST(count(*) FILTER (WHERE r1 AND r2 AND r3 AND NOT r4) AS BIGINT) AS d4,
+    CAST(count(*) FILTER (WHERE r1 AND r2 AND r3 AND r4 AND NOT r5) AS BIGINT) AS d5,
+    CAST(count(*) FILTER (WHERE r1 AND r2 AND r3 AND r4 AND r5 AND NOT r6)
+         AS BIGINT) AS d6
+  FROM r
+)
+SELECT CAST(1 AS BIGINT) AS stage, 'min_tokens' AS rule,
+       n0 AS n_in, d1 AS n_dropped, n0 - d1 AS n_out FROM a
+UNION ALL SELECT 2, 'max_tokens', n0 - d1, d2, n0 - d1 - d2 FROM a
+UNION ALL SELECT 3, 'mean_token_len', n0 - d1 - d2, d3, n0 - d1 - d2 - d3 FROM a
+UNION ALL SELECT 4, 'top_token_frac', n0 - d1 - d2 - d3, d4,
+       n0 - d1 - d2 - d3 - d4 FROM a
+UNION ALL SELECT 5, 'dup_2gram', n0 - d1 - d2 - d3 - d4, d5,
+       n0 - d1 - d2 - d3 - d4 - d5 FROM a
+UNION ALL SELECT 6, 'stopword_floor', n0 - d1 - d2 - d3 - d4 - d5, d6,
+       n0 - d1 - d2 - d3 - d4 - d5 - d6 FROM a
+"""
+
+_FUNNEL_RULES = [
+    "min_tokens",
+    "max_tokens",
+    "mean_token_len",
+    "top_token_frac",
+    "dup_2gram",
+    "stopword_floor",
+]
+
+
+@register("quality_filter_funnel", oracle=_FUNNEL_ORACLE, tags=("llm", "text"))
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher rule cascade (Rae et al. 2021 Table A1) as a funnel:
+    one row per rule with rows-in / rows-dropped / rows-out, applied in
+    order — the acceptance report of a corpus-curation run.
+
+    One tokenize pass computes every per-row signal; the top-token
+    fraction reuses the explode → (doc, token) count → per-doc max
+    shape of doc_repetition_stats (the only shuffle besides the final
+    single-row agg). The funnel itself is a 6-counter aggregate of
+    boolean conjunctions — the 6-row output is built by exploding an
+    inline array, not by re-scanning per rule."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    tc = (
+        t.select("doc_id", F.explode("tok").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topf = tc.groupBy("doc_id").agg(
+        F.max("c").alias("topc"), F.sum("c").alias("total")
+    )
+    tok = F.col("tok")
+    f = t.join(topf, "doc_id", "left").select(
+        F.size(tok).cast("long").alias("n_tokens"),
+        mean_token_len(tok).alias("mtl"),
+        dup_ngram_fraction(tok, 2).alias("dup2"),
+        F.coalesce(
+            F.round(F.col("topc").cast("double") / F.col("total"), 6),
+            F.lit(0.0),
+        ).alias("topfrac"),
+        marker_hits(tok, STOPWORDS_EN).alias("stop_hits"),
+    )
+    r = f.select(
+        (F.col("n_tokens") >= 20).alias("r1"),
+        (F.col("n_tokens") <= 5000).alias("r2"),
+        F.col("mtl").between(2, 12).alias("r3"),
+        (F.col("topfrac") <= 0.12).alias("r4"),
+        (F.col("dup2") <= 0.05).alias("r5"),
+        (F.col("stop_hits") >= 2).alias("r6"),
+    )
+
+    def _drop(*conds) -> F.Column:
+        keep = conds[:-1]
+        fail = conds[-1]
+        c = ~F.col(fail)
+        for k in keep:
+            c = c & F.col(k)
+        return F.sum(F.when(c, 1).otherwise(0)).cast("long")
+
+    a = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        _drop("r1").alias("d1"),
+        _drop("r1", "r2").alias("d2"),
+        _drop("r1", "r2", "r3").alias("d3"),
+        _drop("r1", "r2", "r3", "r4").alias("d4"),
+        _drop("r1", "r2", "r3", "r4", "r5").alias("d5"),
+        _drop("r1", "r2", "r3", "r4", "r5", "r6").alias("d6"),
+    )
+    stages = []
+    n_in: F.Column = F.col("n0")
+    for i, rule in enumerate(_FUNNEL_RULES, start=1):
+        dropped = F.col(f"d{i}")
+        stages.append(
+            F.struct(
+                F.lit(i).cast("long").alias("stage"),
+                F.lit(rule).alias("rule"),
+                n_in.alias("n_in"),
+                dropped.alias("n_dropped"),
+                (n_in - dropped).alias("n_out"),
+            )
+        )
+        n_in = n_in - dropped
+    return a.select(F.explode(F.array(*stages)).alias("s")).select("s.*")

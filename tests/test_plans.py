@@ -1,0 +1,75 @@
+"""Physical-plan regression tests: the properties that make the
+headline queries scale — filter pushdown to the parquet scan, column
+pruning, broadcast of small sides, and the absence of accidental
+cartesian products — asserted on the actual executed plans so a
+refactor that silently loses one fails the suite, not the 100 TB run.
+"""
+
+from __future__ import annotations
+
+from openmetrics_spark.queries import all_queries
+
+Q = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = Q[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_pushes_filters_to_scan(spark, sf_dir):
+    # mktsegment + the two date predicates must reach the parquet
+    # scans — a plan that filters after a full read does 100x the IO.
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan, plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+
+
+def test_q5_broadcasts_dimension_tables(spark, sf_dir):
+    # region/nation/supplier are dimension-sized at every SF: the join
+    # tree must broadcast them, never shuffle lineitem on their keys.
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sample_scan_prunes_columns(spark, sf_dir):
+    # corpus_sample_stratified projects 3 columns; the scan must not
+    # read `text` (the wide column that dominates documents IO).
+    plan = _plan(spark, sf_dir, "corpus_sample_stratified")
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" not in scan, scan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    # the benchmark n-gram set is tiny; the overlap join must be a
+    # broadcast hash join, not a shuffled one.
+    plan = _plan(spark, sf_dir, "doc_decontaminate")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_dedup_paths_have_no_cartesian(spark, sf_dir):
+    # every near-dup candidate generator is a bucketed equi-join; a
+    # CartesianProduct anywhere means the blocking broke.
+    for name in (
+        "ngram_jaccard_neardup",
+        "minhash_lsh_neardup",
+        "simhash_neardup",
+        "ann_lsh_topk",
+    ):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_content_lookup_uses_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "content_lookup_enrich")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_event_scan_prunes_props(spark, sf_dir):
+    # hourly_event_metrics never touches the wide props JSON column —
+    # the scan schema must exclude it.
+    plan = _plan(spark, sf_dir, "hourly_event_metrics")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "events" in plan:
+            assert "props" not in line, line

@@ -42,29 +42,25 @@ def main() -> int:
         .select(F.md5("text"), F.split(F.lower("text"), "[^a-z0-9]+"))
         .write.format("noop").mode("overwrite").save()
     )
-    # second warmup leg: the higher-order-function interpreter
-    # (transform/slice/array_join), explode, hash-join and hash-agg
-    # code paths — these JIT lazily and otherwise bill their one-time
-    # compilation to the first query that touches them (measured ~6s
-    # of the ngram query's first run vs ~2.5s steady-state at sf0.1).
-    # 64 rows: compute cost is nil, only the code paths matter.
-    (
+    # second warmup leg: run the HEAVIEST query's real shape over a
+    # small spread sample. The higher-order-function interpreter,
+    # explode, md5/conv, hash-join and hash-agg loops all JIT lazily,
+    # and C2 only compiles after ~10k invocations — a 64-row touch
+    # leaves the compile cost billed to the first measured query
+    # (measured ~3s of ngram's first run vs ~2s steady-state at
+    # sf0.1). 1024 docs × ~45 shingles crosses the compile threshold
+    # for every hot loop; the repartition matters because limit()
+    # collapses to one partition and would serialize the warmup.
+    from openmetrics_spark.llm.dedup import ngram_jaccard_pairs
+
+    warm_docs = (
         table(spark, sf_dir, "documents")
-        .limit(64)
-        .select(
-            F.col("doc_id").alias("doc"),
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.lit(3)),
-                        lambda i: F.array_join(
-                            F.slice(F.split(F.lower("text"), "[^a-z0-9]+"), i, 3), " "
-                        ),
-                    )
-                )
-            ).alias("g"),
-        )
-        .select("doc", F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("s"))
+        .limit(1024)
+        .repartition(64)
+        .select("doc_id", "text")
+    )
+    (
+        ngram_jaccard_pairs(warm_docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     )
 

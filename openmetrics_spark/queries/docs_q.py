@@ -688,3 +688,51 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max("qv").alias("q_max"),
         F.round(F.sqrt(err2 / F.size("unit")), 6).alias("quant_rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall measurement — "measure, don't guess": the quality metric
+# that justifies shipping the LSH path at scale. Joins the approximate
+# top-k against the exact baseline and reports recall@5 per query.
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    return f"""
+WITH exact AS ({_ANN_ORACLE}), approx AS ({_lsh_oracle()}), hit AS (
+  SELECT e.query_id, count(*) AS c
+  FROM exact e JOIN approx a USING (query_id, neighbor_id)
+  GROUP BY 1
+)
+SELECT q.query_id,
+       CAST(coalesce(hit.c, 0) AS BIGINT) AS n_hit,
+       round(coalesce(hit.c, 0) / 5.0, 6) AS recall
+FROM (SELECT DISTINCT query_id FROM exact) q
+LEFT JOIN hit USING (query_id)
+"""
+
+
+@register("ann_lsh_recall", oracle=_recall_oracle(), tags=("llm", "similarity"))
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of single-probe LSH vs the exact brute-force top-5,
+    per query — the acceptance metric for an approximate index. Both
+    sides are the already-oracled queries; the comparison is a
+    left-semi join on (query, neighbor) plus a per-query count, all
+    over k×|queries| rows (tiny at any corpus scale)."""
+    exact = ann_brute_topk(spark, sf_dir)
+    approx = ann_lsh_topk(spark, sf_dir)
+    hits = (
+        exact.join(
+            approx.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = exact.select("query_id").distinct()
+    return base.join(hits, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hit"),
+        F.round(F.coalesce(F.col("c"), F.lit(0)) / 5.0, 6).alias("recall"),
+    )

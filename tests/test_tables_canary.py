@@ -64,3 +64,51 @@ def test_ts_shape_normalized(spark, tmp_path, label, arrow_type):
         .collect()
     )
     assert [r.ms for r in rows] == EXPECTED_MS, label
+
+
+# ---------------------------------------------------------------------------
+# Whole-testdata schema canary: every table the queries read, at every
+# SF the driver uses, must load through tables.table() with the columns
+# the query surface depends on. A regenerated testdata directory that
+# drops/renames/retypes a load-bearing column fails here first.
+# ---------------------------------------------------------------------------
+
+EXPECTED_COLS = {
+    "region": {"r_regionkey", "r_name"},
+    "nation": {"n_nationkey", "n_name", "n_regionkey"},
+    "customer": {"c_custkey", "c_name", "c_nationkey", "c_mktsegment", "c_acctbal"},
+    "supplier": {"s_suppkey", "s_name", "s_nationkey"},
+    "part": {"p_partkey", "p_name", "p_brand", "p_type", "p_size"},
+    "orders": {"o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"},
+    "lineitem": {
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_shipdate", "l_returnflag",
+    },
+    "events": {"event_id", "ts", "user_id", "event_type", "value", "props"},
+    "documents": {"doc_id", "text", "lang", "source", "n_chars"},
+    "embeddings": {"vec_id", "embedding", "label"},
+}
+
+
+def test_all_tables_load_with_expected_columns(spark):
+    import os
+
+    from pyspark.sql import types as T
+
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        if not os.path.isdir(sf_dir):
+            continue
+        for name, want in EXPECTED_COLS.items():
+            df = tables.table(spark, sf_dir, name)
+            have = set(df.columns)
+            missing = want - have
+            assert not missing, f"{sf}/{name} missing columns: {missing}"
+        ev = tables.table(spark, sf_dir, "events")
+        assert isinstance(ev.schema["ts"].dataType, T.TimestampType), (
+            sf, ev.schema["ts"].dataType,
+        )
+        emb = tables.table(spark, sf_dir, "embeddings")
+        assert isinstance(emb.schema["embedding"].dataType, T.ArrayType), (
+            sf, emb.schema["embedding"].dataType,
+        )

@@ -416,3 +416,91 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         n_in = n_in - dropped
     return a.select(F.explode(F.array(*stages)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# doc_dup_span_coverage — duplicate-substring coverage (Lee et al.
+# 2022, "Deduplicating Training Data Makes Language Models Better":
+# exact repeated substrings are the strongest dedup signal). Instead
+# of a distributed suffix array, hash every `_SPAN_N`-token window
+# (stride 1) and measure, per doc, the fraction of windows whose hash
+# also occurs in ANOTHER doc — the fraction of the doc covered by
+# cross-document repeated text.
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 20
+
+_SPAN_SQL_HASH = (
+    "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+20)], ' ')), 1, 15))"
+    " AS BIGINT)"
+)
+
+_SPAN_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_transform(range(len(tok) - {_SPAN_N - 1}),
+                        i -> {_SPAN_SQL_HASH}) AS ws
+  FROM t WHERE len(tok) >= {_SPAN_N}
+), p AS (
+  SELECT doc_id, unnest(ws) AS w FROM g
+), pc AS (
+  SELECT doc_id, w, count(*) AS c FROM p GROUP BY 1, 2
+), df AS (
+  SELECT w, count(*) AS d FROM pc GROUP BY 1
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_windows,
+       CAST(coalesce(sum(c) FILTER (WHERE d >= 2), 0) AS BIGINT)
+         AS n_dup_windows,
+       round(coalesce(sum(c) FILTER (WHERE d >= 2), 0)
+             / CAST(sum(c) AS DOUBLE), 6) AS dup_frac
+FROM pc JOIN df USING (w)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_dup_span_coverage", oracle=_SPAN_ORACLE, tags=("llm", "dedup")
+)
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 20-token windows whose hash occurs in
+    another document — substring-level duplicate coverage, the signal
+    Lee et al. remove with a suffix array, re-expressed as two
+    map-side-combinable aggregates over (doc, window-hash) pairs.
+
+    Scale shape: windows never leave their doc as strings — the
+    posting rows are (doc, long, count); cross-doc document frequency
+    is a second groupBy on the hash; the re-join is hash-partitioned
+    on the same key it was just aggregated on. Stride-1 windows mean
+    ~1 row per token: the posting list is the tokenized corpus size,
+    same order as the n-gram dedup index."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    idx = F.when(
+        F.size(tok) >= _SPAN_N,
+        F.sequence(F.lit(1), F.size(tok) - (_SPAN_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(tok, i, _SPAN_N), " ")
+    )
+    p = docs.select(
+        F.col("doc_id").alias("doc_id"), F.explode(grams).alias("g")
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("w"),
+    )
+    pc = p.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    df_ = pc.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    dup_c = F.sum(F.when(F.col("d") >= 2, F.col("c")).otherwise(0))
+    return (
+        pc.join(df_, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_windows"),
+            dup_c.alias("n_dup_windows"),
+            F.round(dup_c / F.sum("c").cast("double"), 6).alias("dup_frac"),
+        )
+    )

@@ -65,6 +65,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_q,
         counter_q,
         docs_q,
+        sql_surface_q,
         events_q,
         media_q,
         tpch,

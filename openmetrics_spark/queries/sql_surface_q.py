@@ -1,0 +1,162 @@
+"""Extended SQL analytics surface: percentiles, ROLLUP, pivot,
+histogram — the reporting shapes (§2.6 adjacents) a metrics consumer
+writes against the event store once the core pipeline delivers it.
+
+All follow the registry conventions: epoch-millis day keys via
+``unix_millis(ts) div`` so both engines hash identical longs, doubles
+rounded in both engines, DuckDB SUM(BIGINT) widened back to BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import table
+
+_DAY_MS = 86_400_000
+
+
+# ---------------------------------------------------------------------------
+# value_percentiles_by_type — exact percentiles (interpolated), the
+# latency/value distribution report.
+# ---------------------------------------------------------------------------
+
+_PCT_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.9), 4) AS p90,
+       round(quantile_cont(value, 0.99), 4) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("value_percentiles_by_type", oracle=_PCT_ORACLE, tags=("metrics",))
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact p50/p90/p99 of `value` (linear
+    interpolation — Spark `percentile` and DuckDB `quantile_cont`
+    agree bit-for-bit after rounding). Exact percentile sorts within
+    each group; at 100 TB the drop-in scale path is
+    `approx_percentile(value, ..., accuracy)` — same query shape, no
+    per-group sort, mergeable sketches — which we don't oracle-gate
+    because the sketch isn't reproducible in DuckDB."""
+    ev = table(spark, sf_dir, "events")
+    p = F.expr("percentile(value, array(0.5, 0.9, 0.99))")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(p[0], 4).alias("p50"),
+        F.round(p[1], 4).alias("p90"),
+        F.round(p[2], 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily_rollup_metrics — ROLLUP(day, event_type) with subtotal rows
+# ---------------------------------------------------------------------------
+
+_ROLLUP_ORACLE = f"""
+SELECT (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_ms,
+       event_type,
+       CAST(grouping(event_type) AS BIGINT) AS is_subtotal,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events
+GROUP BY ROLLUP ((epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS}, event_type)
+HAVING day_ms IS NOT NULL
+"""
+
+
+@register("daily_rollup_metrics", oracle=_ROLLUP_ORACLE, tags=("metrics",))
+def daily_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day × event-type metrics with per-day subtotal rows via ROLLUP
+    — one pass, Spark's Expand operator emits both grouping sets into
+    the same map-side partial aggregation (two shuffled rows per
+    input row, never two scans). The grand-total row is dropped so
+    the output keys stay non-null for the hash compare."""
+    ev = table(spark, sf_dir, "events")
+    day = ((F.unix_millis("ts") / _DAY_MS).cast("long") * _DAY_MS).alias(
+        "day_ms"
+    )
+    return (
+        ev.select(day, "event_type", "value")
+        .rollup("day_ms", "event_type")
+        .agg(
+            F.grouping("event_type").cast("long").alias("is_subtotal"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .filter(F.col("day_ms").isNotNull())
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily_type_pivot — wide per-day table (explicit CASE pivot)
+# ---------------------------------------------------------------------------
+
+_PIVOT_ORACLE = f"""
+SELECT (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_ms,
+       CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+       CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+         AS purchases,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+         AS revenue
+FROM events
+GROUP BY 1
+"""
+
+
+@register("daily_type_pivot", oracle=_PIVOT_ORACLE, tags=("metrics",))
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot of the event stream: one row per day, one
+    column per event type. Written as conditional aggregates (the
+    plan `df.groupBy().pivot(...)` produces anyway when the pivot
+    values are known) so the column set is static — on a cluster the
+    unknown-values `pivot()` needs an extra distinct pass first."""
+    ev = table(spark, sf_dir, "events")
+    day = ((F.unix_millis("ts") / _DAY_MS).cast("long") * _DAY_MS).alias(
+        "day_ms"
+    )
+    t = F.col("event_type")
+    return ev.select(day, "event_type", "value").groupBy("day_ms").agg(
+        F.sum(F.when(t == "view", 1).otherwise(0)).alias("views"),
+        F.sum(F.when(t == "click", 1).otherwise(0)).alias("clicks"),
+        F.sum(F.when(t == "purchase", 1).otherwise(0)).alias("purchases"),
+        F.round(
+            F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)), 2
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# value_histogram — fixed-width bucket histogram of `value`
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = 25.0
+
+_HIST_ORACLE = f"""
+SELECT CAST(floor(value / {_HIST_BUCKET}) AS BIGINT) AS bucket,
+       round(CAST(floor(value / {_HIST_BUCKET}) AS BIGINT) * {_HIST_BUCKET}, 2)
+         AS bucket_lo,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY 1
+"""
+
+
+@register("value_histogram", oracle=_HIST_ORACLE, tags=("metrics",))
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of `value` — a single map-side-combined
+    aggregate over a derived bucket key; the classic profiling query
+    that must never sort or collect at scale."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / _HIST_BUCKET).cast("long")
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.round(
+            (F.col("bucket") * _HIST_BUCKET).cast("double"), 2
+        ).alias("bucket_lo"),
+        F.count(F.lit(1)).alias("n"),
+    )

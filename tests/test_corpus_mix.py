@@ -1,0 +1,78 @@
+"""Invariant tests for the corpus curation queries (corpus_mix_q) —
+the oracle gate proves value equality; these pin the semantic
+invariants a refactor could silently break while still matching a
+co-refactored oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from openmetrics_spark.queries import all_queries
+from openmetrics_spark.tables import table
+
+Q = all_queries()
+
+
+def _run(spark, sf_dir, name):
+    return Q[name].fn(spark, sf_dir)
+
+
+def test_decontaminate_excludes_benchmark_docs(spark, sf_dir):
+    out = _run(spark, sf_dir, "doc_decontaminate").collect()
+    assert out, "expected at least one contaminated doc in fixtures"
+    for r in out:
+        assert r["doc_id"] % 50 != 0, "benchmark doc leaked into output"
+        assert 1 <= r["n_overlap"] <= r["n_grams"]
+
+
+def test_pack_chunks_covers_every_doc_exactly_once(spark, sf_dir):
+    out = _run(spark, sf_dir, "corpus_pack_chunks")
+    n_docs_packed = out.agg(F.sum("n_docs")).collect()[0][0]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert n_docs_packed == n_docs
+    # chunks are dense per source: 0..max with no gaps
+    for r in (
+        out.groupBy("source")
+        .agg(F.min("chunk").alias("lo"), F.max("chunk").alias("hi"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    ):
+        assert r["lo"] == 0
+        assert r["n"] == r["hi"] + 1, f"gap in chunks for {r['source']}"
+
+
+def test_mix_weights_sum_to_one(spark, sf_dir):
+    out = _run(spark, sf_dir, "domain_mix_weights")
+    total = out.agg(F.sum("weight")).collect()[0][0]
+    assert abs(total - 1.0) < 1e-3
+    assert out.filter(F.col("weight") <= 0).count() == 0
+
+
+def test_stratified_sample_is_deterministic(spark, sf_dir):
+    a = sorted(r["doc_id"] for r in _run(spark, sf_dir, "corpus_sample_stratified").collect())
+    b = sorted(r["doc_id"] for r in _run(spark, sf_dir, "corpus_sample_stratified").collect())
+    assert a == b and a, "hash sampling must be replayable"
+
+
+def test_funnel_stages_chain(spark, sf_dir):
+    rows = sorted(
+        _run(spark, sf_dir, "quality_filter_funnel").collect(),
+        key=lambda r: r["stage"],
+    )
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert rows[0]["n_in"] == n_docs
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev["n_out"] == cur["n_in"], "funnel stages must chain"
+    for r in rows:
+        assert r["n_out"] == r["n_in"] - r["n_dropped"]
+        assert r["n_dropped"] >= 0
+
+
+def test_dup_span_frac_bounds(spark, sf_dir):
+    out = _run(spark, sf_dir, "doc_dup_span_coverage").collect()
+    assert out
+    for r in out:
+        assert 0 <= r["n_dup_windows"] <= r["n_windows"]
+        assert 0.0 <= r["dup_frac"] <= 1.0

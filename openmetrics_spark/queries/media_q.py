@@ -202,3 +202,55 @@ def multimodal_av_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_px", 6).alias("metric_b"),
     )
     return audio.unionByName(video)
+
+
+# ---------------------------------------------------------------------------
+# Resize path: normalize to "training resolution" then re-extract
+# stats. Nearest-neighbor index math (src index = out_index * in / out,
+# floored) is integer-exact, so SQL rebuilds the resized pixels from
+# the source bytes and the whole decode → resize → re-encode → decode
+# chain gets a value-level oracle.
+# ---------------------------------------------------------------------------
+
+_R_SIDE = 8  # 32x32 -> 8x8: index stride 4
+
+_RESIZE_ORACLE = f"""
+WITH px AS (
+  SELECT doc_id,
+         list_transform(split(text[1:{_SIDE * _SIDE}], ''), x -> ord(x)) AS p,
+         least(length(text), {_SIDE * _SIDE}) AS n
+  FROM documents
+), r AS (
+  SELECT doc_id, list_transform(range({_R_SIDE * _R_SIDE}),
+      k -> CASE WHEN ((k // {_R_SIDE}) * 4) * {_SIDE} + (k % {_R_SIDE}) * 4 + 1 <= n
+                THEN p[((k // {_R_SIDE}) * 4) * {_SIDE} + (k % {_R_SIDE}) * 4 + 1]
+                ELSE 0 END) AS q
+  FROM px
+)
+SELECT doc_id,
+       round(list_sum(q) / {_R_SIDE * _R_SIDE}.0, 6) AS mean_px,
+       round(sqrt(
+         list_sum(list_transform(q, x -> CAST(x AS DOUBLE) * x))
+           / {_R_SIDE * _R_SIDE}.0
+         - (list_sum(q) / {_R_SIDE * _R_SIDE}.0) ^ 2
+       ), 6) AS std_px
+FROM r
+"""
+
+
+@register(
+    "multimodal_resize_stats", oracle=_RESIZE_ORACLE, tags=("llm", "multimodal")
+)
+def multimodal_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decode → nearest-neighbor resize (32×32 → 8×8) → re-encode →
+    decode → stats, all in Arrow-batched mapInPandas over the binary
+    column. The oracle picks the identical stride-4 source pixels out
+    of the document bytes, value-checking the full resize pipeline."""
+    media = media_from_documents(spark, sf_dir)
+    resized = ops.resize_images(media, _R_SIDE, _R_SIDE)
+    stats = ops.decode_stats(resized)
+    return stats.select(
+        F.col("media_id").alias("doc_id"),
+        F.round("mean_px", 6).alias("mean_px"),
+        F.round("std_px", 6).alias("std_px"),
+    )

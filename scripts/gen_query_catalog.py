@@ -1,6 +1,11 @@
 """Regenerate docs/QUERIES.md from the query registry."""
 
-from openmetrics_spark.queries import all_queries
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from openmetrics_spark.queries import all_queries  # noqa: E402
 
 
 def main() -> None:
@@ -36,8 +41,9 @@ def main() -> None:
                 f"{'sql' if s.oracle else 'rows-only'} | {doc} |"
             )
         lines.append("")
-    open("docs/QUERIES.md", "w").write("\n".join(lines))
-    print(f"wrote docs/QUERIES.md ({len(qs)} queries)")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "docs", "QUERIES.md")
+    open(out, "w").write("\n".join(lines))
+    print(f"wrote {out} ({len(qs)} queries)")
 
 
 if __name__ == "__main__":

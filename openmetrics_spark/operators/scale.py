@@ -87,3 +87,26 @@ def bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     """Read a bucketed table back with its bucket spec intact (a plain
     ``read.parquet`` of the same files would lose it)."""
     return spark.table(name)
+
+
+def optimize_layout(
+    df: DataFrame, sort_cols: list[str], n_files: int | None = None
+) -> DataFrame:
+    """Cluster data for min/max data skipping: range-partition on the
+    sort key so each output file owns a disjoint key range, then sort
+    within partitions so every parquet ROW GROUP's min/max stats are
+    tight. A point or range predicate on the sort key then prunes
+    whole files (and row groups within files) at scan time — the same
+    layout optimization Delta's OPTIMIZE ZORDER / Hudi clustering
+    perform, reduced to its single-column Spark-native core.
+
+    The range partitioner samples the key distribution, so skew in the
+    sort key yields balanced files without manual bounds. Write the
+    result with a plain ``.write.parquet`` — no table format needed
+    for the stats to be written and used."""
+    parted = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    return parted.sortWithinPartitions(*sort_cols)

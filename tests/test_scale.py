@@ -106,3 +106,36 @@ def test_bucketed_groupby_has_no_exchange(spark, sf_dir, tmp_path):
         assert _rows(agg) == _rows(want)
     finally:
         spark.sql("DROP TABLE IF EXISTS t_li_bucketed_agg")
+
+
+def test_optimize_layout_makes_file_stats_disjoint(spark, sf_dir, tmp_path):
+    import pyarrow.parquet as pq
+    from pathlib import Path
+
+    from openmetrics_spark.operators.scale import optimize_layout
+
+    ev = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    out = str(tmp_path / "clustered")
+    optimize_layout(ev, ["user_id"], n_files=4).write.parquet(out)
+
+    # each output file must own a user_id range that doesn't overlap
+    # any other file's — that's what makes scan-time pruning effective
+    ranges = []
+    for f in sorted(Path(out).glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        names = md.schema.to_arrow_schema().names
+        idx = names.index("user_id")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 2, "expected multiple clustered files"
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {(lo1, hi1)} vs {(lo2, hi2)}"
+
+    # and the layout changes nothing semantically
+    assert spark.read.parquet(out).count() == ev.count()

@@ -160,3 +160,49 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket_lo"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# user_retention_cohorts — cohort users by first-seen day, count who
+# return N days later
+# ---------------------------------------------------------------------------
+
+_RETENTION_ORACLE = f"""
+WITH a AS (
+  SELECT DISTINCT user_id, (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_ms
+  FROM events
+), first_seen AS (
+  SELECT user_id, min(day_ms) AS cohort_ms FROM a GROUP BY user_id
+)
+SELECT f.cohort_ms,
+       CAST((a.day_ms - f.cohort_ms) // {_DAY_MS} AS BIGINT) AS day_offset,
+       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM a JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register("user_retention_cohorts", oracle=_RETENTION_ORACLE, tags=("metrics",))
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic retention triangle: users cohorted by first active day,
+    active-user counts per (cohort, day offset). Two passes over the
+    deduped (user, day) activity frame — the first-seen aggregate is
+    one row per user, which at any scale is dimension-sized next to
+    the event stream, so the re-join hash-partitions on user_id and
+    AQE broadcasts it when it fits."""
+    ev = table(spark, sf_dir, "events")
+    a = ev.select(
+        "user_id",
+        ((F.unix_millis("ts") / _DAY_MS).cast("long") * _DAY_MS).alias("day_ms"),
+    ).distinct()
+    first_seen = a.groupBy("user_id").agg(F.min("day_ms").alias("cohort_ms"))
+    return (
+        a.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_ms",
+            ((F.col("day_ms") - F.col("cohort_ms")) / _DAY_MS)
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

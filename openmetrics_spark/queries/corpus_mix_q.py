@@ -51,7 +51,7 @@ from openmetrics_spark.tables import spread_for_compute, table
 # ---------------------------------------------------------------------------
 
 _DECONTAM_N = 5
-_BENCH_MOD = 50  # doc_id % 50 == 0 stands in for the eval benchmark
+_BENCH_MOD = 10  # doc_id % 10 == 0 stands in for the eval benchmark
 
 _DECONTAM_SQL_HASH = (
     "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+5)], ' ')), 1, 15))"

@@ -63,6 +63,21 @@ def main() -> int:
         ngram_jaccard_pairs(warm_docs, "doc_id", "text")
         .write.format("noop").mode("overwrite").save()
     )
+    # third warmup leg: the zip_with/aggregate dot-product loops of the
+    # ANN queries JIT separately from the ngram paths (same reasoning —
+    # 512 vectors × queries × 64 dims crosses the compile threshold).
+    from openmetrics_spark.llm.similarity import brute_topk
+
+    warm_emb = (
+        table(spark, sf_dir, "embeddings").limit(512).repartition(32)
+    )
+    (
+        brute_topk(
+            warm_emb, "vec_id", "embedding",
+            warm_emb.select("vec_id").filter(F.col("vec_id") < 10),
+        )
+        .write.format("noop").mode("overwrite").save()
+    )
 
     specs = {n: s for n, s in all_queries().items() if s.headline}
     times: dict[str, float] = {}

@@ -66,6 +66,7 @@ def all_queries() -> dict[str, QuerySpec]:
         counter_q,
         docs_q,
         sql_surface_q,
+        streaming_q,
         events_q,
         media_q,
         tpch,

@@ -1,0 +1,166 @@
+"""Streaming pipelines surfaced as driver-checkable queries.
+
+The streaming twins are proven stream=batch by the pytest suite; these
+entries put the same claim in the driver's DuckDB oracle gate: each
+query runs a REAL Structured Streaming pipeline (file source staged
+into ordered time slices + a far-future sentinel that flushes every
+watermark, multi-batch via maxFilesPerTrigger, checkpointed) to
+completion, reads the sink back, and returns it — and the oracle
+recomputes the same result relationally. On bounded input with the
+sentinel flush, event-time streaming semantics are exactly the batch
+semantics, so the hash must match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from openmetrics_spark.jobs.streaming_flat_output import (
+    _drain,
+    _restage,
+    _stream,
+)
+from openmetrics_spark.queries import register
+from openmetrics_spark.tables import table
+
+HOUR_MS = 3_600_000
+
+
+def _staged_events(spark: SparkSession, sf_dir: str, work: str) -> str:
+    """Stage the events table as an ordered multi-slice file stream
+    keyed by a string content id (user_id stands in for content)."""
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("content_id"),
+        "ts",
+        "event_type",
+        "value",
+        F.unix_millis("ts").alias("ms"),
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    path = os.path.join(work, "events")
+    _restage(spark, ev, path, "ms", grid, sentinel=True)
+    return path
+
+
+_STREAM_HOURLY_ORACLE = f"""
+SELECT CAST(user_id AS VARCHAR) AS content_id,
+       (epoch_ms(ts) // {HOUR_MS}) * {HOUR_MS} AS window_start_ms,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+         AS views,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+         AS navigates,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+         AS purchases,
+       CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value
+                           ELSE 0 END) * 100, 0) AS BIGINT) AS gmv_usd_cents
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_hourly_content_metrics",
+    oracle=_STREAM_HOURLY_ORACLE,
+    tags=("streaming", "metrics"),
+)
+def streaming_hourly_content_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The content-metrics hourly tumble executed as an actual
+    Structured Streaming query (watermark + tumbling window +
+    checkpoint, multi-batch file source) — the oracle recomputes it
+    relationally, so a watermark/flush bug that drops or double-counts
+    any window fails the hash compare, not just a unit test."""
+    from openmetrics_spark.jobs.streaming_content_metrics import _metric_aggs
+    from openmetrics_spark.streaming.ops import stream_tumbling_metrics
+
+    work = tempfile.mkdtemp(prefix="omx_stream_hourly_")
+    staged = _staged_events(spark, sf_dir, work)
+    agg = stream_tumbling_metrics(
+        _stream(spark, staged),
+        ["content_id"],
+        "ts",
+        HOUR_MS,
+        _metric_aggs(),
+        delay_ms=2000,
+    )
+    out = os.path.join(work, "hourly")
+    _drain(agg, out, os.path.join(work, "_chk", "hourly"))
+    return (
+        spark.read.parquet(out)
+        .filter(~F.col("content_id").contains("zz"))
+        .select(
+            "content_id",
+            "window_start_ms",
+            "views",
+            "navigates",
+            "purchases",
+            "gmv_usd_cents",
+        )
+    )
+
+
+_STREAM_DEDUP_ORACLE = """
+SELECT user_id, event_type,
+       (epoch_ms(ts) // 86400000) * 86400000 AS day_ms,
+       min(epoch_ms(ts)) AS first_ms,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "streaming_keep_first",
+    oracle=_STREAM_DEDUP_ORACLE,
+    tags=("streaming", "dedup"),
+)
+def streaming_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KeepFirstRow as a watermarked streaming aggregation: per
+    (user, type, day window), the first event time plus the count of
+    arrivals it suppressed — a real multi-batch checkpointed streaming
+    query (append mode requires the event-time window in the grouping,
+    which is also exactly how the reference scopes dedup state to a
+    time range), verified against the relational min/count. State is
+    one row per open (key, window), closed by the watermark one delay
+    after each day ends — the sentinel flush stands in for the
+    steady stream that closes windows in production."""
+    work = tempfile.mkdtemp(prefix="omx_stream_kf_")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    agg = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 day").alias("__w"), "user_id", "event_type")
+        .agg(
+            F.min("ms").alias("first_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_millis("__w.start").alias("day_ms"),
+            "first_ms",
+            "n_events",
+        )
+    )
+    out = os.path.join(work, "kept")
+    _drain(agg, out, os.path.join(work, "_chk", "kept"))
+    kept = spark.read.parquet(out)
+    # the sentinel row (far-future flush) carries a synthetic key
+    return kept.filter(
+        ~F.col("event_type").contains("zz") & (F.col("user_id") >= 0)
+    ).select("user_id", "event_type", "day_ms", "first_ms", "n_events")

@@ -164,3 +164,58 @@ def streaming_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.filter(
         ~F.col("event_type").contains("zz") & (F.col("user_id") >= 0)
     ).select("user_id", "event_type", "day_ms", "first_ms", "n_events")
+
+
+_STREAM_SLIDING_ORACLE = """
+WITH b AS (
+  SELECT user_id, (epoch_ms(ts) // 900000) * 900000 AS bucket_ms,
+         count(*) AS bn
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT user_id, bucket_ms + i * 900000 AS emit_ms,
+       CAST(sum(bn) AS BIGINT) AS n
+FROM b, range(1, 5) r(i)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_sliding_counter",
+    oracle=_STREAM_SLIDING_ORACLE,
+    tags=("streaming", "counter"),
+)
+def streaming_sliding_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SlidingHourlyCounter as a real streaming query: trailing 1 h
+    count per user at every 15 m boundary via the built-in sliding
+    window (each event expands into 4 overlapping windows map-side,
+    partial-aggregated before the key shuffle), drained through the
+    staged multi-batch file source and hash-compared against the same
+    relational expansion the batch query oracles with. The streaming
+    twin's windows only emit once the watermark closes them, so this
+    row-for-row equality IS the watermark-correctness claim."""
+    from openmetrics_spark.streaming.ops import stream_sliding_counter
+
+    work = tempfile.mkdtemp(prefix="omx_stream_slide_")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    agg = stream_sliding_counter(
+        _stream(spark, staged),
+        ["user_id"],
+        "ts",
+        window_ms=3_600_000,
+        slide_ms=900_000,
+        delay_ms=2000,
+    )
+    out = os.path.join(work, "n")
+    _drain(agg, out, os.path.join(work, "_chk", "n"))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "emit_ms", "n")
+    )

@@ -219,3 +219,60 @@ def streaming_sliding_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") >= 0)
         .select("user_id", "emit_ms", "n")
     )
+
+
+_STREAM_CUMULATE_ORACLE = """
+WITH h AS (
+  SELECT user_id, (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
+         count(*) AS ne
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT (window_ms // 86400000) * 86400000 AS period_ms, window_ms, user_id,
+       CAST(sum(ne) OVER (
+         PARTITION BY user_id, window_ms // 86400000 ORDER BY window_ms
+       ) AS BIGINT) AS n
+FROM h
+"""
+
+
+@register(
+    "streaming_cumulate_hourly",
+    oracle=_STREAM_CUMULATE_ORACLE,
+    tags=("streaming", "metrics"),
+)
+def streaming_cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flink's CUMULATE window — the shape Spark lacks natively — as
+    the custom `applyInPandasWithState` state machine, run as a real
+    streaming query and hash-compared against the relational running
+    sum. This is the hardest operator in the streaming surface (timer
+    emulation, step finalization at the watermark, O(open steps)
+    state), so putting its sink in the oracle gate is the strongest
+    single correctness claim the streaming side makes."""
+    from openmetrics_spark.streaming.stateful import stream_cumulate_counter
+
+    work = tempfile.mkdtemp(prefix="omx_stream_cum_")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    cum = stream_cumulate_counter(
+        _stream(spark, staged),
+        key_col="user_id",
+        ts_col="ts",
+        step_ms=3_600_000,
+        period_ms=86_400_000,
+        delay_ms=2000,
+    )
+    out = os.path.join(work, "cum")
+    _drain(cum, out, os.path.join(work, "_chk", "cum"))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("key") >= 0)
+        .select(
+            "period_ms", "window_ms", F.col("key").alias("user_id"), "n"
+        )
+    )

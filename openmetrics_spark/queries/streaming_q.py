@@ -276,3 +276,89 @@ def streaming_cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "period_ms", "window_ms", F.col("key").alias("user_id"), "n"
         )
     )
+
+
+def _drain_updates(sdf: DataFrame, path: str, chk: str) -> None:
+    """Drain an UPDATE-mode stateful stream by appending each
+    micro-batch's emissions to parquet via foreachBatch — the same
+    idempotent-append pattern the counter job's Redis writer uses
+    (replays tolerated because downstream takes the latest per key)."""
+
+    def write(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    q = (
+        sdf.writeStream.foreachBatch(write)
+        .option("checkpointLocation", chk)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+_WEEK_MS = 604_800_000
+_MIN15_MS = 900_000
+
+_STREAM_LTC_ORACLE = f"""
+WITH b AS (
+  SELECT user_id, epoch_ms(ts) AS ms,
+         (epoch_ms(ts) // {_MIN15_MS}) * {_MIN15_MS} AS bucket
+  FROM events
+), a AS (
+  SELECT user_id, max(ms) AS last_ms FROM b GROUP BY 1
+)
+SELECT b.user_id, a.last_ms,
+       CAST(sum(CASE WHEN b.bucket > a.last_ms - {_WEEK_MS}
+                      AND b.bucket <= a.last_ms THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_horizon
+FROM b JOIN a USING (user_id)
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "streaming_last_time_and_count",
+    oracle=_STREAM_LTC_ORACLE,
+    tags=("streaming", "counter"),
+)
+def streaming_last_time_and_count(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LastTimeAndCount — per key, last event time + trailing-window
+    count in bucket-granular substate — run as the real
+    applyInPandasWithState machine in update mode, drained through
+    foreachBatch, with the LAST emission per key (max last_ms)
+    hash-compared against the relational anchor-trailing count. The
+    bucket-granular horizon (15 m buckets, 1 w window) mirrors the
+    reference's day-granular 90 d substate exactly."""
+    from openmetrics_spark.streaming.stateful import stream_last_time_and_count
+
+    work = tempfile.mkdtemp(prefix="omx_stream_ltc_")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    updates = stream_last_time_and_count(
+        _stream(spark, staged),
+        "user_id",
+        "ts",
+        bucket_ms=_MIN15_MS,
+        horizon_ms=_WEEK_MS,
+        delay_ms=2000,
+    )
+    out = os.path.join(work, "ltc")
+    _drain_updates(updates, out, os.path.join(work, "_chk", "ltc"))
+    final = (
+        spark.read.parquet(out)
+        .filter(F.col("key") >= 0)
+        .groupBy("key")
+        .agg(F.max_by(F.struct("last_ms", "n_horizon"), "last_ms").alias("s"))
+    )
+    return final.select(
+        F.col("key").alias("user_id"), F.col("s.last_ms").alias("last_ms"),
+        F.col("s.n_horizon").alias("n_horizon"),
+    )

@@ -504,3 +504,106 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dup_c / F.sum("c").cast("double"), 6).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_bpe_first_merges — the inner step of a BPE tokenizer build:
+# count adjacent token pairs across the corpus, rank the top merges.
+# ---------------------------------------------------------------------------
+
+_BPE_ORACLE = """
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS tok FROM documents
+), p AS (
+  SELECT unnest(list_transform(range(len(tok) - 1),
+                               i -> tok[i+1] || ' ' || tok[i+2])) AS pair
+  FROM t WHERE len(tok) >= 2
+), c AS (
+  SELECT pair, count(*) AS freq FROM p GROUP BY pair
+)
+SELECT pair, freq, rank FROM (
+  SELECT pair, freq,
+         CAST(row_number() OVER (ORDER BY freq DESC, pair) AS BIGINT) AS rank
+  FROM c
+)
+WHERE rank <= 50
+"""
+
+
+@register("corpus_bpe_first_merges", oracle=_BPE_ORACLE, tags=("llm", "text"))
+def corpus_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent token pairs by corpus frequency — the counting
+    pass of a BPE merge iteration (Sennrich et al. 2016). One explode
+    of per-row bigrams into a map-side-combined count; the global
+    top-50 runs as TakeOrderedAndProject over the aggregated pair
+    vocabulary, never the raw pair stream."""
+    from pyspark.sql import Window
+
+    from openmetrics_spark.llm.text import ngrams
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    pairs = (
+        docs.select(ngrams(tokens("text"), 2).alias("g"))
+        .select(F.explode("g").alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = pairs.orderBy(F.col("freq").desc(), F.col("pair")).limit(50)
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# doc_unigram_logprob — perplexity-proxy quality scoring (the CCNet
+# recipe, Wenzek et al. 2020: score documents under a language model
+# and filter the tail; here the LM is the corpus's own unigram model).
+# ---------------------------------------------------------------------------
+
+_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(tok) AS token FROM t
+), v AS (
+  SELECT token, count(*) AS c FROM u GROUP BY token
+), tot AS (
+  SELECT sum(c) AS n FROM v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(-ln(c / CAST(n AS DOUBLE))) / count(*), 4)
+         AS avg_neg_logprob
+FROM u JOIN v USING (token), tot
+GROUP BY doc_id
+"""
+
+
+@register("doc_unigram_logprob", oracle=_LOGPROB_ORACLE, tags=("llm", "text"))
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-probability of each document under the
+    corpus unigram model — the perplexity-filtering signal. Pass 1
+    builds the (token, count) vocabulary (map-side combined); pass 2
+    re-joins it to the token stream and averages per doc. The
+    vocabulary is Zipf-skewed — the hot tokens ('the') dominate the
+    join key distribution — which AQE's skew-join split absorbs; at a
+    capped vocab the table broadcasts instead. Rounded to 4 dp so the
+    two engines' ln()/summation agree bit-for-bit after rounding."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    u = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("token")
+    )
+    v = u.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = v.agg(F.sum("c").alias("n"))
+    scored = (
+        u.join(v, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            (-F.log(F.col("c") / F.col("n").cast("double"))).alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("nlp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
+    )

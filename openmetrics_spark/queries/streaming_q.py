@@ -362,3 +362,89 @@ def streaming_last_time_and_count(
         F.col("key").alias("user_id"), F.col("s.last_ms").alias("last_ms"),
         F.col("s.n_horizon").alias("n_horizon"),
     )
+
+
+def _inferred_oracle() -> str:
+    from openmetrics_spark.queries.events_q import _INFERRED_ORACLE
+
+    return _INFERRED_ORACLE
+
+
+@register(
+    "streaming_inferred_attribution",
+    oracle=_inferred_oracle(),
+    tags=("streaming", "join"),
+)
+def streaming_inferred_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The BaseInferred state machine — scope-fallback (user, k) →
+    (user) nearest-prior-view attribution of clicks — run as the real
+    transform-with-state streaming twin over the staged multi-batch
+    source, sharing the BATCH query's DuckDB oracle: on in-order
+    bounded replay the watermark-driven decisions equal the batch
+    nearest-pick exactly (the suite's parity test pins the same
+    claim), so the flagship custom streaming operator sits in the
+    driver's hash-compare gate, not just pytest. A far-future sentinel
+    VIEW advances the union watermark so every pending click decides."""
+    from openmetrics_spark.jobs.streaming_flat_output import SENTINEL_MS
+    from openmetrics_spark.streaming import stream_inferred_join
+
+    work = tempfile.mkdtemp(prefix="omx_stream_inf_")
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click"))
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "ts",
+            F.get_json_object("props", "$.k").alias("k"),
+            F.unix_millis("ts").alias("ms"),
+        )
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=False)
+    # sentinel VIEW (not the generic 'zz' row): it must survive the
+    # event_type filter to advance the single union watermark
+    spark.createDataFrame(
+        [(999_999_999, -1, "view", SENTINEL_MS)],
+        "event_id LONG, user_id LONG, event_type STRING, ms LONG",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.timestamp_millis(F.col("ms")).alias("ts"),
+        F.lit(None).cast("string").alias("k"),
+        "ms",
+    ).coalesce(1).write.mode("append").parquet(staged)
+
+    s = _stream(spark, staged)
+    joined = stream_inferred_join(
+        s.filter(F.col("event_type") == "view"),
+        s.filter(F.col("event_type") == "click"),
+        user_col="user_id",
+        left_id_col="event_id",
+        right_id_col="event_id",
+        left_ts_col="ts",
+        right_ts_col="ts",
+        scope_cols=("k",),
+        window_before_ms=600_000,
+        window_after_ms=0,
+        delay_ms=2000,
+    )
+    out = os.path.join(work, "attributed")
+    _drain(joined, out, os.path.join(work, "_chk", "attributed"))
+    return (
+        spark.read.parquet(out)
+        .filter(~F.col("late") & (F.col("u") >= 0))
+        .select(
+            F.col("right_id").alias("click_id"),
+            F.col("u").alias("user_id"),
+            F.col("right_ms").alias("click_ms"),
+            F.col("left_id").alias("view_id"),
+            F.col("left_ms").alias("view_ms"),
+        )
+    )

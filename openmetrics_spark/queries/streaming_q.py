@@ -448,3 +448,58 @@ def streaming_inferred_attribution(
             F.col("left_ms").alias("view_ms"),
         )
     )
+
+
+def _session_oracle() -> str:
+    from openmetrics_spark.queries.events_q import _SESSION_ORACLE
+
+    return _SESSION_ORACLE
+
+
+@register(
+    "streaming_session_rollup",
+    oracle=_session_oracle(),
+    tags=("streaming", "session"),
+)
+def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30 m-gap session windows as a real streaming aggregation
+    (`session_window` + watermark, append mode — sessions emit when
+    the watermark passes their close), sharing the batch query's
+    oracle: gap-merge semantics are identical, and reporting the
+    observed min/max event time (not the window bounds, which pad the
+    gap) makes the rollup row bit-identical to the relational
+    lag-based sessionization."""
+    work = tempfile.mkdtemp(prefix="omx_stream_sess_")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    agg = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("__w"), "user_id"
+        )
+        .agg(
+            F.min("ms").alias("session_start_ms"),
+            F.max("ms").alias("session_end_ms"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    out = os.path.join(work, "sessions")
+    _drain(agg, out, os.path.join(work, "_chk", "sessions"))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("user_id") >= 0)
+        .select(
+            "user_id",
+            "session_start_ms",
+            "session_end_ms",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -503,3 +503,73 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_STREAM_INTERVAL_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+  FROM events WHERE event_type = 'purchase'
+), c AS (
+  SELECT event_id AS click_id, user_id AS cuser, epoch_ms(ts) AS click_ms
+  FROM events WHERE event_type = 'click'
+)
+SELECT purchase_id, user_id, purchase_ms, click_id, click_ms
+FROM p JOIN c
+  ON user_id = cuser
+ AND click_ms >= purchase_ms - 3600000 AND click_ms < purchase_ms
+"""
+
+
+@register(
+    "streaming_interval_join",
+    oracle=_STREAM_INTERVAL_ORACLE,
+    tags=("streaming", "join"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (§2.7): purchases × the same
+    user's clicks in the trailing hour, as a REAL watermarked
+    stream-stream inner join — both sides' state bounded by the
+    watermark plus the hour range, the canonical Spark replacement
+    for the reference's interval-joined event pairs. Inner interval
+    joins emit exactly the matching pairs, so the hash compare against
+    the relational join is exact."""
+    work = tempfile.mkdtemp(prefix="omx_stream_ij_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    s = _stream(spark, staged)
+    purchases = (
+        s.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("pts"),
+            F.col("ms").alias("purchase_ms"),
+        )
+        .withWatermark("pts", "2 seconds")
+    )
+    clicks = (
+        s.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("cuser"),
+            F.col("ts").alias("cts"),
+            F.col("ms").alias("click_ms"),
+        )
+        .withWatermark("cts", "2 seconds")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cuser"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") < F.col("pts")),
+        "inner",
+    ).select("purchase_id", "user_id", "purchase_ms", "click_id", "click_ms")
+    out = os.path.join(work, "pairs")
+    _drain(joined, out, os.path.join(work, "_chk", "pairs"))
+    return spark.read.parquet(out).filter(F.col("user_id") >= 0)

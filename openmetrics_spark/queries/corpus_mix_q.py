@@ -607,3 +607,73 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum("nlp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_classifier — hash-trick linear model inference (the
+# fastText-style quality classifier pass of CCNet/GPT-3 curation;
+# weights here are a fixed deterministic function of the bucket so the
+# SQL oracle scores identically — the PLUMBING, hashing text into a
+# bounded feature space and scoring in one pass, is the real thing).
+# ---------------------------------------------------------------------------
+
+_CLS_BUCKETS = 4096
+_CLS_MIX = 2654435761  # Knuth multiplicative-hash constant
+
+_CLS_ORACLE = f"""
+WITH u AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token
+  FROM documents
+), f AS (
+  SELECT doc_id,
+         (CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT)
+          % {_CLS_BUCKETS}) AS b
+  FROM u
+), w AS (
+  SELECT doc_id,
+         (b * {_CLS_MIX}) % 2001 - 1000 AS wt
+  FROM f
+)
+SELECT doc_id, n_tokens,
+       CAST(floor(m * 10000.0 + 0.5) AS BIGINT) AS mean_weight_e4,
+       round(1.0 / (1.0 + exp(-m)), 4) AS prob
+FROM (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(wt) AS DOUBLE) / (1000.0 * count(*)) AS m
+  FROM w
+  GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "doc_quality_classifier", oracle=_CLS_ORACLE, tags=("llm", "text")
+)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear classifier inference over hash-trick token features —
+    one narrow pass: tokenize → bucket-hash each token into a 4096-dim
+    feature space → look the weight up as pure arithmetic (a broadcast
+    weight ARRAY in a trained deployment — same plan shape) → per-doc
+    mean + sigmoid. No shuffle except the per-doc aggregate; at 100 TB
+    this is the exact plumbing of a fastText quality-score pass."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    u = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    b = portable_hash60(F.col("token")) % _CLS_BUCKETS
+    # integer weights, summed exactly as BIGINT; the single double
+    # division at the end makes the mean bit-identical across engines
+    # (summing per-row double weights diverges by ~1 ulp in summation
+    # order, which flips round(4) on boundary values)
+    wt = (b * F.lit(_CLS_MIX)) % 2001 - 1000
+    scored = u.select("doc_id", wt.alias("wt"))
+    mean_w = F.sum("wt").cast("double") / (F.lit(1000.0) * F.count(F.lit(1)))
+    # mean in exact 1e-4 units: floor(x*1e4 + 0.5) is pure IEEE
+    # arithmetic, identical in any engine — round(x, 4) is NOT (Spark
+    # rounds the shortest decimal rendering via BigDecimal, DuckDB the
+    # binary double, and integer sums make exact .xxxx5 boundaries
+    # common enough to bite)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.floor(mean_w * 10000.0 + 0.5).cast("long").alias("mean_weight_e4"),
+        F.round(1.0 / (1.0 + F.exp(-mean_w)), 4).alias("prob"),
+    )

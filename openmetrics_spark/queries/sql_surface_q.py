@@ -206,3 +206,74 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_conversion — ordered view → click → purchase funnel
+# ---------------------------------------------------------------------------
+
+_FUNNEL_CONV_ORACLE = """
+WITH v AS (
+  SELECT user_id, min(epoch_ms(ts)) AS v_ms
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), c AS (
+  SELECT e.user_id, min(epoch_ms(ts)) AS c_ms
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE event_type = 'click' AND epoch_ms(ts) > v_ms
+  GROUP BY 1
+), p AS (
+  SELECT e.user_id, min(epoch_ms(ts)) AS p_ms
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE event_type = 'purchase' AND epoch_ms(ts) > c_ms
+  GROUP BY 1
+)
+SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage,
+       CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+UNION ALL SELECT 2, 'click_after_view', (SELECT count(*) FROM c)
+UNION ALL SELECT 3, 'purchase_after_click', (SELECT count(*) FROM p)
+"""
+
+
+@register("funnel_conversion", oracle=_FUNNEL_CONV_ORACLE, tags=("metrics",))
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked
+    after their first view, then purchased after that first
+    qualifying click. Three chained per-user min aggregates — each
+    stage's frame is one row per surviving user (dimension-sized next
+    to the event stream), so the stage joins hash-partition on
+    user_id and shrink monotonically; the final count rollup is
+    three scalars."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_millis("ts").alias("ms")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("v_ms"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ms") > F.col("v_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("c_ms"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ms") > F.col("c_ms"))
+        .groupBy("user_id")
+        .agg(F.min("ms").alias("p_ms"))
+    )
+    def stage(df, step: int, name: str):
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(step).cast("long").alias("step"),
+            F.lit(name).alias("stage"),
+            F.col("n_users"),
+        )
+
+    return (
+        stage(v, 1, "view")
+        .unionByName(stage(c, 2, "click_after_view"))
+        .unionByName(stage(p, 3, "purchase_after_click"))
+    )

@@ -277,3 +277,80 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage(c, 2, "click_after_view"))
         .unionByName(stage(p, 3, "purchase_after_click"))
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly_anomaly_zscore — monitoring shape: z-score of each hour's
+# event count against the same type's trailing 24 h window
+# ---------------------------------------------------------------------------
+
+_HOUR_MS = 3_600_000
+
+_ANOMALY_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, (epoch_ms(ts) // {_HOUR_MS}) * {_HOUR_MS} AS hour_ms,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events
+  GROUP BY 1, 2
+), s AS (
+  SELECT event_type, hour_ms, n,
+         avg(n) OVER w AS mu,
+         stddev_samp(n) OVER w AS sigma,
+         count(*) OVER w AS w_n
+  FROM h
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour_ms
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour_ms, n,
+       round(mu, 4) AS trailing_mean,
+       CAST(floor((n - mu) / sigma * 100.0 + 0.5) AS BIGINT) AS zscore_e2
+FROM s
+WHERE w_n >= 12 AND sigma > 0
+"""
+
+
+@register("hourly_anomaly_zscore", oracle=_ANOMALY_ORACLE, tags=("metrics",))
+def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each hour's event count scored against the same type's trailing
+    24-hour mean/stddev — the monitoring query that pages on-call. The
+    raw stream collapses to one map-side-combined (type, hour) count
+    first; the window functions then run over the aggregated series
+    (rows = types × hours — thousands at any event volume), so the
+    sort is never over raw events. The z-score ships in integer 1e-2
+    units (floor(x*100+0.5): pure IEEE arithmetic, engine-identical —
+    round() is not, on exact boundary rationals)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            "event_type",
+            ((F.unix_millis("ts") / _HOUR_MS).cast("long") * _HOUR_MS).alias(
+                "hour_ms"
+            ),
+        )
+        .groupBy("event_type", "hour_ms")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ms")
+        .rowsBetween(-24, -1)
+    )
+    s = h.select(
+        "event_type",
+        "hour_ms",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    return s.filter((F.col("w_n") >= 12) & (F.col("sigma") > 0)).select(
+        "event_type",
+        "hour_ms",
+        "n",
+        F.round("mu", 4).alias("trailing_mean"),
+        F.floor((F.col("n") - F.col("mu")) / F.col("sigma") * 100.0 + 0.5)
+        .cast("long")
+        .alias("zscore_e2"),
+    )

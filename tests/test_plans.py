@@ -73,3 +73,23 @@ def test_event_scan_prunes_props(spark, sf_dir):
     for line in plan.splitlines():
         if "ReadSchema" in line and "events" in plan:
             assert "props" not in line, line
+
+
+def test_anomaly_window_runs_over_aggregated_series(spark, sf_dir):
+    # the window sort must consume the (type, hour) aggregate, never
+    # raw events: Window after partial+final HashAggregate in the plan.
+    plan = _plan(spark, sf_dir, "hourly_anomaly_zscore")
+    assert "Window" in plan and "HashAggregate" in plan, plan
+    # raw-event sort would show a Sort directly over the FileScan
+    scan_idx = plan.index("FileScan")
+    window_idx = plan.index("Window")
+    agg_idx = plan.index("HashAggregate")
+    assert agg_idx > window_idx, plan  # agg feeds the window (printed below it)
+    assert scan_idx > agg_idx, plan
+
+
+def test_classifier_scan_prunes_to_two_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "doc_quality_classifier")
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "doc_id" in scan and "text" in scan, scan
+    assert "lang" not in scan and "source" not in scan, scan

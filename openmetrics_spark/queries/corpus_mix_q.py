@@ -677,3 +677,204 @@ def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(mean_w * 10000.0 + 0.5).cast("long").alias("mean_weight_e4"),
         F.round(1.0 / (1.0 + F.exp(-mean_w)), 4).alias("prob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_manifest_v2 — the FULL curation chain in one query:
+#   stats → quality/lang gate → benchmark exclusion → exact dedup →
+#   near-dup clusters → decontamination → stratified sampling →
+#   manifest. Extends corpus_q.corpus_prep_manifest with the
+#   decontam/mix stages of this module; proves the whole module
+#   composes with the dedup stack.
+# ---------------------------------------------------------------------------
+
+_STOP_SQL_V2 = (
+    "['the','and','of','to','a','in','is','that','it','for','on','with','as','this']"
+)
+_J3 = "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+3)], ' ')), 1, 15)) AS BIGINT)"
+_J5 = "CAST(('0x' || substr(md5(array_to_string(tok[(i+1):(i+5)], ' ')), 1, 15)) AS BIGINT)"
+
+
+def _lang_sql_v2(lang: str) -> str:
+    from openmetrics_spark.llm.text import LANG_MARKERS
+
+    return "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
+
+
+def _manifest_v2_oracle() -> str:
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, text, lang,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), s AS (
+  SELECT doc_id, text, lang, tok,
+    CAST(len(tok) AS BIGINT) AS n_tokens,
+    round(
+      0.5 * (CASE WHEN len(tok) > 0
+                  THEN CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok)
+                  ELSE 0 END)
+      + 0.5 * least(
+          (CASE WHEN len(tok) > 0
+                THEN CAST(len(list_filter(tok, x -> list_contains({_STOP_SQL_V2}, x))) AS DOUBLE) / len(tok)
+                ELSE 0 END) * 5, 1.0),
+      6) AS quality,
+    len(list_filter(tok, x -> list_contains({_lang_sql_v2('en')}, x))) AS en_hits,
+    len(list_filter(tok, x -> list_contains({_lang_sql_v2('de')}, x))) AS de_hits,
+    len(list_filter(tok, x -> list_contains({_lang_sql_v2('fr')}, x))) AS fr_hits,
+    len(list_filter(tok, x -> list_contains({_lang_sql_v2('es')}, x))) AS es_hits
+  FROM t
+), kept AS (
+  SELECT * FROM s
+  WHERE en_hits >= greatest(de_hits, fr_hits, es_hits)
+    AND quality >= 0.30 AND n_tokens >= 20
+    AND doc_id % {_BENCH_MOD} <> 0
+), exact AS (
+  SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+), k2 AS (
+  SELECT kept.* FROM kept JOIN exact USING (doc_id)
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2), i -> {_J3})) AS sh
+  FROM k2 WHERE len(tok) >= 3
+), p AS (
+  SELECT doc_id, unnest(sh) AS sid FROM g
+), rare AS (
+  SELECT sid FROM p GROUP BY sid HAVING count(*) <= 50
+), pr AS (
+  SELECT p.doc_id, p.sid FROM p JOIN rare USING (sid)
+), sz AS (
+  SELECT doc_id, count(*) AS sz FROM pr GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS inter
+  FROM pr x JOIN pr y USING (sid)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sz a ON a.doc_id = doc_a
+  JOIN sz b ON b.doc_id = doc_b
+  WHERE round(CAST(inter AS DOUBLE) / (a.sz + b.sz - inter), 6) >= 0.5
+), sym AS (
+  SELECT doc_a AS src, doc_b AS dst FROM edges
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM edges
+), reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT sym.src, reach.r FROM sym JOIN reach ON reach.id = sym.dst
+), lab AS (
+  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+), k3 AS (
+  SELECT k2.* FROM k2 LEFT JOIN lab ON k2.doc_id = lab.doc_id
+  WHERE lab.doc_id IS NULL OR lab.canonical_id = k2.doc_id
+), bg AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 4), i -> {_J5})) AS sh
+  FROM t WHERE len(tok) >= 5
+), bench AS (
+  SELECT DISTINCT unnest(sh) AS s5 FROM bg WHERE doc_id % {_BENCH_MOD} = 0
+), contaminated AS (
+  SELECT DISTINCT bg.doc_id
+  FROM bg JOIN k3 USING (doc_id), unnest(bg.sh) u(s5)
+  WHERE u.s5 IN (SELECT s5 FROM bench)
+)
+SELECT k3.doc_id, k3.n_tokens, k3.quality
+FROM k3
+WHERE k3.doc_id NOT IN (SELECT doc_id FROM contaminated)
+  AND {portable_hash60_sql("'smp_' || CAST(k3.doc_id AS VARCHAR)")} % 100
+      < (CASE WHEN k3.lang = 'en' THEN {_EN_PCT} ELSE {_OTHER_PCT} END)
+"""
+
+
+@register(
+    "corpus_prep_manifest_v2",
+    oracle=_manifest_v2_oracle(),
+    tags=("llm", "pipeline"),
+)
+def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain composed into ONE distributed query:
+    quality/language gating, benchmark exclusion, exact dedup,
+    near-dup cluster resolution, 5-gram decontamination, and the
+    deterministic stratified sample, ending in the training manifest.
+    Stage order mirrors a production run: cheap row-local gates first,
+    the (long,long)-pair dedup shuffles over gated survivors only, the
+    broadcast decontam semi-join over dedup survivors only, and the
+    final sample is a narrow hash filter — every expensive stage sees
+    the smallest possible input."""
+    from openmetrics_spark.llm.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+    from openmetrics_spark.llm.text import (
+        LANG_MARKERS,
+        marker_hits,
+        quality_score,
+        token_count,
+    )
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "text", "lang", tokens("text").alias("tok"))
+    tok = F.col("tok")
+    stats = t.select(
+        "doc_id",
+        "text",
+        "lang",
+        token_count(tok).alias("n_tokens"),
+        quality_score("text", tok).alias("quality"),
+        marker_hits(tok, LANG_MARKERS["en"]).alias("en_hits"),
+        marker_hits(tok, LANG_MARKERS["de"]).alias("de_hits"),
+        marker_hits(tok, LANG_MARKERS["fr"]).alias("fr_hits"),
+        marker_hits(tok, LANG_MARKERS["es"]).alias("es_hits"),
+    )
+    kept = stats.filter(
+        (F.col("en_hits") >= F.greatest("de_hits", "fr_hits", "es_hits"))
+        & (F.col("quality") >= 0.30)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("doc_id") % _BENCH_MOD != 0)
+    )
+    exact_ids = (
+        kept.groupBy(F.md5("text").alias("__h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    k2 = kept.join(exact_ids, "doc_id", "left_semi").persist()
+    pairs = ngram_jaccard_pairs(
+        k2.select("doc_id", "text"), "doc_id", "text",
+        n=3, threshold=0.5, max_df=50,
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    near_drop = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    k3 = k2.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    # decontamination against the ORIGINAL (ungated) benchmark docs
+    sh5 = docs.select(
+        "doc_id", shingles("text", _DECONTAM_N).alias("sh")
+    ).filter(F.size("sh") > 0)
+    bench = (
+        sh5.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("sh").alias("s5"))
+        .distinct()
+    )
+    contaminated = (
+        sh5.join(k3.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", F.explode("sh").alias("s5"))
+        .join(F.broadcast(bench), "s5")
+        .select("doc_id")
+        .distinct()
+    )
+    survivors = k3.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    bucket = (
+        portable_hash60(
+            F.concat(F.lit("smp_"), F.col("doc_id").cast("string"))
+        )
+        % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(_EN_PCT)).otherwise(
+        F.lit(_OTHER_PCT)
+    )
+    return survivors.filter(bucket < rate).select(
+        "doc_id", "n_tokens", "quality"
+    )

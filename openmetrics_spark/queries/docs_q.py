@@ -736,3 +736,53 @@ def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hit"),
         F.round(F.coalesce(F.col("c"), F.lit(0)) / 5.0, 6).alias("recall"),
     )
+
+
+_EMB_CLUSTER_ORACLE = """
+WITH RECURSIVE e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), edges AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.40
+), sym AS (
+  SELECT vec_a AS s, vec_b AS d FROM edges
+  UNION
+  SELECT vec_b AS s, vec_a AS d FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.d
+), lab AS (
+  SELECT id AS vec_id, min(r) AS canonical_id FROM reach GROUP BY id
+)
+SELECT vec_id, canonical_id,
+       CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+         AS cluster_size,
+       vec_id = canonical_id AS keep
+FROM lab
+"""
+
+
+@register(
+    "embedding_dedup_clusters", oracle=_EMB_CLUSTER_ORACLE, tags=("llm", "dedup")
+)
+def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup end to end: embedding-cosine near-dup pairs
+    (label-blocked candidate generation, ≥0.40) resolved into
+    connected components — each vector labeled with its cluster
+    canonical and a keep flag. Completes the pair→cluster story for
+    the embedding tier exactly as doc_dedup_clusters does for the
+    n-gram tier; same (long, long) label-propagation shuffles."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    pairs = embedding_neardup(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(pairs, "vec_a", "vec_b")
+    w = Window.partitionBy("component")
+    return comp.select(
+        F.col("id").alias("vec_id"),
+        F.col("component").alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("id") == F.col("component")).alias("keep"),
+    )

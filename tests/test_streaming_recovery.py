@@ -114,3 +114,87 @@ def test_checkpoint_restart_is_exactly_once(spark, sf_dir, tmp_path):
         .first()[0]
     )
     assert emitted == n_first + n_rest
+
+
+def test_custom_state_machine_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Same exactly-once bar for the CUSTOM applyInPandasWithState
+    operator (stream_cumulate_counter): stop mid-period, restart from
+    the checkpoint, and the final cumulative series must equal the
+    relational running sum — proving the state machine's running
+    totals and open-step buffers round-trip through the state store,
+    not just the built-in window aggregates."""
+    from pyspark.sql import Window
+
+    from openmetrics_spark.streaming.stateful import stream_cumulate_counter
+
+    DAY_MS = 24 * HOUR_MS
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    bucket = (F.floor(F.col("ms") / HOUR_MS) * HOUR_MS).cast("long")
+    busy = (
+        ev.groupBy(bucket.alias("b")).count().orderBy(F.desc("count"), "b").first()["b"]
+    )
+    in_hour = sorted(r["ms"] for r in ev.filter(bucket == busy).select("ms").collect())
+    assert len(in_hour) >= 2
+    mid = in_hour[len(in_hour) // 2]
+
+    stage = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def run_drain():
+        cum = stream_cumulate_counter(
+            _stream(spark, stage),
+            key_col="user_id",
+            ts_col="ts",
+            step_ms=HOUR_MS,
+            period_ms=DAY_MS,
+            delay_ms=2000,
+        )
+        _drain(cum, out, chk)
+
+    first = ev.filter(F.col("ms") < mid)
+    _restage(spark, first, stage, "ms", [lo + (mid - lo) // 2], sentinel=False)
+    run_drain()
+    n_before = (
+        spark.read.parquet(out).filter(F.col("key") >= 0).count()
+    )
+
+    rest = ev.filter(F.col("ms") >= mid)
+    _restage(spark, rest, stage, "ms", [mid + (hi - mid) // 2], sentinel=True)
+    run_drain()
+
+    got = (
+        spark.read.parquet(out)
+        .filter((F.col("key") >= 0) & (F.col("window_ms") < SENTINEL_MS))
+        .select("period_ms", "window_ms", F.col("key"), "n")
+    )
+
+    h = (
+        ev.groupBy(
+            "user_id",
+            (F.floor(F.col("ms") / HOUR_MS) * HOUR_MS).cast("long").alias("window_ms"),
+        )
+        .agg(F.count(F.lit(1)).alias("ne"))
+    )
+    w = (
+        Window.partitionBy(
+            "user_id", F.floor(F.col("window_ms") / DAY_MS)
+        )
+        .orderBy("window_ms")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    want = h.select(
+        (F.floor(F.col("window_ms") / DAY_MS) * DAY_MS).cast("long").alias("period_ms"),
+        "window_ms",
+        F.col("user_id").alias("key"),
+        F.sum("ne").over(w).cast("long").alias("n"),
+    )
+
+    assert 0 < n_before < want.count()
+    cols = ["period_ms", "window_ms", "key", "n"]
+    g = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    x = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert g == x

@@ -291,6 +291,85 @@ def inferred_join(
     return right.join(all_picks, on="__rid", how=how).drop("__rid")
 
 
+def fifo_dedupe(
+    left: DataFrame,
+    pk: str,
+    order_cols: Sequence[str],
+) -> tuple[DataFrame, DataFrame]:
+    """FIFO dedupe by primary join key — the DUPLICATE_EVENTS_TAG side
+    channel (reference: inferred/BaseInferred.java:336-343: the first
+    LHS row stored under a primary key wins; any later LHS row with the
+    same key goes to the duplicate side output and never joins).
+
+    Batch twin: rank rows per ``pk`` by ``order_cols`` (event time
+    first, plus a deterministic tiebreak) and split rank 1 / rank >1.
+    One shuffle on ``pk``; the window is a map-side rank within each
+    hash partition, so this scales like any groupBy on the same key.
+
+    Returns ``(kept, duplicates)`` with the input columns unchanged.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(pk).orderBy(*[F.col(c) for c in order_cols])
+    ranked = left.withColumn("__rn", F.row_number().over(w))
+    kept = ranked.filter(F.col("__rn") == 1).drop("__rn")
+    dups = ranked.filter(F.col("__rn") > 1).drop("__rn")
+    return kept, dups
+
+
+def field_mismatches(
+    joined: DataFrame,
+    record_id: str,
+    ts_col: str,
+    fields: Sequence[tuple[str, str, str]],
+) -> DataFrame:
+    """MismatchErrorTag side channel (reference:
+    common/util/JoinValueSetter.java:40-100 via
+    common/error/MismatchErrorTag.java): while filling a joined row,
+    a field whose LHS value is already non-empty is NEVER overwritten —
+    if the RHS carries a different non-empty value, a MismatchError
+    record {field, lhs value, rhs value, record id, log timestamp} is
+    emitted to the side output instead.
+
+    ``fields`` is ``(field_name, lhs_col, rhs_col)``; one output row
+    per joined row per disagreeing field. Implemented as an
+    explode over a per-row literal array of field structs — a narrow
+    projection, no shuffle, no UDF.
+
+    Returns columns: ``record_id, field, lhs_value, rhs_value, ms``.
+    """
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("field"),
+                F.col(lhs).cast("string").alias("lhs_value"),
+                F.col(rhs).cast("string").alias("rhs_value"),
+            )
+            for name, lhs, rhs in fields
+        ]
+    )
+    nonempty = lambda c: c.isNotNull() & (c != "")  # noqa: E731
+    return (
+        joined.select(
+            F.col(record_id).alias("record_id"),
+            F.col(ts_col).alias("ms"),
+            F.explode(pairs).alias("p"),
+        )
+        .filter(
+            nonempty(F.col("p.lhs_value"))
+            & nonempty(F.col("p.rhs_value"))
+            & (F.col("p.lhs_value") != F.col("p.rhs_value"))
+        )
+        .select(
+            "record_id",
+            F.col("p.field").alias("field"),
+            F.col("p.lhs_value").alias("lhs_value"),
+            F.col("p.rhs_value").alias("rhs_value"),
+            "ms",
+        )
+    )
+
+
 USER_MERGE_RULES = {
     # field-wise REPLACE, not proto mergeFrom (UserUpdateMerger.java:
     # 37-110): a later update's non-empty user id wins; "once an

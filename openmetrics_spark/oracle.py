@@ -43,8 +43,31 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def _dtype_kind(series: pd.Series) -> str:
+    """Coarse dtype kind used for the strictness gate: the driver's
+    compare hashes raw values, so an integer column on one side and a
+    float column on the other (e.g. DuckDB SUM(BIGINT) → HUGEINT →
+    float64 vs Spark bigint) hash-mismatches even when every value is
+    numerically equal.  This is exactly how the round-4
+    ``doc_repetition_stats`` red row escaped the old rtol-only local
+    comparator, so kind mismatches fail *before* any value compare."""
+    if pd.api.types.is_bool_dtype(series):
+        return "bool"
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    return "object"
+
+
 def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol=1e-6) -> list[str]:
-    """Return a list of mismatch descriptions (empty == match)."""
+    """Return a list of mismatch descriptions (empty == match).
+
+    Driver-strict: dtype-kind mismatches (int vs float, bool vs int,
+    numeric vs string) are errors in their own right; integers, bools
+    and strings compare exactly; only float-vs-float gets the rtol
+    branch (the registry convention rounds doubles identically in both
+    engines, so this is belt-and-braces for fp summation order)."""
     errs: list[str] = []
     if len(spark_pdf) != len(oracle_pdf):
         errs.append(f"row count: spark={len(spark_pdf)} oracle={len(oracle_pdf)}")
@@ -56,9 +79,20 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol=1e-6) -> lis
         return errs
     s = _normalize(spark_pdf)
     o = _normalize(oracle_pdf)
+    # Empty frames carry no hashable values, and pandas assigns them
+    # engine-specific placeholder dtypes — skip the kind gate there.
+    for c in s.columns if len(s) else []:
+        sk, ok = _dtype_kind(s[c]), _dtype_kind(o[c])
+        if sk != ok:
+            errs.append(
+                f"col {c}: dtype kind mismatch: spark={s[c].dtype} ({sk}) "
+                f"oracle={o[c].dtype} ({ok}) — would hash-mismatch at the driver"
+            )
+    if errs:
+        return errs
     for c in s.columns:
         sv, ov = s[c], o[c]
-        if pd.api.types.is_float_dtype(sv) or pd.api.types.is_float_dtype(ov):
+        if pd.api.types.is_float_dtype(sv) and pd.api.types.is_float_dtype(ov):
             sv_f = pd.to_numeric(sv, errors="coerce")
             ov_f = pd.to_numeric(ov, errors="coerce")
             bad = ~(

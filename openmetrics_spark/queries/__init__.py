@@ -58,6 +58,84 @@ def register(
     return deco
 
 
+# ---------------------------------------------------------------------------
+# Driver-window curation.
+#
+# The round driver verifies only the FIRST 50 entries of this registry
+# against the DuckDB oracle (exact value hash at sf0.01); everything
+# past the window ships with only the local comparator.  Registration
+# order is therefore part of the correctness contract: each round the
+# window is re-curated so that queries that have never held a driver
+# row — plus anything modified this round — come first, padded with one
+# already-green anchor per SURVEY §2 operator family so no family goes
+# unwatched.  ``scripts/gen_query_catalog.py`` renders the per-round
+# driver history (from CORRECTNESS_r*.json) that drives the rotation.
+# ---------------------------------------------------------------------------
+DRIVER_WINDOW = 50
+
+_WINDOW_PRIORITY: tuple[str, ...] = (
+    # fixed / modified this round — must re-verify at the driver
+    "doc_repetition_stats",       # r4's only red row: oracle CAST fixed
+    "counter_commands_full",      # UA-family extraction now in the path
+    "bfj_join_side_outputs",      # new: inferred-join mismatch/dup side channels
+    "doc_unigram_logprob_capped", # new: broadcast capped-vocab variant
+    # never driver-verified: corpus-mix module
+    "doc_decontaminate",
+    "corpus_pack_chunks",
+    "domain_mix_weights",
+    "corpus_sample_stratified",
+    "quality_filter_funnel",
+    "doc_dup_span_coverage",
+    "corpus_bpe_first_merges",
+    "doc_unigram_logprob",
+    "doc_quality_classifier",
+    "corpus_prep_manifest_v2",
+    # never driver-verified: streaming pipelines
+    "streaming_inferred_attribution",
+    "streaming_session_rollup",
+    "streaming_interval_join",
+    # never driver-verified: sinks / joins / envelopes
+    "upsert_two_batches",
+    "user_versioned_join",
+    "cumulated_metrics_envelope",
+    # never driver-verified: multimodal (av gained an oracle in r4)
+    "multimodal_resize_stats",
+    "multimodal_av_features",
+    # never driver-verified: TPC-H remainder
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q18_large_volume_customer",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    # green anchors — one per §2 family stays inside every window
+    "bfj_view_insertions",        # inferred view→insertion join
+    "bfj_joined_actions",         # impression→action join
+    "keep_first_dedup",           # KeepFirstRow
+    "sliding_hourly_counter",     # SlidingCounter family
+    "last_time_and_count",        # LastTimeAndCount
+    "asof_attribution",           # temporal/as-of join
+    "hourly_event_metrics",       # unified event stream
+    "cumulate_hourly",            # CUMULATE batch
+    "streaming_cumulate_hourly",  # custom streaming state machine
+    "doc_exact_dedup",            # LLM exact dedup
+    "ngram_jaccard_neardup",      # LLM near-dup (perf headline)
+    "ann_brute_topk",             # similarity search
+    "value_percentiles_by_type",  # SQL window surface
+    "q1_pricing_summary",         # TPC-H anchor
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     # import side-effect registration
     from openmetrics_spark.queries import (  # noqa: F401
@@ -76,4 +154,11 @@ def all_queries() -> dict[str, QuerySpec]:
         users_q,
     )
 
-    return REGISTRY
+    ordered: dict[str, QuerySpec] = {}
+    for name in _WINDOW_PRIORITY:
+        if name in REGISTRY:
+            ordered[name] = REGISTRY[name]
+    for name, spec in REGISTRY.items():
+        if name not in ordered:
+            ordered[name] = spec
+    return ordered

@@ -866,3 +866,202 @@ def bfj_flat_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "actions", F.lit(0).cast("long"), lambda s, x: s + x["quantity"]
         ).alias("total_quantity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stage: inferred-join side channels (reference:
+# inferred/BaseInferred.java:336-343 DUPLICATE_EVENTS_TAG — FIFO
+# dedupe by primary key, later LHS rows to the side output — and
+# common/util/JoinValueSetter.java:40-100 MismatchErrorTag — a filled
+# field keeps the earlier (LHS) value and emits a mismatch record when
+# the RHS disagrees).
+# ---------------------------------------------------------------------------
+
+_SIDE_OUTPUTS_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+raw_ins AS (
+  SELECT platform_id, log_user_id,
+         'i' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS insertion_id,
+         'r' || CAST(id AS VARCHAR) AS request_id,
+         CASE WHEN id % 4 <> 0 THEN 'v' || CAST(id AS VARCHAR) END AS view_id,
+         'c' || CAST((id * 2 + k) % 40 AS VARCHAR) AS content_id,
+         ms AS insertion_ms
+  FROM c, range(2) r(k)
+  UNION ALL
+  SELECT platform_id, log_user_id,
+         'i' || CAST(id AS VARCHAR) || '_0',
+         'r' || CAST(id AS VARCHAR),
+         CASE WHEN id % 4 <> 0 THEN 'v' || CAST(id AS VARCHAR) END,
+         'cdup' || CAST(id % 40 AS VARCHAR),
+         ms + 250
+  FROM c WHERE id % 6 = 0
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY insertion_id ORDER BY insertion_ms, content_id
+  ) AS rn
+  FROM raw_ins
+),
+kept AS (SELECT * EXCLUDE (rn) FROM ranked WHERE rn = 1),
+dup AS (SELECT * EXCLUDE (rn) FROM ranked WHERE rn > 1),
+imp AS (
+  SELECT platform_id, log_user_id,
+         'm' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS impression_id,
+         CASE WHEN (id + k) % 5 = 0 THEN NULL
+              WHEN (id + k) % 7 = 0
+                THEN 'i' || CAST(id AS VARCHAR) || '_' || CAST(1 - k AS VARCHAR)
+              ELSE 'i' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR)
+         END AS insertion_fk,
+         CASE WHEN (id + k) % 9 = 0 THEN 'rr' || CAST(id AS VARCHAR)
+              WHEN (id + k) % 2 = 0 THEN 'r' || CAST(id AS VARCHAR)
+         END AS request_id,
+         CASE WHEN (id + k) % 11 = 0 AND id % 4 <> 0
+              THEN 'v' || CAST(id AS VARCHAR) END AS view_id,
+         'c' || CAST((id * 2 + k) % 40 AS VARCHAR) AS content_id,
+         ms + 60000 + k AS impression_ms
+  FROM c, range(2) r(k) WHERE (id + k) % 3 <> 0
+),
+matched AS (
+  SELECT i.impression_id, i.impression_ms,
+         s.request_id AS l_request_id, i.request_id AS r_request_id,
+         s.view_id AS l_view_id, i.view_id AS r_view_id,
+         s.content_id AS l_content_id, i.content_id AS r_content_id
+  FROM imp i JOIN kept s ON i.insertion_fk = s.insertion_id
+),
+mm AS (
+  SELECT impression_id AS record_id, 'request_id' AS field,
+         l_request_id AS lhs_value, r_request_id AS rhs_value,
+         impression_ms AS ms
+  FROM matched
+  WHERE l_request_id IS NOT NULL AND l_request_id <> ''
+    AND r_request_id IS NOT NULL AND r_request_id <> ''
+    AND l_request_id <> r_request_id
+  UNION ALL
+  SELECT impression_id, 'view_id', l_view_id, r_view_id, impression_ms
+  FROM matched
+  WHERE l_view_id IS NOT NULL AND l_view_id <> ''
+    AND r_view_id IS NOT NULL AND r_view_id <> ''
+    AND l_view_id <> r_view_id
+  UNION ALL
+  SELECT impression_id, 'content_id', l_content_id, r_content_id, impression_ms
+  FROM matched
+  WHERE l_content_id IS NOT NULL AND l_content_id <> ''
+    AND r_content_id IS NOT NULL AND r_content_id <> ''
+    AND l_content_id <> r_content_id
+)
+SELECT 'duplicate_lhs' AS channel, insertion_id AS record_id,
+       CAST(NULL AS VARCHAR) AS field, CAST(NULL AS VARCHAR) AS lhs_value,
+       content_id AS rhs_value, insertion_ms AS ms
+FROM dup
+UNION ALL
+SELECT 'mismatch', record_id, field, lhs_value, rhs_value, ms FROM mm
+"""
+
+
+@register("bfj_join_side_outputs", oracle=_SIDE_OUTPUTS_ORACLE, tags=("bfj", "join"))
+def bfj_join_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inferred join's two error side channels in one table.
+
+    ``duplicate_lhs`` rows are later LHS (insertion) rows whose primary
+    key collides with an earlier one — FIFO dedupe, first row wins
+    (BaseInferred.java:336-343); the fixture re-logs insertion
+    ``i{id}_0`` 250 ms later with a drifted content id for every sixth
+    click. ``mismatch`` rows are explicit-FK joins where the impression
+    carries a non-empty field that disagrees with the insertion's —
+    the LHS value is kept, the disagreement is logged
+    (JoinValueSetter.java:40-100); the fixture gives every ninth
+    (id+k) a renamed request id and every seventh a cross-linked FK to
+    the sibling position, whose content id always differs.
+
+    Scale shape: one row_number window on the LHS pk (same shuffle a
+    dedupe would need anyway), one broadcast-able equi-join on the FK,
+    and a no-shuffle explode for the field comparison."""
+    from openmetrics_spark.operators.joins import field_mismatches, fifo_dedupe
+
+    c = _ev(spark, sf_dir, "click")
+    k = F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    base = c.select("platform_id", "log_user_id", "id", "ms", k)
+    view_id = F.when(F.col("id") % 4 != 0, F.concat(F.lit("v"), F.col("id")))
+    ins = base.select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("i"), F.col("id"), F.lit("_"), F.col("k")).alias(
+            "insertion_id"
+        ),
+        F.concat(F.lit("r"), F.col("id")).alias("request_id"),
+        view_id.alias("view_id"),
+        F.concat(F.lit("c"), (F.col("id") * 2 + F.col("k")) % 40).alias(
+            "content_id"
+        ),
+        F.col("ms").alias("insertion_ms"),
+    )
+    relog = c.filter(F.col("id") % 6 == 0).select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("i"), F.col("id"), F.lit("_0")).alias("insertion_id"),
+        F.concat(F.lit("r"), F.col("id")).alias("request_id"),
+        view_id.alias("view_id"),
+        F.concat(F.lit("cdup"), F.col("id") % 40).alias("content_id"),
+        (F.col("ms") + 250).alias("insertion_ms"),
+    )
+    kept, dup = fifo_dedupe(
+        ins.unionByName(relog), "insertion_id", ("insertion_ms", "content_id")
+    )
+
+    ik = F.col("id") + F.col("k")
+    imp = base.filter(ik % 3 != 0).select(
+        F.concat(F.lit("m"), F.col("id"), F.lit("_"), F.col("k")).alias(
+            "impression_id"
+        ),
+        F.when(ik % 5 == 0, F.lit(None).cast("string"))
+        .when(ik % 7 == 0, F.concat(F.lit("i"), F.col("id"), F.lit("_"), 1 - F.col("k")))
+        .otherwise(F.concat(F.lit("i"), F.col("id"), F.lit("_"), F.col("k")))
+        .alias("insertion_fk"),
+        F.when(ik % 9 == 0, F.concat(F.lit("rr"), F.col("id")))
+        .when(ik % 2 == 0, F.concat(F.lit("r"), F.col("id")))
+        .alias("imp_request_id"),
+        F.when((ik % 11 == 0) & (F.col("id") % 4 != 0), F.concat(F.lit("v"), F.col("id")))
+        .alias("imp_view_id"),
+        F.concat(F.lit("c"), (F.col("id") * 2 + F.col("k")) % 40).alias(
+            "imp_content_id"
+        ),
+        (F.col("ms") + 60000 + F.col("k")).alias("impression_ms"),
+    )
+    matched = imp.join(
+        kept.select(
+            F.col("insertion_id").alias("__pk"),
+            F.col("request_id").alias("ins_request_id"),
+            F.col("view_id").alias("ins_view_id"),
+            F.col("content_id").alias("ins_content_id"),
+        ),
+        imp["insertion_fk"] == F.col("__pk"),
+        "inner",
+    )
+    mm = field_mismatches(
+        matched,
+        record_id="impression_id",
+        ts_col="impression_ms",
+        fields=[
+            ("request_id", "ins_request_id", "imp_request_id"),
+            ("view_id", "ins_view_id", "imp_view_id"),
+            ("content_id", "ins_content_id", "imp_content_id"),
+        ],
+    )
+    dup_rows = dup.select(
+        F.lit("duplicate_lhs").alias("channel"),
+        F.col("insertion_id").alias("record_id"),
+        F.lit(None).cast("string").alias("field"),
+        F.lit(None).cast("string").alias("lhs_value"),
+        F.col("content_id").alias("rhs_value"),
+        F.col("insertion_ms").alias("ms"),
+    )
+    mm_rows = mm.select(
+        F.lit("mismatch").alias("channel"),
+        "record_id",
+        "field",
+        "lhs_value",
+        "rhs_value",
+        "ms",
+    )
+    return dup_rows.unionByName(mm_rows)

@@ -609,6 +609,77 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LOGPROB_CAP = 256
+
+_LOGPROB_CAPPED_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), u AS (
+  SELECT doc_id, unnest(tok) AS token FROM t
+), v AS (
+  SELECT token, count(*) AS c FROM u GROUP BY token
+), tot AS (
+  SELECT sum(c) AS n FROM v
+), topk AS (
+  SELECT token, c FROM v ORDER BY c DESC, token LIMIT {_LOGPROB_CAP}
+), oov AS (
+  SELECT greatest((SELECT n FROM tot) - sum(c), 1) AS oovc FROM topk
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       round(sum(-ln(coalesce(k.c, oov.oovc) / CAST(n AS DOUBLE))) / count(*), 4)
+         AS avg_neg_logprob
+FROM u LEFT JOIN topk k USING (token), tot, oov
+GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_unigram_logprob_capped",
+    oracle=_LOGPROB_CAPPED_ORACLE,
+    tags=("llm", "text"),
+)
+def doc_unigram_logprob_capped(
+    spark: SparkSession, sf_dir: str, cap: int = _LOGPROB_CAP
+) -> DataFrame:
+    """Capped-vocabulary variant of :func:`doc_unigram_logprob` — the
+    100 TB-scale path. The full variant re-joins the Zipf-skewed token
+    stream to the whole vocabulary and leans on AQE's skew split; this
+    one keeps only the top-``cap`` tokens (order by count desc, token)
+    plus a single OOV bucket carrying the remaining probability mass,
+    and BROADCASTS that bounded table — the token stream is scored in a
+    broadcast hash join with no shuffle before the per-doc aggregate,
+    and no hot-key skew exists at any corpus size. With ``cap`` >= the
+    true vocabulary size the scores equal the full variant exactly
+    (parity-tested in tests/test_corpus_mix.py)."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    u = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    v = u.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = v.agg(F.sum("c").alias("n"))
+    topk = v.orderBy(F.col("c").desc(), "token").limit(cap)
+    oov = topk.agg(F.sum("c").alias("topc")).crossJoin(total).select(
+        F.greatest(F.col("n") - F.col("topc"), F.lit(1)).alias("oovc")
+    )
+    scored = (
+        u.join(F.broadcast(topk), "token", "left")
+        .crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(oov))
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    F.coalesce(F.col("c"), F.col("oovc")) / F.col("n").cast("double")
+                )
+            ).alias("nlp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum("nlp") / F.count(F.lit(1)), 4).alias("avg_neg_logprob"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # doc_quality_classifier — hash-trick linear model inference (the
 # fastText-style quality classifier pass of CCNet/GPT-3 curation;

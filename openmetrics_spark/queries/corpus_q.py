@@ -244,7 +244,7 @@ WITH t AS (
   FROM g
 )
 SELECT r.doc_id,
-       coalesce(topf.total, 0) AS n_tokens,
+       CAST(coalesce(topf.total, 0) AS BIGINT) AS n_tokens,
        coalesce(round(CAST(topf.topc AS DOUBLE) / topf.total, 6), 0.0) AS top_token_frac,
        r.dup_2gram_frac,
        r.mean_tok_len,

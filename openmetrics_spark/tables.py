@@ -93,6 +93,36 @@ def spread_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     task counts on real-scale inputs)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= max(2, int(target * min_fraction)):
+    # Estimate the scan's split count without df.rdd (which forces a
+    # deprecated DataFrame→RDD conversion per call): splits ≈
+    # Σ file_size / maxPartitionBytes, floored at one per file. For
+    # non-local or unstat-able files fall back to the file count — at
+    # real scale inputs carry thousands of files and this is a no-op.
+    files = df.inputFiles()
+    if not files:
+        return df  # not a file scan (in-memory fixture etc.)
+    raw = (
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+        .lower()
+        .removesuffix("b")
+    )
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30}
+    if raw and raw[-1] in units:
+        max_bytes = int(raw[:-1]) * units[raw[-1]]
+    else:
+        max_bytes = int(raw)
+    splits = 0
+    for f in files:
+        if f.startswith("file:"):
+            from urllib.parse import unquote, urlparse
+
+            try:
+                size = os.path.getsize(unquote(urlparse(f).path))
+                splits += max(1, -(-size // max_bytes))
+                continue
+            except OSError:
+                pass
+        splits += 1
+    if splits >= max(2, int(target * min_fraction)):
         return df
     return df.repartition(target)

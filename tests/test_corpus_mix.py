@@ -76,3 +76,31 @@ def test_dup_span_frac_bounds(spark, sf_dir):
     for r in out:
         assert 0 <= r["n_dup_windows"] <= r["n_windows"]
         assert 0.0 <= r["dup_frac"] <= 1.0
+
+
+def test_capped_logprob_equals_full_when_cap_exceeds_vocab(spark, sf_dir):
+    """With cap >= |vocab| the OOV bucket is never used, so the
+    broadcast capped variant must reproduce the full skew-join variant
+    bit-for-bit (both round to 4 dp)."""
+    from openmetrics_spark.queries.corpus_mix_q import doc_unigram_logprob_capped
+
+    full = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+        for r in _run(spark, sf_dir, "doc_unigram_logprob").collect()
+    }
+    capped = {
+        r["doc_id"]: (r["n_tokens"], r["avg_neg_logprob"])
+        for r in doc_unigram_logprob_capped(spark, sf_dir, cap=10_000_000).collect()
+    }
+    assert capped == full
+
+
+def test_capped_logprob_broadcasts_vocab(spark, sf_dir):
+    """The scale contract: the scoring join must be a broadcast hash
+    join — no shuffle of the token stream, no skewed sort-merge."""
+    from openmetrics_spark.queries.corpus_mix_q import doc_unigram_logprob_capped
+
+    df = doc_unigram_logprob_capped(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

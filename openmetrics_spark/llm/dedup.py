@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from openmetrics_spark.functions.hashing import portable_hash60
 from openmetrics_spark.llm.text import tokens
-from openmetrics_spark.tables import spread_for_compute
+from openmetrics_spark.tables import pin, spread_for_compute
 
 # MinHash "permutations" are independent salted hashes
 # h_i(x) = md5_60(f"{seed}_{i}_{x}") rather than affine (a*x+b) mod p:
@@ -39,12 +39,12 @@ from openmetrics_spark.tables import spread_for_compute
 MINHASH_EMPTY = (1 << 61) - 1
 
 
-def shingles(text_col: str, n: int = 3) -> Column:
-    """Distinct hashed n-gram token shingles (array<long>).
+def distinct_grams(text_col: str, n: int = 3) -> Column:
+    """Distinct n-gram token shingles as STRINGS (array<string>).
 
-    Token n-grams joined with a space, hashed with the portable 60-bit
-    hash so SQL oracles can reproduce them.
-    """
+    Token n-grams joined with a space. Consumers that explode should
+    hash AFTER the explode (codegen) rather than taking :func:`shingles`
+    (whose in-array hash runs interpreted per element)."""
     tok = tokens(text_col)
     # shingle i = tokens[i..i+n-1]; build via transform over an index
     # range. Guard: Spark's sequence(1, 0) DESCENDS, so short docs
@@ -53,11 +53,39 @@ def shingles(text_col: str, n: int = 3) -> Column:
         F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
-    return F.array_distinct(F.transform(grams, lambda g: _hash_expr(g)))
+    return F.array_distinct(grams)
+
+
+def shingles(text_col: str, n: int = 3) -> Column:
+    """Distinct hashed n-gram token shingles (array<long>).
+
+    Token n-grams joined with a space, hashed with the portable 60-bit
+    hash so SQL oracles can reproduce them. The in-array hash is the
+    interpreted HOF path — right for array-shaped consumers (minhash
+    signatures); exploding consumers should use
+    :func:`exploded_shingles` / :func:`distinct_grams` instead.
+    """
+    return F.transform(distinct_grams(text_col, n), lambda g: _hash_expr(g))
 
 
 def _hash_expr(c: Column) -> Column:
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def exploded_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """(doc, shingle-hash) posting rows — the exploded twin of
+    :func:`shingles` for consumers that flatten anyway (inverted
+    indexes, decontamination joins). The hash runs AFTER the explode
+    as a codegen'd projection: lambda bodies inside higher-order
+    functions are evaluated interpreted per element, measured ~5x
+    slower for identical output (see ngram_jaccard_pairs), so only
+    array-shaped consumers (minhash) pay that path."""
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(distinct_grams(text_col, n)).alias("g"),
+    ).select("doc", _hash_expr(F.col("g")).alias("s"))
 
 
 def minhash_signature(shingle_col: Column, k: int, seed: int = 7) -> Column:
@@ -142,19 +170,7 @@ def ngram_jaccard_pairs(
     # codegen'd — measured 5x faster at sf0.1 for identical output
     # (distinct on gram strings == distinct on their hashes).
     docs = spread_for_compute(docs)
-    tok = tokens(text_col)
-    idx = F.when(
-        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
-    posting = (
-        docs.select(
-            F.col(id_col).alias("doc"),
-            F.explode(F.array_distinct(grams)).alias("g"),
-        )
-        .select("doc", _hash_expr(F.col("g")).alias("s"))
-        .persist()
-    )
+    posting = pin(exploded_shingles(docs, id_col, text_col, n))
     rare = (
         posting.groupBy("s")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -164,7 +180,7 @@ def ngram_jaccard_pairs(
     # persisted too: it feeds the sizes agg plus both sides of the
     # self-join (cheap to rebuild from the persisted posting, but the
     # broadcast-sizes attach would still run 3x)
-    pr = posting.join(rare, "s").persist()
+    pr = pin(posting.join(rare, "s"))
     sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
     # broadcast the one-row-per-doc sizes frame: attaching sz must not
     # re-shuffle the full posting list ahead of the dominant self-join.
@@ -326,10 +342,15 @@ def connected_components(
 
     Returns (id, component) — component = min id in the component.
     """
+    # materialize the symmetrized edge list ONCE: every iteration's
+    # neighbor join references `edges`, and without the checkpoint each
+    # round re-evaluates the (potentially expensive) pair-generation
+    # plan upstream — measured ~1.5 s/round on the manifest chain
     edges = (
         pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     lab = (
         edges.select(F.col("a").alias("id"))

@@ -115,8 +115,13 @@ def compare(spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, rtol=1e-6) -> lis
 def check_query(spark, sf_dir: str, name: str) -> list[str]:
     from openmetrics_spark.queries import all_queries
 
+    from openmetrics_spark.tables import release_caches
+
     spec = all_queries()[name]
-    sdf = spec.fn(spark, sf_dir).toPandas()
+    try:
+        sdf = spec.fn(spark, sf_dir).toPandas()
+    finally:
+        release_caches()
     if spec.oracle is None:
         return [] if len(sdf) >= 0 else ["spark query failed"]
     con = duck_connection(sf_dir)

@@ -35,7 +35,7 @@ from openmetrics_spark.functions.hashing import (
     portable_hash60,
     portable_hash60_sql,
 )
-from openmetrics_spark.llm.dedup import shingles
+from openmetrics_spark.llm.dedup import shingles  # noqa: F401 (re-exported for tests)
 from openmetrics_spark.llm.text import (
     STOPWORDS_EN,
     dup_ngram_fraction,
@@ -44,7 +44,7 @@ from openmetrics_spark.llm.text import (
     tokens,
 )
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import spread_for_compute, table
+from openmetrics_spark.tables import pin, spread_for_compute, table
 
 # ---------------------------------------------------------------------------
 # doc_decontaminate — benchmark n-gram overlap
@@ -91,19 +91,26 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     training side streams through explode → broadcast hash join →
     per-doc count, all map-side until the final (doc, count) agg. No
     shingle ARRAY ever enters a shuffle — only (doc, long) pairs."""
+    from openmetrics_spark.llm.dedup import _hash_expr, distinct_grams
+
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    # string grams pre-explode (n_grams needs the per-doc size), hash
+    # post-explode in codegen — the interpreted in-array hash was the
+    # dominant cost of this scan
     sh = docs.select(
-        "doc_id", shingles("text", _DECONTAM_N).alias("sh")
-    ).filter(F.size("sh") > 0)
+        "doc_id", distinct_grams("text", _DECONTAM_N).alias("gr")
+    ).filter(F.size("gr") > 0)
     bench = (
         sh.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("sh").alias("s"))
+        .select(F.explode("gr").alias("g"))
+        .select(_hash_expr(F.col("g")).alias("s"))
         .distinct()
     )
     train = (
         sh.filter(F.col("doc_id") % _BENCH_MOD != 0)
-        .select("doc_id", F.size("sh").cast("long").alias("n_grams"),
-                F.explode("sh").alias("s"))
+        .select("doc_id", F.size("gr").cast("long").alias("n_grams"),
+                F.explode("gr").alias("g"))
+        .select("doc_id", "n_grams", _hash_expr(F.col("g")).alias("s"))
     )
     return (
         train.join(F.broadcast(bench), "s")
@@ -463,7 +470,10 @@ GROUP BY doc_id
 
 
 @register(
-    "doc_dup_span_coverage", oracle=_SPAN_ORACLE, tags=("llm", "dedup")
+    "doc_dup_span_coverage",
+    oracle=_SPAN_ORACLE,
+    headline=True,
+    tags=("llm", "dedup"),
 )
 def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc fraction of 20-token windows whose hash occurs in
@@ -492,7 +502,7 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("w"),
     )
-    pc = p.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")).persist()
+    pc = pin(p.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
     df_ = pc.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
     dup_c = F.sum(F.when(F.col("d") >= 2, F.col("c")).otherwise(0))
     return (
@@ -862,6 +872,7 @@ WHERE k3.doc_id NOT IN (SELECT doc_id FROM contaminated)
 @register(
     "corpus_prep_manifest_v2",
     oracle=_manifest_v2_oracle(),
+    headline=True,
     tags=("llm", "pipeline"),
 )
 def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -910,7 +921,7 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    k2 = kept.join(exact_ids, "doc_id", "left_semi").persist()
+    k2 = pin(kept.join(exact_ids, "doc_id", "left_semi"))
     pairs = ngram_jaccard_pairs(
         k2.select("doc_id", "text"), "doc_id", "text",
         n=3, threshold=0.5, max_df=50,
@@ -920,18 +931,20 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("doc_id")
     )
     k3 = k2.join(F.broadcast(near_drop), "doc_id", "left_anti")
-    # decontamination against the ORIGINAL (ungated) benchmark docs
-    sh5 = docs.select(
-        "doc_id", shingles("text", _DECONTAM_N).alias("sh")
-    ).filter(F.size("sh") > 0)
+    # decontamination against the ORIGINAL (ungated) benchmark docs;
+    # hash post-explode (codegen), not inside the shingle array
+    from openmetrics_spark.llm.dedup import exploded_shingles
+
+    sh5 = exploded_shingles(docs, "doc_id", "text", _DECONTAM_N)
     bench = (
-        sh5.filter(F.col("doc_id") % _BENCH_MOD == 0)
-        .select(F.explode("sh").alias("s5"))
+        sh5.filter(F.col("doc") % _BENCH_MOD == 0)
+        .select(F.col("s").alias("s5"))
         .distinct()
     )
     contaminated = (
-        sh5.join(k3.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", F.explode("sh").alias("s5"))
+        sh5.withColumnRenamed("doc", "doc_id")
+        .join(k3.select("doc_id"), "doc_id", "left_semi")
+        .select("doc_id", F.col("s").alias("s5"))
         .join(F.broadcast(bench), "s5")
         .select("doc_id")
         .distinct()

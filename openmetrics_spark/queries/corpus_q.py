@@ -34,7 +34,7 @@ from openmetrics_spark.llm.text import (
     tokens,
 )
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import spread_for_compute, table
+from openmetrics_spark.tables import pin, spread_for_compute, table
 
 _MIN_QUALITY = 0.30
 _MIN_TOKENS = 20
@@ -153,7 +153,7 @@ def corpus_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    k2 = kept.join(exact_ids, "doc_id", "left_semi").persist()
+    k2 = pin(kept.join(exact_ids, "doc_id", "left_semi"))
     pairs = ngram_jaccard_pairs(
         k2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.5, max_df=50
     )

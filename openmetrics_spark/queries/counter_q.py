@@ -57,6 +57,52 @@ _90D_MS = 90 * 86400 * 1000
 
 _STANDARD_METRIC_VALUES = (32, 64, 128, 256, 96, 8160)
 
+# Real user-agent strings, assigned per user by uid % 6; the Spark side
+# runs functions/ua.py's rlike extraction over the STRING (the operator
+# under test, CounterKeys.java:43), while the oracle pins the expected
+# (os, family) per string — tests/test_ua.py asserts ua.py extracts
+# exactly these pairs, closing the loop.
+_UA_FIXTURE: tuple[tuple[str, str, str], ...] = (
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36",
+        "Windows",
+        "Chrome",
+    ),
+    (
+        "Mozilla/5.0 (iPhone; CPU iPhone OS 17_1 like Mac OS X)"
+        " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1"
+        " Mobile/15E148 Safari/604.1",
+        "iOS",
+        "Mobile Safari",
+    ),
+    (
+        "Mozilla/5.0 (X11; Linux x86_64; rv:121.0) Gecko/20100101"
+        " Firefox/121.0",
+        "Linux",
+        "Firefox",
+    ),
+    (
+        "Mozilla/5.0 (Linux; Android 14; Pixel 8) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/120.0.0.0 Mobile Safari/537.36",
+        "Android",
+        "Chrome Mobile",
+    ),
+    (
+        "Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7)"
+        " AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1"
+        " Safari/605.1.15",
+        "Mac OS X",
+        "Safari",
+    ),
+    (
+        "Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36"
+        " (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36 Edg/120.0.0.0",
+        "Windows",
+        "Edge",
+    ),
+)
+
 
 def _flat_and_luu(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     ev = table(spark, sf_dir, "events")
@@ -69,19 +115,20 @@ def _flat_and_luu(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
         "event_type",
         F.get_json_object("props", "$.k").cast("int").alias("__k"),
     )
+    from openmetrics_spark.functions.ua import agent_family, os_family
+
+    ua = F.element_at(
+        F.array(*[F.lit(s) for s, _, _ in _UA_FIXTURE]),
+        (F.col("__uid") % len(_UA_FIXTURE) + 1).cast("int"),
+    )
     flat = (
         base.filter(F.col("event_type").isin("view", "click", "purchase"))
         .select(
             "platform_id",
             "log_user_id",
             "ts",
-            F.when(F.col("__uid") % 3 == 0, "Linux")
-            .when(F.col("__uid") % 3 == 1, "iOS")
-            .otherwise("Windows")
-            .alias("os"),
-            F.when(F.col("__uid") % 2 == 0, "Chrome")
-            .otherwise("Mobile Safari")
-            .alias("user_agent_family"),
+            os_family(ua).alias("os"),
+            agent_family(ua).alias("user_agent_family"),
             F.concat(F.lit("c"), (F.col("__k") % 10).cast("string")).alias(
                 "content_id"
             ),
@@ -246,6 +293,13 @@ FROM fl0 f ASOF JOIN luu l
         streams.append(_last_sql(lfam))
     streams.append(_metadata_sql())
     body = "\nUNION ALL\n".join(streams)
+    n_ua = len(_UA_FIXTURE)
+    os_cases = " ".join(
+        f"WHEN {i} THEN '{os}'" for i, (_, os, _) in enumerate(_UA_FIXTURE)
+    )
+    fam_cases = " ".join(
+        f"WHEN {i} THEN '{fam}'" for i, (_, _, fam) in enumerate(_UA_FIXTURE)
+    )
     return f"""
 WITH base AS (
   SELECT user_id % 4 AS platform_id,
@@ -263,8 +317,8 @@ luu AS (
 ),
 fl0 AS (
   SELECT platform_id, log_user_id, ms,
-         CASE uid % 3 WHEN 0 THEN 'Linux' WHEN 1 THEN 'iOS' ELSE 'Windows' END AS os,
-         CASE uid % 2 WHEN 0 THEN 'Chrome' ELSE 'Mobile Safari' END AS user_agent_family,
+         CASE uid % {n_ua} {os_cases} END AS os,
+         CASE uid % {n_ua} {fam_cases} END AS user_agent_family,
          'c' || CAST(k % 10 AS VARCHAR) AS content_id,
          lower('Q' || CAST(k AS VARCHAR)) AS __q,
          CAST(CASE event_type WHEN 'view' THEN 32 WHEN 'click' THEN 64 ELSE 96 END AS BIGINT) AS agg_metric
@@ -277,7 +331,12 @@ flat AS (
 """
 
 
-@register("counter_commands_full", oracle=_counter_oracle(), tags=("counter",))
+@register(
+    "counter_commands_full",
+    oracle=_counter_oracle(),
+    headline=True,
+    tags=("counter",),
+)
 def counter_commands_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The counter job end-to-end: LogUserUser temporal enrichment →
     6 sliding families × (HOUR, DAY) + 4 Last* families + metadata,

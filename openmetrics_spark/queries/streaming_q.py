@@ -13,7 +13,9 @@ semantics, so the hash must match bit-for-bit.
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -28,6 +30,24 @@ from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
 HOUR_MS = 3_600_000
+
+# One scratch root per process, wiped at interpreter exit: each query
+# re-stages the events table plus a checkpoint + sink under here, and
+# the old one-mkdtemp-per-call pattern leaked all of it into /tmp on
+# every verify/test invocation. Re-running a query in the same process
+# first wipes its own subdir, so repeated sweeps stay bounded too; the
+# PID suffix keeps concurrent verify processes from colliding.
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(), f"omx_stream_work_{os.getpid()}"
+)
+atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+
+
+def _workdir(name: str) -> str:
+    path = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 
 def _staged_events(spark: SparkSession, sf_dir: str, work: str) -> str:
@@ -79,7 +99,7 @@ def streaming_hourly_content_metrics(
     from openmetrics_spark.jobs.streaming_content_metrics import _metric_aggs
     from openmetrics_spark.streaming.ops import stream_tumbling_metrics
 
-    work = tempfile.mkdtemp(prefix="omx_stream_hourly_")
+    work = _workdir("hourly")
     staged = _staged_events(spark, sf_dir, work)
     agg = stream_tumbling_metrics(
         _stream(spark, staged),
@@ -130,7 +150,7 @@ def streaming_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per open (key, window), closed by the watermark one delay
     after each day ends — the sentinel flush stands in for the
     steady stream that closes windows in production."""
-    work = tempfile.mkdtemp(prefix="omx_stream_kf_")
+    work = _workdir("keep_first")
     ev = table(spark, sf_dir, "events").select(
         "user_id",
         "event_type",
@@ -196,7 +216,7 @@ def streaming_sliding_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     row-for-row equality IS the watermark-correctness claim."""
     from openmetrics_spark.streaming.ops import stream_sliding_counter
 
-    work = tempfile.mkdtemp(prefix="omx_stream_slide_")
+    work = _workdir("sliding")
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", F.unix_millis("ts").alias("ms")
     )
@@ -239,6 +259,7 @@ FROM h
 @register(
     "streaming_cumulate_hourly",
     oracle=_STREAM_CUMULATE_ORACLE,
+    headline=True,
     tags=("streaming", "metrics"),
 )
 def streaming_cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +272,7 @@ def streaming_cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     single correctness claim the streaming side makes."""
     from openmetrics_spark.streaming.stateful import stream_cumulate_counter
 
-    work = tempfile.mkdtemp(prefix="omx_stream_cum_")
+    work = _workdir("cumulate")
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", F.unix_millis("ts").alias("ms")
     )
@@ -334,7 +355,7 @@ def streaming_last_time_and_count(
     reference's day-granular 90 d substate exactly."""
     from openmetrics_spark.streaming.stateful import stream_last_time_and_count
 
-    work = tempfile.mkdtemp(prefix="omx_stream_ltc_")
+    work = _workdir("ltc")
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", F.unix_millis("ts").alias("ms")
     )
@@ -390,7 +411,7 @@ def streaming_inferred_attribution(
     from openmetrics_spark.jobs.streaming_flat_output import SENTINEL_MS
     from openmetrics_spark.streaming import stream_inferred_join
 
-    work = tempfile.mkdtemp(prefix="omx_stream_inf_")
+    work = _workdir("inferred")
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type").isin("view", "click"))
@@ -469,7 +490,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed min/max event time (not the window bounds, which pad the
     gap) makes the rollup row bit-identical to the relational
     lag-based sessionization."""
-    work = tempfile.mkdtemp(prefix="omx_stream_sess_")
+    work = _workdir("sessions")
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "value", F.unix_millis("ts").alias("ms")
     )
@@ -533,7 +554,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the reference's interval-joined event pairs. Inner interval
     joins emit exactly the matching pairs, so the hash compare against
     the relational join is exact."""
-    work = tempfile.mkdtemp(prefix="omx_stream_ij_")
+    work = _workdir("interval")
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "ts",
         F.unix_millis("ts").alias("ms"),

@@ -723,46 +723,68 @@ def stream_cumulate_counter(
             StructField("n", LongType()),
         ]
     )
-    state_schema = StructType(
-        [
-            StructField("cum", LongType()),
-            StructField("buckets_json", StringType()),
-        ]
-    )
+    # State is keyed by the USER key alone; every open period lives
+    # inside one state entry as {period: [finalized-cum, {bucket: n}]}.
+    # Keying by (key, period) instead is semantically identical but
+    # multiplies group-function invocations by the number of open
+    # periods — at a 30-day replay that was ~25x more Python calls per
+    # micro-batch (each with its own Arrow + JSON round-trip), and the
+    # state machine's per-call work is fixed-cost-dominated. Same
+    # O(open buckets) state, ~25x fewer state-store rows.
+    state_schema = StructType([StructField("periods_json", StringType())])
 
     def update(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        cum, buckets = 0, {}
+        periods: dict[int, list] = {}
         if state.exists:
-            cum, bj = state.get
-            buckets = {int(k): v for k, v in json.loads(bj).items()}
+            (pj,) = state.get
+            periods = {
+                int(p): [v[0], {int(b): n for b, n in v[1].items()}]
+                for p, v in json.loads(pj).items()
+            }
         for pdf in pdf_iter:
             ms = pdf["__ms"].astype("int64")
-            vals = ms // step_ms * step_ms
+            buck = ms // step_ms * step_ms
+            per = ms // period_ms * period_ms
             inc = (
                 pd.Series(1, index=ms.index)
                 if value_col is None
                 else pdf["__v"].astype("int64")
             )
-            for b, n in inc.groupby(vals).sum().items():
-                buckets[int(b)] = buckets.get(int(b), 0) + int(n)
+            for (p, b), n in inc.groupby([per, buck]).sum().items():
+                ent = periods.setdefault(int(p), [0, {}])
+                ent[1][int(b)] = ent[1].get(int(b), 0) + int(n)
         wm = state.getCurrentWatermarkMs()
         out = []
-        for b in sorted(b for b in buckets if b + step_ms <= wm):
-            cum += buckets.pop(b)
-            out.append((key[1], b, key[0], cum))
-        if buckets:
-            state.update((cum, json.dumps(buckets)))
-            state.setTimeoutTimestamp(min(buckets) + step_ms)
-        elif wm > key[1] + period_ms:
-            state.remove()
+        closed = []
+        for p in sorted(periods):
+            cum, buckets = periods[p]
+            for b in sorted(b for b in buckets if b + step_ms <= wm):
+                cum += buckets.pop(b)
+                out.append((p, b, key[0], cum))
+            periods[p][0] = cum
+            # a period's cum must survive until the watermark passes
+            # its end: later buckets can still arrive (they are not
+            # late) and must continue the running total
+            if not buckets and wm > p + period_ms:
+                closed.append(p)
+        for p in closed:
+            del periods[p]
+        if periods:
+            # earliest event the state is still waiting on: the first
+            # unfinalized bucket end, else the period close
+            timeout = min(
+                (min(ent[1]) + step_ms) if ent[1] else (p + period_ms + step_ms)
+                for p, ent in periods.items()
+            )
+            state.update(
+                (json.dumps({p: ent for p, ent in periods.items()}),)
+            )
+            # int(): numpy scalars reject pyspark's json timeout codec
+            state.setTimeoutTimestamp(int(timeout))
         else:
-            state.update((cum, json.dumps({})))
-            # int(): the Arrow group key is a numpy scalar, and pyspark
-            # serializes the timeout through json.dumps, which rejects
-            # numpy int64
-            state.setTimeoutTimestamp(int(key[1]) + period_ms + step_ms)
+            state.remove()
         if out:
             yield pd.DataFrame(
                 out, columns=["period_ms", "window_ms", "key", "n"]
@@ -770,17 +792,13 @@ def stream_cumulate_counter(
 
     sel = [
         F.col(key_col).alias("key"),
-        (
-            (F.unix_millis(ts_col) / F.lit(period_ms)).cast("long")
-            * F.lit(period_ms)
-        ).alias("period"),
         F.unix_millis(ts_col).alias("__ms"),
         F.col(ts_col).alias("__ts"),
     ]
     if value_col is not None:
         sel.append(F.col(value_col).alias("__v"))
     prepared = sdf.withWatermark(ts_col, f"{delay_ms} milliseconds").select(*sel)
-    return prepared.groupBy("key", "period").applyInPandasWithState(
+    return prepared.groupBy("key").applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,

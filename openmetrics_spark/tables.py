@@ -81,6 +81,38 @@ def load_tables(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Cache registry: queries that persist() an intermediate (dedup posting
+# lists, span counts) return LAZY DataFrames, so they cannot unpersist
+# before the caller consumes the result — but never unpersisting leaks
+# executor memory across the dozens of queries a verify/bench run
+# executes in one SparkSession. pin() records every persisted frame;
+# the harnesses (oracle CLI, bench, test fixtures) call
+# release_caches() after each query's action completes.
+# ---------------------------------------------------------------------------
+_LIVE_CACHES: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() + register for deferred release via release_caches()."""
+    df.persist()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every pin()ed frame; returns how many were released."""
+    n = 0
+    while _LIVE_CACHES:
+        df = _LIVE_CACHES.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:  # session already stopped — nothing to leak
+            pass
+    return n
+
+
 def spread_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition a narrow scan up to cluster parallelism ahead of a
     CPU-heavy stage. Small parquet inputs arrive as one split, which

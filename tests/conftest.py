@@ -19,3 +19,14 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def _release_pinned_caches():
+    """Queries pin() persisted intermediates they cannot unpersist
+    before their lazy result is consumed; drop them after each test so
+    cached partitions don't pile up across the session-scoped Spark."""
+    yield
+    from openmetrics_spark.tables import release_caches
+
+    release_caches()

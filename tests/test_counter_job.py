@@ -363,3 +363,19 @@ def test_clear_user_id_recursive(spark):
     assert all(e.user_id is None for e in r.events)
     assert [e.n for e in r.events] == [1, 2]
     assert r.other == "keep"
+
+
+def test_counter_ua_fixture_extractions_match_oracle_pins(spark):
+    """counter_commands_full scores REAL user-agent strings through
+    functions/ua.py on the Spark side while its DuckDB oracle pins the
+    expected (os, family) per string — this asserts ua.py extracts
+    exactly the pinned pairs, so the two sides stay provably in sync."""
+    from openmetrics_spark.functions.ua import agent_family, os_family
+    from openmetrics_spark.queries.counter_q import _UA_FIXTURE
+
+    df = spark.createDataFrame([(s,) for s, _, _ in _UA_FIXTURE], "ua STRING")
+    got = df.select(
+        os_family("ua").alias("os"), agent_family("ua").alias("fam")
+    ).collect()
+    for row, (_, want_os, want_fam) in zip(got, _UA_FIXTURE):
+        assert (row.os, row.fam) == (want_os, want_fam)

@@ -133,29 +133,60 @@ def _restage(
     the union watermark after batch k never outruns batch k+1's rows —
     no false lates from per-source file skew. Empty slices still write
     a (0-row) file to keep the per-source batch count aligned."""
+    import glob
+    import shutil
+
     df = spark.read.parquet(src) if isinstance(src, str) else src
     t0 = int(time.time()) - 1000
-    cuts = [None, *boundaries, None]
-    for i in range(len(cuts) - 1):
-        chunk = df
-        if cuts[i] is not None:
-            chunk = chunk.filter(F.col(ms_col) >= cuts[i])
-        if cuts[i + 1] is not None:
-            chunk = chunk.filter(F.col(ms_col) < cuts[i + 1])
-        before = set(os.listdir(dst)) if os.path.isdir(dst) else set()
-        chunk.orderBy(ms_col).coalesce(1).write.mode("append").parquet(dst)
-        for name in set(os.listdir(dst)) - before:
-            p = os.path.join(dst, name)
-            os.utime(p, (t0 + i, t0 + i))
+    n_slices = len(boundaries) + 1
+    # ONE job writes every slice: slice id = how many boundaries the
+    # row has passed; repartition on it gives each slice exactly one
+    # task → exactly one file (one file per slice is load-bearing:
+    # maxFilesPerTrigger=1 makes each file a micro-batch, and a slice
+    # split across files would let the watermark outrun the second
+    # file's rows → false lates). The old per-slice loop ran
+    # 1 + n_slices sequential jobs, each a full input re-scan plus a
+    # single-threaded sorted write — ~2x the whole staging cost.
+    slice_id = F.lit(0)
+    for b in boundaries:
+        slice_id = slice_id + (F.col(ms_col) >= F.lit(b)).cast("int")
+    tmp = f"{dst}__stage_tmp"
+    (
+        df.withColumn("__slice", slice_id)
+        .repartition(n_slices, "__slice")
+        .sortWithinPartitions(ms_col)
+        .write.partitionBy("__slice")
+        .mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(dst, exist_ok=True)
+    for i in range(n_slices):
+        files = sorted(
+            glob.glob(os.path.join(tmp, f"__slice={i}", "*.parquet"))
+        )
+        if not files:
+            # empty slices still write a (0-row) file to keep the
+            # per-source batch count aligned across staged dirs
+            before = set(os.listdir(dst))
+            df.limit(0).coalesce(1).write.mode("append").parquet(dst)
+            for name in set(os.listdir(dst)) - before:
+                os.utime(os.path.join(dst, name), (t0 + i, t0 + i))
+            continue
+        for f in files:
+            target = os.path.join(
+                dst, f"slice_{t0}_{i}_{os.path.basename(f)}"
+            )
+            shutil.move(f, target)
+            os.utime(target, (t0 + i, t0 + i))
+    shutil.rmtree(tmp, ignore_errors=True)
     if sentinel:
-        n = len(cuts) - 1
         before = set(os.listdir(dst))
         spark.createDataFrame([_sentinel_row(df.schema)], df.schema).coalesce(
             1
         ).write.mode("append").parquet(dst)
         for name in set(os.listdir(dst)) - before:
             p = os.path.join(dst, name)
-            os.utime(p, (t0 + n, t0 + n))
+            os.utime(p, (t0 + n_slices, t0 + n_slices))
 
 
 def _stream(spark: SparkSession, path: str) -> DataFrame:

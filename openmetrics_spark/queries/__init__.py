@@ -95,6 +95,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_session_rollup",
     "streaming_interval_join",
     # never driver-verified: sinks / joins / envelopes
+    "upsert_mor_snapshot",   # new: merge-on-read twin of the COW sink
     "upsert_two_batches",
     "user_versioned_join",
     "cumulated_metrics_envelope",

@@ -100,3 +100,40 @@ def upsert_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
         "ts_ms", "event_id",
     )
+
+
+@register("upsert_mor_snapshot", oracle=_UPSERT_ORACLE, tags=("sink",))
+def upsert_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same two batches through the MERGE-ON-READ table — the type
+    the reference deploys (HudiOutput.java:425): batch 1 is compacted
+    into the base, batch 2 stays in the delta log, and the SNAPSHOT
+    read (base + log window-merged) must equal the COW table's state —
+    i.e. the exact oracle of ``upsert_two_batches``. Proves the MOR
+    write path (O(batch) append, no table read), the compaction
+    rewrite, and the read-path merge agree with copy-on-write."""
+    from openmetrics_spark.sources.upsert import MorUpsertTable
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    dedup = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_id",
+        )
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    b1 = dedup.filter(F.col("event_id") % 3 != 0)
+    b2 = dedup.filter(F.col("event_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="upsert_mor_q_") + "/t"
+    t = MorUpsertTable(path, ["user_id", "event_type"], "ts_ms")
+    t.upsert(b1)
+    t.compact(spark)  # b1 becomes the base file set
+    t.upsert(b2)  # b2 rides the delta log
+    return t.read_snapshot(spark).select(
+        "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
+        "ts_ms", "event_id",
+    )

@@ -121,3 +121,101 @@ def test_streaming_upsert_replay_idempotent(spark, table, tmp_path):
     )
     q2.awaitTermination(120)
     assert _rows(spark, table) == expect
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read (MorUpsertTable) — HudiOutput.java:425 MERGE_ON_READ
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def mor(tmp_path):
+    from openmetrics_spark.sources.upsert import MorUpsertTable
+
+    return MorUpsertTable(
+        str(tmp_path / "mor"), pk_cols=["pk"], ts_ms_col="event_api_timestamp"
+    )
+
+
+def _mor_rows(spark, t):
+    return {
+        (r["pk"], r["payload"], r["event_api_timestamp"])
+        for r in t.read_snapshot(spark).collect()
+    }
+
+
+def test_mor_snapshot_equals_cow(spark, table, mor):
+    """Same batches through COW and MOR: snapshot read == COW state,
+    including last-write-wins and tie-to-later-commit."""
+    batches = [
+        [("a", "a1", T0), ("b", "b1", T0 + 1)],
+        [("a", "a2", T0 + 2), ("c", "c1", T0 + HOUR)],
+        [("a", "stale", T0 + 1), ("b", "b2", T0 + 1)],  # stale + tie
+    ]
+    for rows in batches:
+        table.upsert(_batch(spark, rows))
+        mor.upsert(_batch(spark, rows))
+    assert _mor_rows(spark, mor) == _rows(spark, table)
+
+
+def test_mor_write_appends_only_no_table_read(spark, mor, tmp_path):
+    """The MOR ingest contract: an upsert only appends to log/ — the
+    base directory is untouched and never read."""
+    import os
+
+    mor.upsert(_batch(spark, [("a", "a1", T0)]))
+    mor.compact(spark)
+    base = str(tmp_path / "mor" / "base")
+    before = {
+        (dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(base)
+        for f in fs
+    }
+    mor.upsert(_batch(spark, [("a", "a2", T0 + 1), ("b", "b1", T0 + 2)]))
+    after = {
+        (dp, f): os.path.getmtime(os.path.join(dp, f))
+        for dp, _, fs in os.walk(base)
+        for f in fs
+    }
+    assert after == before  # base untouched by ingest
+    assert _mor_rows(spark, mor) == {
+        ("a", "a2", T0 + 1),
+        ("b", "b1", T0 + 2),
+    }
+
+
+def test_mor_read_optimized_stale_until_compaction(spark, mor):
+    mor.upsert(_batch(spark, [("a", "a1", T0)]))
+    mor.compact(spark)
+    mor.upsert(_batch(spark, [("a", "a2", T0 + 1)]))
+    ro = {
+        (r["pk"], r["payload"])
+        for r in mor.read_optimized(spark).collect()
+    }
+    assert ro == {("a", "a1")}  # _ro view lags the log
+    mor.compact(spark)
+    ro2 = {
+        (r["pk"], r["payload"])
+        for r in mor.read_optimized(spark).collect()
+    }
+    assert ro2 == {("a", "a2")}
+    # post-compaction: snapshot == read-optimized, log truncated
+    assert _mor_rows(spark, mor) == {("a", "a2", T0 + 1)}
+    assert mor.last_commit(spark) == 0
+
+
+def test_mor_num_commits_compaction_trigger(spark, mor):
+    from openmetrics_spark.sources.upsert import MorUpsertTable
+
+    t = MorUpsertTable(
+        mor.path, pk_cols=["pk"], ts_ms_col="event_api_timestamp",
+        compaction_delta_commits=3,
+    )
+    t.upsert(_batch(spark, [("a", "a1", T0)]))
+    assert not t.maybe_compact(spark)
+    t.upsert(_batch(spark, [("a", "a2", T0 + 1)]))
+    assert not t.maybe_compact(spark)
+    t.upsert(_batch(spark, [("b", "b1", T0 + 2)]))
+    assert t.maybe_compact(spark)  # 3rd delta commit triggers
+    assert t.read_optimized(spark) is not None
+    assert t.last_commit(spark) == 0

@@ -421,6 +421,25 @@ def merge_details(
     return tiny_result.join(details, pk_cols, how)
 
 
+def merge_details_with_drops(
+    tiny_result: DataFrame,
+    details: DataFrame,
+    pk_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """:func:`merge_details` plus the DroppedMergeDetailsEvent side
+    output (reference: AbstractMergeDetails.java:180-220
+    tryProcessIncompleteEvents — a tiny event whose full entity never
+    arrives within the cleanup delay emits to the dropped side output
+    instead of silently joining null).
+
+    Batch twin: ``(merged, dropped)`` where ``merged`` is the INNER
+    join (complete events only) and ``dropped`` the left-anti remainder
+    — same key shuffle either way, the split costs nothing extra."""
+    merged = tiny_result.join(details, pk_cols, "inner")
+    dropped = tiny_result.join(details, pk_cols, "left_anti")
+    return merged, dropped
+
+
 def other_content_ids(props_json_col, property_keys: list[str]):
     """OtherContentIdsConverter (reference: job/join/
     OtherContentIdsConverter.java:19-60): extract the configured

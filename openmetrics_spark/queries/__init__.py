@@ -79,6 +79,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "counter_commands_full",      # UA-family extraction now in the path
     "bfj_join_side_outputs",      # new: inferred-join mismatch/dup side channels
     "doc_unigram_logprob_capped", # new: broadcast capped-vocab variant
+    "validation_error_split",     # new: Validate* error side output
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -112,14 +113,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q11_important_parts",
     "q13_customer_distribution",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
     "q21_waiting_supplier",
-    "q22_dormant_customers",
-    # green anchors — one per §2 family stays inside every window
+    # (q16/q17/q20/q22 rotate into the r6 window — the list must stay
+    # at 50 and the slots go to queries whose CODE changed this round)
+    # green anchors — one per §2 family stays inside every window;
+    # ngram/clusters/ann re-verify the r5 shingle + connected-
+    # components refactors
     "bfj_view_insertions",        # inferred view→insertion join
     "bfj_joined_actions",         # impression→action join
     "keep_first_dedup",           # KeepFirstRow
@@ -130,9 +131,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "cumulate_hourly",            # CUMULATE batch
     "streaming_cumulate_hourly",  # custom streaming state machine
     "doc_exact_dedup",            # LLM exact dedup
-    "ngram_jaccard_neardup",      # LLM near-dup (perf headline)
+    "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)
+    "doc_dedup_clusters",         # connected components (r5 edge cut)
+    "minhash_lsh_neardup",        # shingles() signature path (r5)
     "ann_brute_topk",             # similarity search
-    "value_percentiles_by_type",  # SQL window surface
     "q1_pricing_summary",         # TPC-H anchor
 )
 
@@ -153,6 +155,7 @@ def all_queries() -> dict[str, QuerySpec]:
         corpus_mix_q,
         upsert_q,
         users_q,
+        validate_q,
     )
 
     ordered: dict[str, QuerySpec] = {}

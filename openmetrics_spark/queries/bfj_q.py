@@ -1065,3 +1065,90 @@ def bfj_join_side_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ms",
     )
     return dup_rows.unionByName(mm_rows)
+
+
+# ---------------------------------------------------------------------------
+# stage: MergeDetails dropped side output (reference:
+# inferred/AbstractMergeDetails.java:180-220 — tiny events whose full
+# entity never arrives emit DroppedMergeDetailsEvent instead of
+# joining null; side-output parquet at FlatOutputJob.java:1389-1410).
+# ---------------------------------------------------------------------------
+
+_MERGE_DROPS_ORACLE = f"""
+WITH e AS ({_E_SQL}),
+c AS (SELECT * FROM e WHERE event_type = 'click'),
+tiny AS (
+  SELECT platform_id, log_user_id,
+         'm' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS impression_id,
+         ms + 60000 + k AS impression_ms
+  FROM c, range(2) r(k)
+),
+full_imp AS (
+  SELECT 'm' || CAST(id AS VARCHAR) || '_' || CAST(k AS VARCHAR) AS impression_id,
+         'c' || CAST((id * 2 + k) % 40 AS VARCHAR) AS content_id,
+         (id * 37 + k) % 1000 AS position_bucket
+  FROM c, range(2) r(k) WHERE (id + k) % 3 <> 0
+)
+SELECT 'merged' AS channel, t.impression_id, t.platform_id, t.log_user_id,
+       t.impression_ms, f.content_id,
+       CAST(f.position_bucket AS BIGINT) AS position_bucket
+FROM tiny t JOIN full_imp f USING (impression_id)
+UNION ALL
+SELECT 'dropped', t.impression_id, t.platform_id, t.log_user_id,
+       t.impression_ms, CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+FROM tiny t
+WHERE impression_id NOT IN (SELECT impression_id FROM full_imp)
+"""
+
+
+@register("bfj_merge_details_drops", oracle=_MERGE_DROPS_ORACLE, tags=("bfj",))
+def bfj_merge_details_drops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MergeDetails with the dropped side channel in one table: tiny
+    impressions re-joined to their full payloads by primary key; every
+    third (id+k) has no full entity and must land on the ``dropped``
+    channel with null payload columns rather than silently left-join
+    null into the merged stream. One pk shuffle serves both channels."""
+    from openmetrics_spark.operators.flat import merge_details_with_drops
+
+    c = _ev(spark, sf_dir, "click")
+    k = F.explode(F.array(F.lit(0), F.lit(1))).alias("k")
+    base = c.select("platform_id", "log_user_id", "id", "ms", k)
+    tiny = base.select(
+        "platform_id",
+        "log_user_id",
+        F.concat(F.lit("m"), F.col("id"), F.lit("_"), F.col("k")).alias(
+            "impression_id"
+        ),
+        (F.col("ms") + 60000 + F.col("k")).alias("impression_ms"),
+    )
+    full_imp = base.filter((F.col("id") + F.col("k")) % 3 != 0).select(
+        F.concat(F.lit("m"), F.col("id"), F.lit("_"), F.col("k")).alias(
+            "impression_id"
+        ),
+        F.concat(F.lit("c"), (F.col("id") * 2 + F.col("k")) % 40).alias(
+            "content_id"
+        ),
+        ((F.col("id") * 37 + F.col("k")) % 1000).alias("position_bucket"),
+    )
+    merged, dropped = merge_details_with_drops(
+        tiny, full_imp, ["impression_id"]
+    )
+    return merged.select(
+        F.lit("merged").alias("channel"),
+        "impression_id",
+        "platform_id",
+        "log_user_id",
+        "impression_ms",
+        "content_id",
+        "position_bucket",
+    ).unionByName(
+        dropped.select(
+            F.lit("dropped").alias("channel"),
+            "impression_id",
+            "platform_id",
+            "log_user_id",
+            "impression_ms",
+            F.lit(None).cast("string").alias("content_id"),
+            F.lit(None).cast("long").alias("position_bucket"),
+        )
+    )

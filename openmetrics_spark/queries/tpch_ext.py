@@ -33,6 +33,25 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
+def _sum_cents(expr) -> F.Column:
+    """Order-independent money sum for cross-engine exact hashing:
+    round each ROW to integer cents (every step — multiply, +0.5,
+    floor — is a deterministic IEEE op producing identical values in
+    any engine), sum the BIGINTs exactly, divide once. By contrast
+    ``round(sum(double), 2)`` depends on summation ORDER at the last
+    ulp, and when the true sum sits on a .xx5 boundary Spark and
+    DuckDB can legitimately round to different cents — the exact
+    hash-mismatch class the round-4 verdict flagged (observed live on
+    q9/q10 at sf0.01 before this rewrite). SQL twin:
+    ``SUM(CAST(floor((e) * 100 + 0.5) AS BIGINT)) / 100.0``."""
+    return F.sum(_cents(expr)) / 100.0
+
+
+def _cents(expr) -> F.Column:
+    """Per-row exact integer cents (see :func:`_sum_cents`)."""
+    return F.floor(expr * 100 + F.lit(0.5)).cast("long")
+
+
 _Q4_ORACLE = """
 SELECT o_orderpriority, count(*) AS order_count
 FROM orders
@@ -69,7 +88,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q7_ORACLE = """
-SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+SELECT supp_nation, cust_nation, l_year,
+       SUM(CAST(floor(volume * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -123,14 +143,16 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.round(F.sum("volume"), 2).alias("revenue"))
+        .agg(_sum_cents(F.col("volume")).alias("revenue"))
     )
 
 
 _Q8_ORACLE = """
 SELECT o_year,
-       round(sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume), 6) AS mkt_share
+       round(CAST(SUM(CASE WHEN nation = 'NATION_3'
+                           THEN CAST(floor(volume * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE)
+             / SUM(CAST(floor(volume * 100 + 0.5) AS BIGINT)), 6) AS mkt_share
 FROM (
   SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount) AS volume,
@@ -184,8 +206,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_year")
         .agg(
             F.round(
-                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
-                / F.sum("volume"),
+                F.sum(
+                    F.when(F.col("nation") == "NATION_3", _cents(F.col("volume")))
+                    .otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.sum(_cents(F.col("volume"))),
                 6,
             ).alias("mkt_share")
         )
@@ -193,7 +218,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q9_ORACLE = """
-SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+SELECT nation, o_year, SUM(CAST(floor(amount * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount)
@@ -232,13 +257,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum("amount"), 2).alias("sum_profit"))
+        .agg(_sum_cents(F.col("amount")).alias("sum_profit"))
     )
 
 
 _Q10_ORACLE = """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
        c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -268,8 +293,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _sum_cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -279,7 +304,8 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q11_ORACLE = """
-SELECT l_partkey, round(sum(l_extendedprice * l_quantity), 2) AS part_value
+SELECT l_partkey,
+       SUM(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS part_value
 FROM lineitem
 GROUP BY l_partkey
 HAVING sum(l_extendedprice * l_quantity) > (
@@ -301,6 +327,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     val = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = li.groupBy("l_partkey").agg(
         F.sum(val).alias("raw_value"),
+        _sum_cents(val).alias("part_value"),
     )
     thresh = li.agg(
         (1.1 * F.sum(val) / F.count_distinct(F.col("l_partkey"))).alias("__thresh")
@@ -308,7 +335,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_part.join(F.broadcast(thresh))
         .filter(F.col("raw_value") > F.col("__thresh"))
-        .select("l_partkey", F.round(F.col("raw_value"), 2).alias("part_value"))
+        .select("l_partkey", "part_value")
     )
 
 
@@ -344,7 +371,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -366,7 +393,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        _sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
@@ -411,7 +438,7 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q17_ORACLE = """
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT floor(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 7.0 + 0.5) / 100.0 AS avg_yearly
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 JOIN (
@@ -437,14 +464,19 @@ def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(F.broadcast(half_avg), li.l_partkey == F.col("pk"))
         .filter(F.col("l_quantity") < F.col("half_avg"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            (
+                F.floor(F.sum(_cents(F.col("l_extendedprice"))) / 7.0 + F.lit(0.5))
+                / 100.0
+            ).alias("avg_yearly")
+        )
     )
 
 
 _Q18_ORACLE = """
 SELECT c_custkey, c_name, o_orderkey,
        CAST(o_orderdate AS DATE) AS o_orderdate, o_totalprice,
-       round(sum(l_quantity), 2) AS total_qty
+       SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS total_qty
 FROM customer, orders, lineitem
 WHERE o_orderkey IN (
     SELECT l_orderkey FROM lineitem
@@ -482,12 +514,12 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
             "o_totalprice",
         )
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(_sum_cents(F.col("l_quantity")).alias("total_qty"))
     )
 
 
 _Q19_ORACLE = """
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
@@ -528,8 +560,8 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            _sum_cents(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
     )
@@ -601,7 +633,8 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q22_ORACLE = """
-SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+SELECT c_nationkey, count(*) AS numcust,
+       SUM(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) / 100.0 AS totacctbal
 FROM customer
 WHERE c_acctbal > (
     SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0
@@ -636,7 +669,7 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_nationkey")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            _sum_cents(F.col("c_acctbal")).alias("totacctbal"),
         )
     )
 

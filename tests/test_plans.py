@@ -93,3 +93,41 @@ def test_classifier_scan_prunes_to_two_columns(spark, sf_dir):
     scan = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "doc_id" in scan and "text" in scan, scan
     assert "lang" not in scan and "source" not in scan, scan
+
+
+def test_side_outputs_join_has_no_cartesian(spark, sf_dir):
+    # the FK equi-join + explode field compare must stay hash-join +
+    # narrow projection — no cartesian, no Python in the plan.
+    plan = _plan(spark, sf_dir, "bfj_join_side_outputs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_mor_snapshot_prunes_partitions(spark, tmp_path):
+    # a dt/hour-filtered snapshot read must prune at the scan: the
+    # PartitionFilters of both the base and log scans carry the dt
+    # predicate, so compaction/read cost scales with the slice touched.
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.sources.upsert import MorUpsertTable
+
+    t = MorUpsertTable(
+        str(tmp_path / "mor_prune"), pk_cols=["pk"], ts_ms_col="ts_ms"
+    )
+    T0 = 1704067200000
+    rows = [(f"k{i}", f"p{i}", T0 + i * 3_600_000) for i in range(6)]
+    b = spark.createDataFrame(rows, "pk string, payload string, ts_ms long")
+    t.upsert(b)
+    t.compact(spark)
+    t.upsert(
+        spark.createDataFrame(
+            [("k0", "p0b", T0 + 1)], "pk string, payload string, ts_ms long"
+        )
+    )
+    snap = t.read_snapshot(spark).filter(F.col("hour") == 0)
+    plan = snap._jdf.queryExecution().executedPlan().toString()
+    for section in plan.split("PartitionFilters: ")[1:]:
+        head = section.splitlines()[0]
+        assert "hour" in head, plan
+    got = {(r["pk"], r["payload"]) for r in snap.collect()}
+    assert got == {("k0", "p0b")}

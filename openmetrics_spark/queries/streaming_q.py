@@ -72,6 +72,21 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+# every streaming query slices the same events table on the same
+# thirds-of-span grid; the (lo, hi) scan is one full-table aggregate
+# per call, so memoize it per sf_dir for the life of the process
+_GRID_CACHE: dict[str, list[int]] = {}
+
+
+def _events_grid(spark: SparkSession, sf_dir: str, ev: DataFrame) -> list[int]:
+    grid = _GRID_CACHE.get(sf_dir)
+    if grid is None:
+        lo, hi = ev.agg(F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+        _GRID_CACHE[sf_dir] = grid
+    return grid
+
+
 def _staged_events(spark: SparkSession, sf_dir: str, work: str) -> str:
     """Stage the events table as an ordered multi-slice file stream
     keyed by a string content id (user_id stands in for content)."""
@@ -82,8 +97,7 @@ def _staged_events(spark: SparkSession, sf_dir: str, work: str) -> str:
         "value",
         F.unix_millis("ts").alias("ms"),
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     path = os.path.join(work, "events")
     _restage(spark, ev, path, "ms", grid, sentinel=True)
     return path
@@ -180,8 +194,7 @@ def streaming_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.unix_millis("ts").alias("ms"),
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=True)
     agg = (
@@ -244,8 +257,7 @@ def streaming_sliding_counter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", F.unix_millis("ts").alias("ms")
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=True)
     agg = stream_sliding_counter(
@@ -301,8 +313,7 @@ def streaming_cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", F.unix_millis("ts").alias("ms")
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=True)
     cum = stream_cumulate_counter(
@@ -385,8 +396,7 @@ def streaming_last_time_and_count(
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", F.unix_millis("ts").alias("ms")
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=True)
     updates = stream_last_time_and_count(
@@ -451,8 +461,7 @@ def streaming_inferred_attribution(
             F.unix_millis("ts").alias("ms"),
         )
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=False)
     # sentinel VIEW (not the generic 'zz' row): it must survive the
@@ -522,8 +531,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "user_id", "ts", "value", F.unix_millis("ts").alias("ms")
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=True)
     agg = (
@@ -588,8 +596,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "ts",
         F.unix_millis("ts").alias("ms"),
     )
-    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    grid = _events_grid(spark, sf_dir, ev)
     staged = os.path.join(work, "events")
     _restage(spark, ev, staged, "ms", grid, sentinel=True)
     s = _stream(spark, staged)

@@ -420,3 +420,59 @@ class MorUpsertTable:
             self.compact(spark)
             return True
         return False
+
+
+def sync_to_catalog(
+    spark: SparkSession,
+    table: "UpsertTable | MorUpsertTable",
+    name: str,
+    database: str = "default",
+    skip_ro_suffix: bool = True,
+) -> list[str]:
+    """Catalog sync — the reference's Hive/Glue sync mapped to Spark's
+    built-in catalog (reference: common/job/hudi/HudiOutput.java:
+    402-411 — HIVE_SYNC_ENABLED with mode 'glue', per-table database/
+    name, HIVE_SYNC_SKIP_RO_SUFFIX). Registers the table as an
+    external partitioned parquet table and recovers its dt/hour
+    partitions, so ``spark.table(name)`` / plain SQL sees every
+    upserted row with partition pruning intact.
+
+    COW tables sync one entry. MOR tables mirror Hudi's two views:
+    ``<name>`` (read-optimized — the base files; the reference skips
+    the ``_ro`` suffix for it, hence the default) and ``<name>_log``
+    for the delta log (the snapshot view is a window merge, not a
+    scannable location, so it stays a read-path API —
+    ``read_snapshot``).
+
+    Returns the fully-qualified table names registered. Re-running is
+    idempotent (CREATE TABLE IF NOT EXISTS + partition recovery), the
+    analog of META_SYNC_CONDITIONAL_SYNC."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
+
+    def register(table_name: str, location: str) -> str:
+        fq = f"{database}.{table_name}"
+        # explicit column list derived from the data (CREATE TABLE
+        # with LOCATION only cannot carry PARTITIONED BY); dt/hour go
+        # last as the partition columns
+        schema = spark.read.parquet(location).schema
+        data_cols = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}"
+            for f in schema.fields
+            if f.name not in ("dt", "hour")
+        )
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {fq} "
+            f"({data_cols}, dt DATE, hour INT) USING parquet "
+            f"PARTITIONED BY (dt, hour) LOCATION '{location}'"
+        )
+        # discover partition directories added since the last sync
+        spark.sql(f"MSCK REPAIR TABLE {fq}")
+        return fq
+
+    if isinstance(table, MorUpsertTable):
+        ro_name = name if skip_ro_suffix else f"{name}_ro"
+        out = [register(ro_name, table.base_path)]
+        if table._exists(spark, table.log_path):
+            out.append(register(f"{name}_log", table.log_path))
+        return out
+    return [register(name, table.path)]

@@ -219,3 +219,45 @@ def test_mor_num_commits_compaction_trigger(spark, mor):
     assert t.maybe_compact(spark)  # 3rd delta commit triggers
     assert t.read_optimized(spark) is not None
     assert t.last_commit(spark) == 0
+
+
+def test_catalog_sync_cow_and_mor(spark, table, mor):
+    """Hive/Glue-sync analog: after sync, plain SQL over the catalog
+    table sees every upserted row with dt/hour partition pruning, and
+    a re-sync after new writes is idempotent and picks up the new
+    partitions (META_SYNC_CONDITIONAL_SYNC behavior)."""
+    from openmetrics_spark.sources.upsert import sync_to_catalog
+
+    table.upsert(_batch(spark, [("a", "a1", T0), ("b", "b1", T0 + HOUR)]))
+    [cow_fq] = sync_to_catalog(spark, table, "sync_cow_t")
+    got = {
+        (r["pk"], r["payload"])
+        for r in spark.sql(f"SELECT pk, payload FROM {cow_fq}").collect()
+    }
+    assert got == {("a", "a1"), ("b", "b1")}
+
+    # new partition after a second upsert: re-sync must discover it
+    table.upsert(_batch(spark, [("c", "c1", T0 + 5 * HOUR)]))
+    sync_to_catalog(spark, table, "sync_cow_t")
+    assert spark.sql(
+        f"SELECT count(*) AS n FROM {cow_fq} WHERE hour = 5"
+    ).first()["n"] == 1
+
+    # partition pruning through the catalog table
+    plan = (
+        spark.sql(f"SELECT pk FROM {cow_fq} WHERE hour = 5")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan and "hour" in plan.split("PartitionFilters")[1].splitlines()[0]
+
+    # MOR: read-optimized view (no _ro suffix) + log table
+    mor.upsert(_batch(spark, [("x", "x1", T0)]))
+    mor.compact(spark)
+    mor.upsert(_batch(spark, [("x", "x2", T0 + 1)]))
+    names = sync_to_catalog(spark, mor, "sync_mor_t")
+    assert names == ["default.sync_mor_t", "default.sync_mor_t_log"]
+    ro = {r["payload"] for r in spark.sql("SELECT payload FROM default.sync_mor_t").collect()}
+    log = {r["payload"] for r in spark.sql("SELECT payload FROM default.sync_mor_t_log").collect()}
+    assert ro == {"x1"} and log == {"x2"}
+    for fq in names + [cow_fq]:
+        spark.sql(f"DROP TABLE {fq}")

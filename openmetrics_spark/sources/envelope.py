@@ -149,11 +149,14 @@ def encode_log_requests(envelopes: DataFrame) -> DataFrame:
     )
 
 
-def decode_log_requests(records: DataFrame) -> DataFrame:
+def decode_log_requests(records: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """Kafka wire records → LogRequest envelopes: ``from_json`` against
     the LOG_REQUEST schema (the shape ``kafka_source_options`` readers
     assume). Malformed payloads decode to all-null rows (PERMISSIVE),
-    which validation downstream drops."""
+    which validation downstream drops. ``keep`` carries transport
+    columns through (e.g. the record ``timestamp`` that
+    SetLogTimestamp stamps into log_timestamp)."""
     return records.select(
-        F.from_json(F.col("value").cast("string"), LOG_REQUEST).alias("__r")
-    ).select("__r.*")
+        F.from_json(F.col("value").cast("string"), LOG_REQUEST).alias("__r"),
+        *[F.col(c) for c in keep],
+    ).select("__r.*", *keep)

@@ -92,3 +92,89 @@ def run_foreach_batch(
         writer = writer.option("checkpointLocation", checkpoint_dir)
     q = writer.start()
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# Broker-less Kafka-contract transport: files carrying the EXACT
+# record schema Spark's kafka source produces, so every transformation
+# downstream of `.load()` — SetLogTimestamp from the record timestamp,
+# from_json decode, 8-way split, watermarks — runs unchanged whether
+# the transport is `format("kafka")` or this directory. The sandbox
+# has no broker (SURVEY §2.1 row 1); this closes everything but the
+# network hop.
+# ---------------------------------------------------------------------------
+
+def kafka_record_schema() -> StructType:
+    """The Spark kafka source's fixed output schema (key/value binary,
+    topic, partition, offset, timestamp, timestampType)."""
+    from pyspark.sql import types as T
+
+    return T.StructType(
+        [
+            T.StructField("key", T.BinaryType()),
+            T.StructField("value", T.BinaryType()),
+            T.StructField("topic", T.StringType()),
+            T.StructField("partition", T.IntegerType()),
+            T.StructField("offset", T.LongType()),
+            T.StructField("timestamp", T.TimestampType()),
+            T.StructField("timestampType", T.IntegerType()),
+        ]
+    )
+
+
+def write_fake_topic(
+    records: DataFrame,
+    path: str,
+    topic: str,
+    n_partitions: int = 4,
+    ts_col: str | None = None,
+) -> None:
+    """Publish (key string, value string) rows as a fake topic.
+
+    Mirrors the broker's contract: partition = hash(key) mod N (same
+    key → same partition → per-key ordering, the property the
+    reference's logUserId-keyed topic relies on,
+    MetricsApiKafkaSource.java:40-120); offsets are per-partition
+    monotone in timestamp order; ``timestamp`` is the record's ingest
+    time (``ts_col`` if given, else now-ish constant) — the stream
+    time SetLogTimestamp stamps into log_timestamp."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ts = (
+        F.col(ts_col).cast("timestamp")
+        if ts_col is not None
+        else F.current_timestamp()
+    )
+    w = Window.partitionBy("partition").orderBy("timestamp", "key", "value")
+    out = (
+        records.select(
+            F.col("key").cast("binary").alias("key"),
+            F.col("value").cast("binary").alias("value"),
+            F.lit(topic).alias("topic"),
+            (F.abs(F.hash("key")) % n_partitions).cast("int").alias("partition"),
+            ts.alias("timestamp"),
+            F.lit(0).alias("timestampType"),
+        )
+        .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
+        .select(
+            "key", "value", "topic", "partition", "offset",
+            "timestamp", "timestampType",
+        )
+    )
+    out.write.mode("append").parquet(path)
+
+
+def read_fake_topic(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """``spark.readStream.format("kafka")`` stand-in: a streaming
+    DataFrame with the exact kafka record schema over the fake topic
+    directory. Swap this one call for the real source + option
+    builders (:func:`kafka_source_options`) in production."""
+    return stream_from_dir(
+        spark,
+        path,
+        kafka_record_schema(),
+        max_files_per_trigger=max_files_per_trigger,
+    )

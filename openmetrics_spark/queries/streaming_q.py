@@ -631,3 +631,72 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_shuffle_partitions(spark):
         _drain(joined, out, os.path.join(work, "_chk", "pairs"))
     return spark.read.parquet(out).filter(F.col("user_id") >= 0)
+
+
+def _lookup_oracle() -> str:
+    from openmetrics_spark.queries.events_q import _CONTENT_LOOKUP_ORACLE
+
+    return _CONTENT_LOOKUP_ORACLE
+
+
+@register(
+    "streaming_content_lookup",
+    oracle=_lookup_oracle(),
+    tags=("streaming", "enrich"),
+)
+def streaming_content_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Content-API lookup as the reference actually runs it — a
+    STREAMING enrichment through a long-lived cached client
+    (ContentApiSegment.java:81-180: AsyncDataStream + 50k-entry cache)
+    — sharing the batch broadcast-join query's DuckDB oracle. The
+    fact stream flows through Arrow-batched ``mapInPandas`` where each
+    python worker holds one cache across micro-batches (the
+    per-operator client analog), so the enrichment shuffles nothing;
+    the catalog here is the same documents dimension the batch query
+    broadcasts, loaded once per worker. Row-for-row equality with the
+    relational join is the correctness claim for the cache path."""
+    from pyspark.sql import types as T
+
+    from openmetrics_spark.operators.content_lookup import (
+        DictContentLoader,
+        lookup_enrich,
+    )
+
+    # the catalog dimension: documents doc_id < 100 (same as the batch
+    # query's broadcast side) — bounded, so driver-side collect is the
+    # "service" a real deployment would answer over HTTP
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    catalog = {
+        int(r["doc_id"]): {"lang": r["lang"], "source": r["source"]}
+        for r in docs.select("doc_id", "lang", "source").collect()
+    }
+
+    work = _workdir("content_lookup")
+    ev = table(spark, sf_dir, "events").select(
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        "value",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    grid = _events_grid(spark, sf_dir, ev)
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=False)
+    enriched = lookup_enrich(
+        _stream(spark, staged),
+        "k",
+        [("lang", T.StringType()), ("source", T.StringType())],
+        DictContentLoader(catalog),
+        cache_key=f"stream_lookup_{os.getpid()}",
+    )
+    out = os.path.join(work, "enriched")
+    with _stream_shuffle_partitions(spark):
+        _drain(enriched, out, os.path.join(work, "_chk", "enriched"))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("lang").isNotNull())
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )

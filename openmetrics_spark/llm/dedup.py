@@ -252,6 +252,59 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def minhash_incremental_pairs(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 7,
+) -> DataFrame:
+    """Incremental near-dup: flag INCOMING docs that near-duplicate the
+    EXISTING corpus — the production ingest shape (every new crawl
+    batch dedupes against the already-curated corpus, not against
+    itself). Asymmetric LSH: both sides band with the same signature
+    salts, incoming bands probe the existing bands in an equi-join
+    (at 100 TB the existing side is a precomputed banded index TABLE
+    that persists across batches — only the incoming batch computes
+    signatures per run), candidates verify with exact Jaccard.
+    Linear in |incoming| per batch, never |corpus|².
+
+    Returns (incoming_id, existing_id, jaccard >= threshold)."""
+    rows = num_hashes // bands
+
+    def banded(df: DataFrame, out: str) -> DataFrame:
+        base = spread_for_compute(df).select(
+            F.col(id_col).alias(out),
+            shingles(text_col, n).alias(f"__sh_{out}"),
+        ).withColumn(
+            "__sig", minhash_signature(F.col(f"__sh_{out}"), num_hashes, seed)
+        )
+        return base.select(
+            out,
+            f"__sh_{out}",
+            F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("bk"),
+        )
+
+    inc = banded(incoming, "incoming_id")
+    ex = banded(existing, "existing_id")
+    cand = (
+        inc.join(ex, "bk")
+        .dropDuplicates(["incoming_id", "existing_id"])
+        .select(
+            "incoming_id",
+            "existing_id",
+            F.round(
+                jaccard(F.col("__sh_incoming_id"), F.col("__sh_existing_id")), 6
+            ).alias("jaccard"),
+        )
+    )
+    return cand.filter(F.col("jaccard") >= threshold)
+
+
 def simhash_neardup_pairs(
     docs: DataFrame,
     id_col: str,

@@ -786,3 +786,73 @@ def embedding_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("id") == F.col("component")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental near-dup: new batch vs existing corpus (the ingest shape)
+# ---------------------------------------------------------------------------
+
+_MINHASH_INCR_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= 3
+), sig AS (
+  SELECT doc_id, sh,
+         list_transform(range(16),
+           i -> list_min(list_transform(sh, x -> {_MH_HASH}))) AS sg
+  FROM g
+), banded AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(4), b ->
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' ||
+             array_to_string(sg[(b*4+1):(b*4+4)], '_')), 1, 15)) AS BIGINT)
+         )) AS bk
+  FROM sig
+), pairs AS (
+  SELECT DISTINCT i.doc_id AS incoming_id, e.doc_id AS existing_id
+  FROM banded i JOIN banded e USING (bk)
+  WHERE i.doc_id % 2 = 1 AND e.doc_id % 2 = 0
+), scored AS (
+  SELECT incoming_id, existing_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)
+           AS jaccard
+  FROM pairs
+  JOIN g a ON a.doc_id = incoming_id
+  JOIN g b ON b.doc_id = existing_id
+)
+SELECT incoming_id, existing_id, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+@register(
+    "minhash_incremental_neardup",
+    oracle=_MINHASH_INCR_ORACLE,
+    tags=("llm", "dedup"),
+)
+def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: odd doc_ids play the incoming crawl
+    batch, even doc_ids the already-curated corpus; incoming docs that
+    near-duplicate (MinHash-16 banded 4x4, exact Jaccard >= 0.5) any
+    existing doc are the batch's drop/link list. Candidate generation
+    is the incoming bands probing the existing band index — per-batch
+    cost linear in the batch, never corpus x corpus (at scale the
+    existing side is a persisted banded index table)."""
+    from openmetrics_spark.llm.dedup import minhash_incremental_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    return minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )

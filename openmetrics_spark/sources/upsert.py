@@ -305,11 +305,17 @@ class MorUpsertTable:
         )
 
     def last_commit(self, spark: SparkSession) -> int:
-        log = self._read(spark, self.log_path)
-        if log is None:
-            return 0
-        top = log.agg(F.max("__commit").alias("c")).first()["c"]
-        return int(top or 0)
+        # Both halves carry commits: compact() truncates the log but
+        # stamps the rewritten base with the high-water commit, so the
+        # counter must not reset below it (a reset would let a stale
+        # base row out-rank a newer log row on precombine ties).
+        top = 0
+        for path in (self.log_path, self.base_path):
+            df = self._read(spark, path)
+            if df is not None and "__commit" in df.columns:
+                c = df.agg(F.max("__commit").alias("c")).first()["c"]
+                top = max(top, int(c or 0))
+        return top
 
     # -- write path ------------------------------------------------------
 

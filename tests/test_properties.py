@@ -148,3 +148,104 @@ def test_keep_first_matches_python_model(spark, rows):
         if key not in want or (ts, i) < want[key]:
             want[key] = (ts, i)
     assert got == {k: v[1] for k, v in want.items()}
+
+
+# ---------------------------------------------------------------------------
+# Upsert engines vs a dict-based reference model
+# ---------------------------------------------------------------------------
+
+_upsert_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),          # pk
+            st.integers(0, 9),          # payload version
+            st.integers(0, 3),          # hour bucket (partition)
+            st.integers(0, 5),          # precombine ts offset
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+_T0 = 1704067200000
+_HOUR = 3_600_000
+
+
+def _model_upsert(batches):
+    """Dict reference: last-write-wins per (pk, hour) by precombine,
+    ties to the later batch; within a batch the max-precombine row
+    wins with payload as the deterministic tiebreak."""
+    state = {}
+    for rows in batches:
+        best = {}
+        for pk, payload, hour, ts in rows:
+            key = (pk, hour)
+            cand = (ts, f"p{payload}")
+            if key not in best or cand > best[key]:
+                best[key] = cand
+        for (pk, hour), (ts, payload) in best.items():
+            cur = state.get((pk, hour))
+            if cur is None or ts >= cur[0]:
+                state[(pk, hour)] = (ts, payload)
+    return {
+        (f"k{pk}", payload, _T0 + hour * _HOUR + ts)
+        for (pk, hour), (ts, payload) in state.items()
+    }
+
+
+@given(batches=_upsert_batches)
+@SET
+def test_cow_and_mor_match_python_model(spark, tmp_path_factory, batches):
+    """Both upsert engines must equal the dict model on arbitrary
+    batch sequences — including stale replays, intra-batch duplicates
+    and cross-partition key reuse — and MOR must equal COW whether or
+    not a compaction ran mid-sequence."""
+    from openmetrics_spark.sources.upsert import MorUpsertTable, UpsertTable
+
+    base = tmp_path_factory.mktemp("prop_upsert")
+    cow = UpsertTable(str(base / "cow"), ["pk"], "ts_ms")
+    mor = MorUpsertTable(str(base / "mor"), ["pk"], "ts_ms")
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            [
+                (f"k{pk}", f"p{payload}", _T0 + hour * _HOUR + ts)
+                for pk, payload, hour, ts in rows
+            ],
+            "pk string, payload string, ts_ms long",
+        )
+        # same-precombine rows in one batch: the engines break ties on
+        # the full row ordering; align the model by collapsing to the
+        # max payload per (pk, hour, ts) first
+        df = (
+            df.groupBy("pk", "ts_ms")
+            .agg(F.max("payload").alias("payload"))
+            .select("pk", "payload", "ts_ms")
+        )
+        cow.upsert(df)
+        mor.upsert(df)
+        if i == len(batches) // 2:
+            mor.compact(spark)
+
+    # mirror the pre-collapse: max payload per (pk, hour, ts) per batch
+    collapsed = []
+    for rows in batches:
+        best: dict = {}
+        for pk, payload, hour, ts in rows:
+            key = (pk, hour, ts)
+            best[key] = max(best.get(key, -1), payload)
+        collapsed.append(
+            [(pk, payload, hour, ts) for (pk, hour, ts), payload in best.items()]
+        )
+    want_raw = _model_upsert(collapsed)
+    got_cow = {
+        (r["pk"], r["payload"], r["ts_ms"])
+        for r in cow.read(spark).collect()
+    }
+    got_mor = {
+        (r["pk"], r["payload"], r["ts_ms"])
+        for r in mor.read_snapshot(spark).collect()
+    }
+    assert got_cow == want_raw
+    assert got_mor == want_raw

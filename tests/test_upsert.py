@@ -199,9 +199,12 @@ def test_mor_read_optimized_stale_until_compaction(spark, mor):
         for r in mor.read_optimized(spark).collect()
     }
     assert ro2 == {("a", "a2")}
-    # post-compaction: snapshot == read-optimized, log truncated
+    # post-compaction: snapshot == read-optimized, log truncated, and
+    # the commit counter does NOT reset (a reset would let stale base
+    # rows win precombine ties against post-compaction ingests)
     assert _mor_rows(spark, mor) == {("a", "a2", T0 + 1)}
-    assert mor.last_commit(spark) == 0
+    assert mor._read(spark, mor.log_path) is None
+    assert mor.last_commit(spark) >= 2
 
 
 def test_mor_num_commits_compaction_trigger(spark, mor):
@@ -218,7 +221,8 @@ def test_mor_num_commits_compaction_trigger(spark, mor):
     t.upsert(_batch(spark, [("b", "b1", T0 + 2)]))
     assert t.maybe_compact(spark)  # 3rd delta commit triggers
     assert t.read_optimized(spark) is not None
-    assert t.last_commit(spark) == 0
+    assert t._read(spark, t.log_path) is None  # log truncated
+    assert t.last_commit(spark) >= 3  # high-water mark survives
 
 
 def test_catalog_sync_cow_and_mor(spark, table, mor):

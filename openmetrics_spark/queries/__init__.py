@@ -100,7 +100,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "upsert_two_batches",
     "user_versioned_join",
     "cumulated_metrics_envelope",
+    "streaming_content_lookup",      # new: cached-client lookup variant
+    "minhash_incremental_neardup",   # new: batch-vs-corpus dedup
     # never driver-verified: multimodal (av gained an oracle in r4)
+    "multimodal_image_stats",
     "multimodal_resize_stats",
     "multimodal_av_features",
     # never driver-verified: TPC-H remainder
@@ -122,20 +125,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ngram/clusters/ann re-verify the r5 shingle + connected-
     # components refactors
     "bfj_view_insertions",        # inferred view→insertion join
-    "bfj_joined_actions",         # impression→action join
     "keep_first_dedup",           # KeepFirstRow
     "sliding_hourly_counter",     # SlidingCounter family
     "last_time_and_count",        # LastTimeAndCount
     "asof_attribution",           # temporal/as-of join
-    "hourly_event_metrics",       # unified event stream
     "cumulate_hourly",            # CUMULATE batch
     "streaming_cumulate_hourly",  # custom streaming state machine
-    "doc_exact_dedup",            # LLM exact dedup
     "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)
     "doc_dedup_clusters",         # connected components (r5 edge cut)
     "minhash_lsh_neardup",        # shingles() signature path (r5)
     "ann_brute_topk",             # similarity search
-    "q1_pricing_summary",         # TPC-H anchor
+    # (bfj_joined_actions / doc_exact_dedup / hourly_event_metrics /
+    # q1_pricing_summary rotated out this round: their families stay
+    # covered by bfj_join_side_outputs, the near-dup trio, the two
+    # cumulate rows, and the 12 in-window TPC-H queries.)
 )
 
 

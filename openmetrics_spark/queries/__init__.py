@@ -80,6 +80,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bfj_join_side_outputs",      # new: inferred-join mismatch/dup side channels
     "doc_unigram_logprob_capped", # new: broadcast capped-vocab variant
     "validation_error_split",     # new: Validate* error side output
+    "doc_pii_scrub",              # new: document PII redaction
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -126,7 +127,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # components refactors
     "bfj_view_insertions",        # inferred view→insertion join
     "keep_first_dedup",           # KeepFirstRow
-    "sliding_hourly_counter",     # SlidingCounter family
     "last_time_and_count",        # LastTimeAndCount
     "asof_attribution",           # temporal/as-of join
     "cumulate_hourly",            # CUMULATE batch

@@ -173,6 +173,91 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PII scrub (emails / IPv4 / phones → typed redaction tokens)
+# ---------------------------------------------------------------------------
+
+# The synthetic corpus is word-soup with no natural identifiers, so the
+# query first injects deterministic PII footers derived from doc_id —
+# the SAME construction in both engines — then counts and scrubs them.
+# Counting is staged in scrub order (emails first, then IPs on the
+# email-scrubbed text, then phones on the IP-scrubbed text) so an IP's
+# digit run is never double-counted as a phone number.
+
+from openmetrics_spark.llm.text import PII_EMAIL, PII_IPV4, PII_PHONE, scrub_pii
+
+_PII_ORACLE = f"""
+WITH aug AS (
+  SELECT doc_id,
+    text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+            ELSE '' END
+    || CASE WHEN doc_id % 4 = 0
+            THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR)
+                 || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+            ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+            THEN ' call +1 555-0' || CAST(doc_id % 90 + 10 AS VARCHAR)
+            ELSE '' END AS t
+  FROM documents
+), s1 AS (
+  SELECT doc_id, t, regexp_replace(t, '{PII_EMAIL}', '<EMAIL>', 'g') AS e
+  FROM aug
+), s2 AS (
+  SELECT doc_id, t, e, regexp_replace(e, '{PII_IPV4}', '<IP>', 'g') AS i
+  FROM s1
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '{PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(e, '{PII_IPV4}')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(i, '{PII_PHONE}')) AS BIGINT) AS n_phones,
+  regexp_replace(i, '{PII_PHONE}', '<PHONE>', 'g') AS scrubbed
+FROM s2
+"""
+
+
+@register("doc_pii_scrub", oracle=_PII_ORACLE, tags=("llm", "text"))
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction before text reaches a training shard (the standard
+    curation step the reference's event-side PII strip plays for logs —
+    operators/flat.py strips user fields; this is the document twin).
+    Pure per-row regex work: a narrow projection, no shuffle, no UDF —
+    at 100 TB it runs scan-speed inside whole-stage codegen."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com")),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" from 10."), (did % 200).cast("string"),
+                F.lit(".0."), (did % 250).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(F.lit(" call +1 555-0"), (did % 90 + 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    t = docs.select("doc_id", aug.alias("t"))
+    s1 = t.select("doc_id", "t", F.regexp_replace("t", PII_EMAIL, "<EMAIL>").alias("e"))
+    s2 = s1.select(
+        "doc_id", "t", "e", F.regexp_replace("e", PII_IPV4, "<IP>").alias("i")
+    )
+    return s2.select(
+        "doc_id",
+        F.regexp_count("t", F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count("e", F.lit(PII_IPV4)).cast("long").alias("n_ipv4"),
+        F.regexp_count("i", F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_replace("i", PII_PHONE, "<PHONE>").alias("scrubbed"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (inverted index + stop-shingle cap)
 # ---------------------------------------------------------------------------
 

@@ -81,6 +81,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_unigram_logprob_capped", # new: broadcast capped-vocab variant
     "validation_error_split",     # new: Validate* error side output
     "doc_pii_scrub",              # new: document PII redaction
+    "doc_bm25_topk",              # new: BM25 keyword retrieval
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -126,7 +127,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ngram/clusters/ann re-verify the r5 shingle + connected-
     # components refactors
     "bfj_view_insertions",        # inferred view→insertion join
-    "keep_first_dedup",           # KeepFirstRow
     "last_time_and_count",        # LastTimeAndCount
     "asof_attribution",           # temporal/as-of join
     "cumulate_hourly",            # CUMULATE batch

@@ -173,6 +173,106 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 keyword retrieval
+# ---------------------------------------------------------------------------
+
+# Every scalar feeding the score is an exact integer (tf, df, N,
+# sum-of-lengths) so both engines perform the identical sequence of
+# IEEE double ops; the per-term sum is pivoted into a FIXED addition
+# order (sum order over a groupBy is nondeterministic and doubles
+# don't associate). That makes the scores bit-equal across engines
+# before the defensive round.
+
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+_BM25_FIXED_SUM_SQL = " + ".join(
+    f"coalesce(max(CASE WHEN term = '{t}' THEN s END), 0)" for t in _BM25_TERMS
+)
+
+_BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), l AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS dl FROM t
+), st AS (
+  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sl FROM l
+), tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(tok) AS term FROM t) u
+  WHERE term IN ({_BM25_TERMS_SQL})
+  GROUP BY 1, 2
+), dfq AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+), sc AS (
+  SELECT tf.doc_id, tf.term,
+    ln((st.n - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+      * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / (CAST(st.sl AS DOUBLE) / st.n))) AS s
+  FROM tf JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN st
+), pd AS (
+  SELECT doc_id, {_BM25_FIXED_SUM_SQL} AS score FROM sc GROUP BY 1
+)
+SELECT doc_id, round(score, 6) AS bm25,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+FROM pd
+QUALIFY rank <= 20
+"""
+
+
+@register("doc_bm25_topk", oracle=_BM25_ORACLE, tags=("llm", "text", "similarity"))
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75) keyword retrieval: top-20 documents for a
+    fixed conjunctive query. The token stream is filtered to the query
+    terms BEFORE the (doc, term) groupBy, so only matching postings
+    shuffle; df and the corpus stats are broadcast one-row/3-row
+    frames. At 100 TB the heavy pass is one map-side-combined count
+    over the filtered postings — the classic inverted-index build."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    lens = t.select("doc_id", F.size("tok").cast("long").alias("dl"))
+    stats = lens.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("sl")
+    )
+    tf = (
+        t.select("doc_id", F.explode("tok").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfq), "term")
+        .join(lens, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (1.2 + 1.0))
+                / (
+                    F.col("tf")
+                    + 1.2
+                    * (0.25 + 0.75 * F.col("dl") / (F.col("sl").cast("double") / F.col("n")))
+                )
+            ).alias("s"),
+        )
+    )
+    fixed_sum = None
+    for w in _BM25_TERMS:
+        leg = F.coalesce(F.max(F.when(F.col("term") == w, F.col("s"))), F.lit(0.0))
+        fixed_sum = leg if fixed_sum is None else fixed_sum + leg
+    pd_ = scored.groupBy("doc_id").agg(fixed_sum.alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        pd_.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII scrub (emails / IPv4 / phones → typed redaction tokens)
 # ---------------------------------------------------------------------------
 

@@ -82,6 +82,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "validation_error_split",     # new: Validate* error side output
     "doc_pii_scrub",              # new: document PII redaction
     "doc_bm25_topk",              # new: BM25 keyword retrieval
+    "embedding_kmeans_cells",     # new: distributed Lloyd k-means
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -134,7 +135,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)
     "doc_dedup_clusters",         # connected components (r5 edge cut)
     "minhash_lsh_neardup",        # shingles() signature path (r5)
-    "ann_brute_topk",             # similarity search
     # (bfj_joined_actions / doc_exact_dedup / hourly_event_metrics /
     # q1_pricing_summary rotated out this round: their families stay
     # covered by bfj_join_side_outputs, the near-dup trio, the two

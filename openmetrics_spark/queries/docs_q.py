@@ -173,6 +173,80 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# distributed k-means (spherical Lloyd, exact-integer centroid sums)
+# ---------------------------------------------------------------------------
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled Lloyd iterations as CTEs — the oracle replays the
+    exact integer/double op sequence of llm/cluster.py."""
+    sums = ", ".join(
+        f"CAST(sum(qv[{i + 1}]) AS DOUBLE)" for i in range(_KM_DIM)
+    )
+    parts = [
+        f"""e AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+  FROM embeddings
+), d AS (
+  SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e
+), c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT {_KM_K}
+)"""
+    ]
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""a{it} AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT d.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid DESC
+           ) AS rn
+    FROM d CROSS JOIN {prev} c
+  ) WHERE rn = 1
+)"""
+        )
+        if it < _KM_ITERS:
+            parts.append(
+                f"""c{it} AS (
+  SELECT cell AS cid, list_value({sums}) AS cv
+  FROM a{it} JOIN e USING (vec_id) GROUP BY cell
+)"""
+            )
+            prev = f"c{it}"
+    return (
+        "WITH "
+        + ", ".join(parts)
+        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{_KM_ITERS}"
+    )
+
+
+_KMEANS_ORACLE = _kmeans_oracle()
+
+
+@register("embedding_kmeans_cells", oracle=_KMEANS_ORACLE, tags=("llm", "similarity"))
+def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means (k=8, 3 Lloyd iterations) over the
+    embedding table — the real coarse quantizer behind an IVF index
+    (upgrading ann_ivf_topk's lowest-id stand-in). Assignment is a
+    narrow projection against driver-inlined centroids (MLlib's
+    pattern); recompute is one map-side-combined aggregate; integer
+    quantization + scale-invariant cosine keep every op exact, which
+    is what lets a SQL oracle replay an ITERATIVE float algorithm."""
+    from openmetrics_spark.llm.cluster import kmeans_assign
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    return kmeans_assign(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM
+    ).select(F.col("vid").alias("vec_id"), "cell")
+
+
+# ---------------------------------------------------------------------------
 # BM25 keyword retrieval
 # ---------------------------------------------------------------------------
 

@@ -131,3 +131,12 @@ def test_mor_snapshot_prunes_partitions(spark, tmp_path):
         assert "hour" in head, plan
     got = {(r["pk"], r["payload"]) for r in snap.collect()}
     assert got == {("k0", "p0b")}
+
+
+def test_kmeans_assignment_is_narrow(spark, sf_dir):
+    # the Lloyd assignment scores against driver-inlined centroid
+    # literals: no join, no cartesian, no exchange before the final
+    # projection — the vector table streams through unshuffled.
+    plan = _plan(spark, sf_dir, "embedding_kmeans_cells")
+    assert "CartesianProduct" not in plan, plan
+    assert "Join" not in plan, plan

@@ -59,18 +59,19 @@ def _nearest(v: Column, cents: list[tuple[int, list[int]]]) -> Column:
     return F.reverse(F.array_sort(scored))[0]["cid"]
 
 
-def kmeans_assign(
+def _lloyd(
     embeddings: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 8,
-    iters: int = 3,
-    dim: int | None = None,
-) -> DataFrame:
-    """Run ``iters`` Lloyd iterations (init: the k lowest-id vectors)
-    and return the final (id, cell) assignment. Cells that lose all
-    members simply drop out of the next iteration's centroid set —
-    the oracle reproduces that by construction."""
+    k: int,
+    iters: int,
+    dim: int | None,
+) -> tuple[DataFrame, list[tuple[int, list[int]]]]:
+    """Run ``iters`` Lloyd iterations (init: the k lowest-id vectors).
+    Returns (final assignment DF with vid/qv/v/cell, the centroids the
+    final assignment was scored against). Cells that lose all members
+    simply drop out of the next iteration's centroid set — the oracle
+    reproduces that by construction."""
     if dim is None:
         dim = len(
             embeddings.select(F.col(vec_col).alias("v")).first()["v"]
@@ -83,7 +84,7 @@ def kmeans_assign(
         (r["vid"], [int(x) for x in r["qv"]])
         for r in base.select("vid", "qv").orderBy("vid").limit(k).collect()
     ]
-    assigned = None
+    assigned = base
     for it in range(iters):
         assigned = base.withColumn("cell", _nearest(F.col("v"), cents))
         if it == iters - 1:
@@ -96,4 +97,84 @@ def kmeans_assign(
         cents = [
             (r["cell"], [int(r[f"s{i}"]) for i in range(dim)]) for r in sums
         ]
+    return assigned, cents
+
+
+def kmeans_assign(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """Final (id, cell) assignment after ``iters`` Lloyd iterations."""
+    assigned, _ = _lloyd(embeddings, id_col, vec_col, k, iters, dim)
     return assigned.select("vid", F.col("cell").cast("long").alias("cell"))
+
+
+def kmeans_ivf_topk(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    iters: int = 3,
+    nprobe: int = 3,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k over the k-means cells: a query scores
+    only vectors whose cell is one of its ``nprobe`` nearest centroids
+    (by cosine, ties to the higher cell id). Same probe plumbing as
+    ``llm/similarity.ivf_topk``, but with trained centroids instead of
+    the lowest-id stand-in — candidate generation stays a bucketed
+    equi-join; the only cross product is against the tiny broadcast
+    query side."""
+    assigned, cents = _lloyd(embeddings, id_col, vec_col, n_cells, iters, dim)
+
+    def probe_cells(v: Column, take: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine(v, F.array(*[F.lit(float(x)) for x in cv])).alias("cos"),
+                    F.lit(int(cid)).cast("long").alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        ordered = F.reverse(F.array_sort(scored))
+        return F.slice(F.transform(ordered, lambda s: s["cid"]), 1, take)
+
+    q = (
+        assigned.join(
+            query_ids.select(F.col(query_ids.columns[0]).alias("vid")),
+            "vid",
+            "left_semi",
+        )
+        .select(
+            F.col("vid").alias("query_id"),
+            F.col("v").alias("qv2"),
+            F.explode(probe_cells(F.col("v"), nprobe)).alias("cell"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw_cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        assigned.join(F.broadcast(q), "cell")
+        .filter(F.col("vid") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vid").alias("neighbor_id"),
+            cosine(F.col("qv2"), F.col("v")).alias("raw_cos"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "rank", "neighbor_id",
+            F.round("raw_cos", 6).alias("cos"),
+        )
+    )

@@ -179,9 +179,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
 
-def _kmeans_oracle() -> str:
-    """Unrolled Lloyd iterations as CTEs — the oracle replays the
-    exact integer/double op sequence of llm/cluster.py."""
+def _kmeans_ctes() -> list[str]:
+    """Unrolled Lloyd iterations as CTEs — they replay the exact
+    integer/double op sequence of llm/cluster.py. The final assignment
+    is a{_KM_ITERS}; the centroids it was scored against are
+    c{_KM_ITERS - 1}."""
     sums = ", ".join(
         f"CAST(sum(qv[{i + 1}]) AS DOUBLE)" for i in range(_KM_DIM)
     )
@@ -219,14 +221,66 @@ def _kmeans_oracle() -> str:
 )"""
             )
             prev = f"c{it}"
-    return (
-        "WITH "
-        + ", ".join(parts)
-        + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{_KM_ITERS}"
+    return parts
+
+
+_KMEANS_ORACLE = (
+    "WITH "
+    + ", ".join(_kmeans_ctes())
+    + f"\nSELECT vec_id, CAST(cell AS BIGINT) AS cell FROM a{_KM_ITERS}"
+)
+
+
+_KM_NPROBE, _KM_TOPK = 3, 5
+
+_KMEANS_IVF_ORACLE = (
+    "WITH "
+    + ", ".join(_kmeans_ctes())
+    + f""", q AS (
+  SELECT vec_id AS query_id, v AS qv2 FROM d WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, cid AS cell FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv2, c.cv) DESC, c.cid DESC
+           ) AS rn
+    FROM q CROSS JOIN c{_KM_ITERS - 1} c
+  ) WHERE rn <= {_KM_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN a{_KM_ITERS} a ON a.cell = p.cell
+  WHERE a.vec_id != p.query_id
+), s AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(q.qv2, d.v) AS raw_cos
+  FROM cand JOIN q USING (query_id) JOIN d ON d.vec_id = neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= {_KM_TOPK}"""
+)
+
+
+@register("ann_ivf_kmeans_topk", oracle=_KMEANS_IVF_ORACLE, tags=("llm", "similarity"))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over TRAINED k-means cells (vs ann_ivf_topk's
+    lowest-id coarse quantizer): each query probes its 3 nearest
+    centroids and scores only those cells' members. Candidate
+    generation is a bucketed equi-join against a broadcast query side;
+    the big table shuffles nowhere."""
+    from openmetrics_spark.llm.cluster import kmeans_ivf_topk
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    queries = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    return kmeans_ivf_topk(
+        emb, "vec_id", "embedding", queries,
+        k=_KM_TOPK, n_cells=_KM_K, iters=_KM_ITERS, nprobe=_KM_NPROBE,
+        dim=_KM_DIM,
     )
-
-
-_KMEANS_ORACLE = _kmeans_oracle()
 
 
 @register("embedding_kmeans_cells", oracle=_KMEANS_ORACLE, tags=("llm", "similarity"))

@@ -56,6 +56,7 @@ def test_dedup_paths_have_no_cartesian(spark, sf_dir):
         "minhash_lsh_neardup",
         "simhash_neardup",
         "ann_lsh_topk",
+        "ann_ivf_kmeans_topk",
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)

@@ -249,3 +249,75 @@ def test_cow_and_mor_match_python_model(spark, tmp_path_factory, batches):
     }
     assert got_cow == want_raw
     assert got_mor == want_raw
+
+
+# ---------------------------------------------------------------------------
+# k-means vs a pure-Python Lloyd model
+# ---------------------------------------------------------------------------
+
+_vec_sets = st.lists(
+    st.lists(st.integers(1, 9), min_size=4, max_size=4),
+    min_size=4,
+    max_size=16,
+    unique_by=tuple,
+)
+
+
+def _model_kmeans(vecs, k, iters):
+    """Pure-Python spherical Lloyd with the operator's exact rules:
+    init = k lowest ids, assignment by cosine argmax with ties to the
+    HIGHEST centroid id, centroids = raw integer member sums (cosine
+    is scale-invariant), empty cells drop out. Sequential-fold float
+    ops mirror the Spark expression order."""
+    import math
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += float(x) * float(y)
+        na = 0.0
+        nb = 0.0
+        for x in a:
+            na += float(x) * float(x)
+        for y in b:
+            nb += float(y) * float(y)
+        return d / (math.sqrt(na) * math.sqrt(nb))
+
+    cents = {i: list(vecs[i]) for i in range(min(k, len(vecs)))}
+    assign = {}
+    for it in range(iters):
+        assign = {}
+        for vid, v in enumerate(vecs):
+            best = max(
+                cents.items(), key=lambda kv: (cos(v, kv[1]), kv[0])
+            )[0]
+            assign[vid] = best
+        if it == iters - 1:
+            break
+        sums = {}
+        for vid, cell in assign.items():
+            s = sums.setdefault(cell, [0, 0, 0, 0])
+            for i, x in enumerate(vecs[vid]):
+                s[i] += x
+        cents = sums
+    return assign
+
+
+@given(vecs=_vec_sets)
+@SET
+def test_kmeans_matches_python_model(spark, vecs):
+    from openmetrics_spark.llm.cluster import kmeans_assign
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r["vid"]: r["cell"]
+        for r in kmeans_assign(
+            df, "vec_id", "embedding", k=3, iters=2, dim=4
+        ).collect()
+    }
+    # quantization is ×1000 of small ints — scale-invariant under
+    # cosine, so the model can use the raw ints directly
+    assert got == _model_kmeans(vecs, 3, 2)

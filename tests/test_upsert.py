@@ -265,3 +265,17 @@ def test_catalog_sync_cow_and_mor(spark, table, mor):
     assert ro == {"x1"} and log == {"x2"}
     for fq in names + [cow_fq]:
         spark.sql(f"DROP TABLE {fq}")
+
+
+def test_mor_replay_semantically_idempotent(spark, mor):
+    """foreachBatch replay after a failure re-appends the batch as a
+    new delta commit; the snapshot merge (ts desc, commit desc) must
+    still resolve to the same visible rows — replay costs storage
+    until compaction, never correctness."""
+    b = _batch(spark, [("a", "a1", T0), ("b", "b1", T0 + 1)])
+    mor.upsert(b)
+    before = _mor_rows(spark, mor)
+    mor.upsert(b)
+    assert _mor_rows(spark, mor) == before
+    mor.compact(spark)
+    assert _mor_rows(spark, mor) == before

@@ -83,6 +83,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_pii_scrub",              # new: document PII redaction
     "doc_bm25_topk",              # new: BM25 keyword retrieval
     "embedding_kmeans_cells",     # new: distributed Lloyd k-means
+    "hourly_dense_series",        # new: gap-fill + forward-fill
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -132,8 +133,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bfj_view_insertions",        # inferred view→insertion join
     "last_time_and_count",        # LastTimeAndCount
     "asof_attribution",           # temporal/as-of join
-    "cumulate_hourly",            # CUMULATE batch
     "streaming_cumulate_hourly",  # custom streaming state machine
+    # (cumulate_hourly rotated out: the streaming twin covers the
+    # CUMULATE family with the strictly harder claim)
     "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)
     "doc_dedup_clusters",         # connected components (r5 edge cut)
     "minhash_lsh_neardup",        # shingles() signature path (r5)

@@ -354,3 +354,76 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("zscore_e2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hourly_dense_series — gap-fill to a dense hourly grid + forward fill
+# ---------------------------------------------------------------------------
+
+_DENSE_ORACLE = f"""
+WITH e AS (
+  SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h, value FROM events
+), hourly AS (
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+  FROM e GROUP BY 1, 2
+), b AS (
+  SELECT min(h) AS h0, max(h) AS h1 FROM e
+), g AS (
+  SELECT unnest(generate_series(h0, h1)) AS h FROM b
+), grid AS (
+  SELECT event_type, h FROM (SELECT DISTINCT event_type FROM e) CROSS JOIN g
+)
+SELECT grid.event_type, grid.h * {_HOUR_MS} AS hour_ms,
+       coalesce(n, 0) AS n_events,
+       CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap,
+       round(last_value(sv IGNORE NULLS) OVER (
+         PARTITION BY grid.event_type ORDER BY grid.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 2) AS filled_value
+FROM grid LEFT JOIN hourly USING (event_type, h)
+"""
+
+
+@register("hourly_dense_series", oracle=_DENSE_ORACLE, tags=("metrics",))
+def hourly_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled dense hourly series per event type with
+    forward-filled totals — the time-series report shape (dashboards,
+    anomaly baselines) that raw groupBy can't produce because absent
+    hours have no row to aggregate. The grid is types × sequence()
+    over the global hour bounds (a broadcast one-row frame exploded —
+    post-agg cardinality, tiny at any SF); the left join and the
+    ignore-nulls last() window both run over that grid, never the raw
+    events, so 100 TB of input still reduces before the gap logic."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_millis("ts") / _HOUR_MS).cast("long").alias("h"),
+        "value",
+    )
+    hourly = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        hourly.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("event_type", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    n = F.col("n")
+    return (
+        grid.join(hourly, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            (F.col("h") * _HOUR_MS).alias("hour_ms"),
+            F.coalesce(n, F.lit(0)).alias("n_events"),
+            F.when(n.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_gap"),
+            F.round(F.last("sv", ignorenulls=True).over(w), 2).alias("filled_value"),
+        )
+    )

@@ -304,11 +304,27 @@ class MorUpsertTable:
             .drop("__rn")
         )
 
+    # The commit counter is persisted as a tiny text "timeline" file
+    # (Hudi keeps its .hoodie timeline the same way) rather than
+    # derived from data: compaction can drop every row of the highest
+    # commit (a late stale update that lost its precombine tie), and a
+    # data-derived counter would then REUSE that commit id — breaking
+    # both tie-ranking and any incremental consumer that already read
+    # past it.
+
+    @property
+    def _hwm_path(self) -> str:
+        return f"{self.path}/_commit_hwm"
+
+    def _write_hwm(self, spark: SparkSession, value: int) -> None:
+        spark.createDataFrame([(str(value),)], "v string").coalesce(
+            1
+        ).write.mode("overwrite").text(self._hwm_path)
+
     def last_commit(self, spark: SparkSession) -> int:
-        # Both halves carry commits: compact() truncates the log but
-        # stamps the rewritten base with the high-water commit, so the
-        # counter must not reset below it (a reset would let a stale
-        # base row out-rank a newer log row on precombine ties).
+        if self._exists(spark, self._hwm_path):
+            return int(spark.read.text(self._hwm_path).first()["value"])
+        # pre-hwm tables: fall back to the data-derived high-water mark
         top = 0
         for path in (self.log_path, self.base_path):
             df = self._read(spark, path)
@@ -330,6 +346,7 @@ class MorUpsertTable:
         prepared.write.partitionBy("dt", "hour").mode("append").save(
             self.log_path
         )
+        self._write_hwm(spark, commit)
 
     # -- read paths ------------------------------------------------------
 
@@ -339,10 +356,7 @@ class MorUpsertTable:
         base = self._read(spark, self.base_path)
         return None if base is None else base.drop("__commit")
 
-    def read_snapshot(self, spark: SparkSession) -> DataFrame:
-        """Base + log merged per key: max (precombine, commit) wins —
-        one window rank over the unioned rows, partition-prunable on
-        (dt, hour) like any parquet scan."""
+    def _snapshot(self, spark: SparkSession) -> DataFrame:
         base = self._read(spark, self.base_path)
         log = self._read(spark, self.log_path)
         if log is None and base is None:
@@ -361,7 +375,27 @@ class MorUpsertTable:
         return (
             unioned.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__commit")
+            .drop("__rn")
+        )
+
+    def read_snapshot(self, spark: SparkSession) -> DataFrame:
+        """Base + log merged per key: max (precombine, commit) wins —
+        one window rank over the unioned rows, partition-prunable on
+        (dt, hour) like any parquet scan."""
+        return self._snapshot(spark).drop("__commit")
+
+    def read_incremental(self, spark: SparkSession, since_commit: int) -> DataFrame:
+        """Hudi-style incremental pull: every LIVE row version written
+        after ``since_commit`` (compaction preserves per-row commit
+        provenance, so consumers can resume from any commit they've
+        seen). The downstream-sync shape: poll ``last_commit()``,
+        read the delta, checkpoint the commit — at 100 TB the filter
+        prunes to the log plus whatever base partitions hold newer
+        rows, never a full-table diff."""
+        return (
+            self._snapshot(spark)
+            .filter(F.col("__commit") > int(since_commit))
+            .drop("__commit")
         )
 
     # -- compaction ------------------------------------------------------
@@ -378,7 +412,6 @@ class MorUpsertTable:
             (r["dt"], r["hour"])
             for r in log.select("dt", "hour").distinct().collect()
         ]
-        commit = self.last_commit(spark)
         base = self._read(spark, self.base_path)
         prune = F.col("dt").isin([d for d, _ in parts]) & F.col("hour").isin(
             [h for _, h in parts]
@@ -392,11 +425,13 @@ class MorUpsertTable:
             F.col("__commit").desc(),
             *[F.col(c) for c in self.pk_cols],
         )
+        # each surviving row KEEPS its own __commit (incremental
+        # consumers need per-row provenance across compactions; the
+        # counter itself lives in the _commit_hwm timeline file)
         merged = (
             touched.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
-            .withColumn("__commit", F.lit(commit).cast("long"))
             .localCheckpoint(eager=True)
         )
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")

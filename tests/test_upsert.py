@@ -279,3 +279,34 @@ def test_mor_replay_semantically_idempotent(spark, mor):
     assert _mor_rows(spark, mor) == before
     mor.compact(spark)
     assert _mor_rows(spark, mor) == before
+
+
+def test_mor_incremental_read(spark, mor):
+    """Hudi-style incremental pull: live row versions newer than a
+    commit, with an empty delta once the consumer is caught up."""
+    mor.upsert(_batch(spark, [("a", "a1", T0), ("b", "b1", T0 + 1)]))
+    mor.upsert(_batch(spark, [("a", "a2", T0 + 2), ("c", "c1", T0 + HOUR)]))
+    inc = {
+        (r["pk"], r["payload"])
+        for r in mor.read_incremental(spark, 1).collect()
+    }
+    assert inc == {("a", "a2"), ("c", "c1")}
+    assert mor.read_incremental(spark, mor.last_commit(spark)).count() == 0
+
+
+def test_mor_commit_ids_never_reused_after_compaction(spark, mor):
+    """Compaction can drop EVERY row of the highest commit (a stale
+    update that lost its tie); the persisted timeline must still
+    advance past it, and per-row commit provenance must survive the
+    base rewrite for incremental consumers."""
+    mor.upsert(_batch(spark, [("a", "new", T0 + 10)]))   # commit 1, wins
+    mor.upsert(_batch(spark, [("a", "stale", T0 + 5)]))  # commit 2, loses
+    mor.compact(spark)                                   # commit-2 rows vanish
+    assert mor.last_commit(spark) == 2                   # timeline, not data
+    mor.upsert(_batch(spark, [("d", "d1", T0)]))         # commit 3, not 2 again
+    assert {
+        r["pk"] for r in mor.read_incremental(spark, 2).collect()
+    } == {"d"}
+    assert {
+        r["pk"] for r in mor.read_incremental(spark, 0).collect()
+    } == {"a", "d"}

@@ -123,10 +123,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q18_large_volume_customer",
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
-    # (q16/q17/q20/q22 and ann_ivf_kmeans_topk rotate into the r6
-    # window — the list must stay at 50 and the slots go to queries
-    # whose CODE changed this round; the kmeans core it shares with
-    # embedding_kmeans_cells IS in-window this round)
+    # (q16/q17/q20/q22, ann_ivf_kmeans_topk and upsert_incremental_pull
+    # rotate into the r6 window — the list must stay at 50 and the
+    # slots go to queries whose CODE changed this round; the kmeans
+    # core and the reworked MOR internals each already have an
+    # in-window twin this round)
     # green anchors — one per §2 family stays inside every window;
     # ngram/clusters/ann re-verify the r5 shingle + connected-
     # components refactors

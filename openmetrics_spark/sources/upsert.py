@@ -40,6 +40,19 @@ from pyspark.sql import functions as F
 
 from openmetrics_spark.sources.sinks import with_dt_hour
 
+
+def _payload_tiebreak(df: DataFrame, exclude: set[str]) -> list:
+    """Total deterministic ordering over the non-key payload columns
+    (as one JSON rendering, so any column type participates): rows
+    that tie on (pk, partition, precombine) must pick the SAME winner
+    on every run, or a foreachBatch replay of the identical batch can
+    flip the stored row — last-write-wins only commutes with replay
+    when every ordering it uses is total."""
+    others = [c for c in sorted(df.columns) if c not in exclude]
+    if not others:
+        return []
+    return [F.to_json(F.struct(*[F.col(c) for c in others])).desc()]
+
 try:  # pragma: no cover - delta-spark is not bundled in this sandbox
     from delta.tables import DeltaTable
 
@@ -73,10 +86,14 @@ class UpsertTable:
 
     def _dedupe_batch(self, batch: DataFrame) -> DataFrame:
         """Last-write-wins inside the batch: keep the max precombine
-        row per (pk, dt, hour); ties break deterministically on the
-        full pk tuple ordering via row_number."""
+        row per (pk, dt, hour); full-tie rows (same pk, partition AND
+        precombine) break on the payload-JSON ordering so replays pick
+        the same winner."""
         w = Window.partitionBy(*self.pk_cols, "dt", "hour").orderBy(
-            F.col(self.ts_ms_col).desc(), *[F.col(c) for c in self.pk_cols]
+            F.col(self.ts_ms_col).desc(),
+            *_payload_tiebreak(
+                batch, {*self.pk_cols, self.ts_ms_col, "dt", "hour"}
+            ),
         )
         return (
             batch.withColumn("__rn", F.row_number().over(w))
@@ -295,8 +312,15 @@ class MorUpsertTable:
             .withColumn("dt", F.to_date("dt"))
             .withColumn("hour", F.col("hour").cast("int"))
         )
+        # full-tie rows break on the payload-JSON ordering: a replayed
+        # batch re-appends under a LATER commit, and the snapshot's
+        # commit-desc tiebreak hands that copy the win — so the copy
+        # must be the same row, or replay flips the visible payload
         w = Window.partitionBy(*self.pk_cols, "dt", "hour").orderBy(
-            F.col(self.ts_ms_col).desc(), *[F.col(c) for c in self.pk_cols]
+            F.col(self.ts_ms_col).desc(),
+            *_payload_tiebreak(
+                prepared, {*self.pk_cols, self.ts_ms_col, "dt", "hour"}
+            ),
         )
         return (
             prepared.withColumn("__rn", F.row_number().over(w))

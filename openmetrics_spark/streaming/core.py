@@ -138,6 +138,8 @@ def write_fake_topic(
     monotone in timestamp order; ``timestamp`` is the record's ingest
     time (``ts_col`` if given, else now-ish constant) — the stream
     time SetLogTimestamp stamps into log_timestamp."""
+    import os
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -152,15 +154,39 @@ def write_fake_topic(
             F.col("key").cast("binary").alias("key"),
             F.col("value").cast("binary").alias("value"),
             F.lit(topic).alias("topic"),
-            (F.abs(F.hash("key")) % n_partitions).cast("int").alias("partition"),
+            # pmod, NOT abs(hash) % n: abs(Integer.MIN_VALUE) is still
+            # negative in two's complement, and a key hashing exactly
+            # there would get a negative partition
+            F.pmod(F.hash("key"), F.lit(n_partitions)).cast("int").alias("partition"),
             ts.alias("timestamp"),
             F.lit(0).alias("timestampType"),
         )
         .withColumn("offset", (F.row_number().over(w) - 1).cast("long"))
-        .select(
-            "key", "value", "topic", "partition", "offset",
-            "timestamp", "timestampType",
+    )
+    # successive producer batches continue each partition's offset
+    # sequence from where the topic left off (the broker contract —
+    # offsets are monotone per partition across publishes, not per
+    # call)
+    spark = records.sparkSession
+    if os.path.isdir(path) and any(
+        f.endswith(".parquet") for f in os.listdir(path)
+    ):
+        prev = (
+            spark.read.parquet(path)
+            .groupBy("partition")
+            .agg(F.max("offset").alias("__base"))
         )
+        out = (
+            out.join(F.broadcast(prev), "partition", "left")
+            .withColumn(
+                "offset",
+                F.col("offset") + F.coalesce(F.col("__base") + 1, F.lit(0)),
+            )
+            .drop("__base")
+        )
+    out = out.select(
+        "key", "value", "topic", "partition", "offset",
+        "timestamp", "timestampType",
     )
     out.write.mode("append").parquet(path)
 

@@ -106,3 +106,19 @@ def test_streaming_ingest_roundtrip_with_log_timestamp(
         w = want[name]
         assert g.count() == w.count(), name
         assert sorted(g.columns) == sorted(w.columns), name
+
+
+def test_offsets_continue_across_publishes(spark, envelopes, tmp_path):
+    """The broker contract: per-partition offsets are monotone across
+    successive producer batches, dense from 0, never duplicated."""
+    path = str(tmp_path / "topic_multi")
+    enc = encode_log_requests(envelopes)
+    write_fake_topic(enc, path, topic="t")
+    write_fake_topic(enc, path, topic="t")
+    rows = spark.read.parquet(path).select("partition", "offset").collect()
+    per_part: dict = {}
+    for r in rows:
+        per_part.setdefault(r["partition"], []).append(r["offset"])
+    for p, offs in per_part.items():
+        assert 0 <= p, p
+        assert sorted(offs) == list(range(len(offs))), (p, sorted(offs)[:5])

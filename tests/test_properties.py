@@ -176,7 +176,9 @@ _HOUR = 3_600_000
 def _model_upsert(batches):
     """Dict reference: last-write-wins per (pk, hour) by precombine,
     ties to the later batch; within a batch the max-precombine row
-    wins with payload as the deterministic tiebreak."""
+    wins and FULL ties (same pk, hour, precombine) break to the max
+    payload — the engines' payload-JSON ordering, which for single-
+    field "p<digit>" payloads is exactly string-max."""
     state = {}
     for rows in batches:
         best = {}
@@ -199,9 +201,9 @@ def _model_upsert(batches):
 @SET
 def test_cow_and_mor_match_python_model(spark, tmp_path_factory, batches):
     """Both upsert engines must equal the dict model on arbitrary
-    batch sequences — including stale replays, intra-batch duplicates
-    and cross-partition key reuse — and MOR must equal COW whether or
-    not a compaction ran mid-sequence."""
+    batch sequences — including stale replays, intra-batch FULL-tie
+    duplicates and cross-partition key reuse — and MOR must equal COW
+    whether or not a compaction ran mid-sequence."""
     from openmetrics_spark.sources.upsert import MorUpsertTable, UpsertTable
 
     base = tmp_path_factory.mktemp("prop_upsert")
@@ -215,30 +217,12 @@ def test_cow_and_mor_match_python_model(spark, tmp_path_factory, batches):
             ],
             "pk string, payload string, ts_ms long",
         )
-        # same-precombine rows in one batch: the engines break ties on
-        # the full row ordering; align the model by collapsing to the
-        # max payload per (pk, hour, ts) first
-        df = (
-            df.groupBy("pk", "ts_ms")
-            .agg(F.max("payload").alias("payload"))
-            .select("pk", "payload", "ts_ms")
-        )
         cow.upsert(df)
         mor.upsert(df)
         if i == len(batches) // 2:
             mor.compact(spark)
 
-    # mirror the pre-collapse: max payload per (pk, hour, ts) per batch
-    collapsed = []
-    for rows in batches:
-        best: dict = {}
-        for pk, payload, hour, ts in rows:
-            key = (pk, hour, ts)
-            best[key] = max(best.get(key, -1), payload)
-        collapsed.append(
-            [(pk, payload, hour, ts) for (pk, hour, ts), payload in best.items()]
-        )
-    want_raw = _model_upsert(collapsed)
+    want_raw = _model_upsert(batches)
     got_cow = {
         (r["pk"], r["payload"], r["ts_ms"])
         for r in cow.read(spark).collect()
@@ -318,6 +302,9 @@ def test_kmeans_matches_python_model(spark, vecs):
             df, "vec_id", "embedding", k=3, iters=2, dim=4
         ).collect()
     }
-    # quantization is ×1000 of small ints — scale-invariant under
-    # cosine, so the model can use the raw ints directly
-    assert got == _model_kmeans(vecs, 3, 2)
+    # the model must compute on the engine's exact x1000-quantized
+    # grid: cosine is scale-invariant mathematically but NOT in IEEE
+    # (sqrt(1e6*x) != 1000*sqrt(x) at the last ulp), and near-tie
+    # assignments can flip on that ulp
+    scaled = [[1000 * x for x in v] for v in vecs]
+    assert got == _model_kmeans(scaled, 3, 2)

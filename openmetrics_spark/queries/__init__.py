@@ -84,6 +84,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_bm25_topk",              # new: BM25 keyword retrieval
     "embedding_kmeans_cells",     # new: distributed Lloyd k-means
     "hourly_dense_series",        # new: gap-fill + forward-fill
+    "streaming_top_event_types",  # new: TopNEmitter update stream
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -131,7 +132,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # green anchors — one per §2 family stays inside every window;
     # ngram/clusters/ann re-verify the r5 shingle + connected-
     # components refactors
-    "bfj_view_insertions",        # inferred view→insertion join
     "last_time_and_count",        # LastTimeAndCount
     "asof_attribution",           # temporal/as-of join
     "streaming_cumulate_hourly",  # custom streaming state machine

@@ -715,3 +715,108 @@ def streaming_content_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_top_event_types — TopNEmitter's membership-update stream
+# ---------------------------------------------------------------------------
+
+_TOPN_PREFIXES_SQL = """
+WITH b AS (
+  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
+), bounds AS (
+  SELECT lo + (hi - lo) // 3 AS b1, lo + (2 * (hi - lo)) // 3 AS b2 FROM b
+), e AS (
+  SELECT event_type, epoch_ms(ts) AS ms FROM events
+)"""
+
+
+def _topn_prefix(k: int) -> str:
+    where = {
+        0: "WHERE ms < (SELECT b1 FROM bounds)",
+        1: "WHERE ms < (SELECT b2 FROM bounds)",
+        2: "",
+    }[k]
+    return f"""t{k} AS (
+  SELECT event_type, count(*) AS c FROM e {where} GROUP BY 1
+), top{k} AS (
+  SELECT event_type FROM (
+    SELECT event_type, row_number() OVER (ORDER BY c DESC, event_type) AS rn
+    FROM t{k}
+  ) WHERE rn <= 3
+)"""
+
+
+_STREAM_TOPN_ORACLE = (
+    _TOPN_PREFIXES_SQL
+    + ", "
+    + ", ".join(_topn_prefix(k) for k in range(3))
+    + """
+SELECT CAST(0 AS BIGINT) AS batch_id, event_type, true AS keep FROM top0
+UNION ALL
+SELECT 1, event_type, true FROM top1
+WHERE event_type NOT IN (SELECT event_type FROM top0)
+UNION ALL
+SELECT 1, event_type, false FROM top0
+WHERE event_type NOT IN (SELECT event_type FROM top1)
+UNION ALL
+SELECT 2, event_type, true FROM top2
+WHERE event_type NOT IN (SELECT event_type FROM top1)
+UNION ALL
+SELECT 2, event_type, false FROM top1
+WHERE event_type NOT IN (SELECT event_type FROM top2)
+"""
+)
+
+
+@register(
+    "streaming_top_event_types",
+    oracle=_STREAM_TOPN_ORACLE,
+    tags=("streaming", "counter"),
+)
+def streaming_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TopNEmitter (counter/TopNEmitter.java:20-26) as a REAL streaming
+    query: a complete-mode count aggregation feeds foreachBatch, which
+    diffs the top-3 membership against the previous batch and appends
+    only the (batch_id, element, keep) CHANGES — the reference's
+    "update stream for broadcast state" shape, which is what keeps the
+    data volume broadcastable. Driver state is the n-element previous
+    membership set (the same bounded state the reference broadcasts);
+    the per-batch collect is the aggregated counts frame — one row per
+    distinct element, never raw events. The oracle replays the three
+    deterministic slice prefixes relationally."""
+    work = _workdir("topn")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", F.unix_millis("ts").alias("ms")
+    )
+    grid = _events_grid(spark, sf_dir)
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", grid, sentinel=False)
+    counts = _stream(spark, staged).groupBy("event_type").count()
+    out = os.path.join(work, "changes")
+    state = {"prev": set()}
+
+    def emit(batch_df: DataFrame, bid: int) -> None:
+        ranked = sorted(
+            ((r["count"], r["event_type"]) for r in batch_df.collect()),
+            key=lambda t: (-t[0], t[1]),
+        )[:3]
+        cur = {et for _, et in ranked}
+        recs = [(bid, et, True) for _, et in ranked if et not in state["prev"]]
+        recs += [(bid, et, False) for et in sorted(state["prev"] - cur)]
+        if recs:
+            spark.createDataFrame(
+                recs, "batch_id long, event_type string, keep boolean"
+            ).coalesce(1).write.mode("append").parquet(out)
+        state["prev"] = cur
+
+    with _stream_shuffle_partitions(spark):
+        q = (
+            counts.writeStream.foreachBatch(emit)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(work, "_chk", "topn"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out)

@@ -13,17 +13,30 @@ from pyspark.sql import functions as F
 from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
+
+def _exact_sum(expr, scale: int):
+    """Summation-order-independent money sum. Every money/rate value
+    in the data is an exact multiple of 1/scale (whole cents, whole
+    percents — asserted over the full table), so floor(x*scale + 0.5)
+    recovers the exact integer per row, the BIGINT sum is exact, and
+    ONE division returns the true total. sum(double) by contrast
+    drifts at the last ulp with partial-aggregation order — the class
+    that flipped q9/q10's driver hashes before the cents rewrite.
+    SQL twin: ``SUM(CAST(floor((e) * S + 0.5) AS BIGINT)) / S.0``."""
+    return F.sum(F.floor(expr * scale + F.lit(0.5)).cast("long")) / float(scale)
+
+
 _Q1_ORACLE = """
 SELECT
   l_returnflag,
   l_linestatus,
   round(sum(l_quantity), 2) AS sum_qty,
-  round(sum(l_extendedprice), 2) AS sum_base_price,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-  round(avg(l_quantity), 6) AS avg_qty,
-  round(avg(l_extendedprice), 6) AS avg_price,
-  round(avg(l_discount), 6) AS avg_disc,
+  round(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS sum_base_price,
+  round(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS sum_disc_price,
+  round(SUM(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 1000000 + 0.5) AS BIGINT)) / 1000000.0, 2) AS sum_charge,
+  round(sum(l_quantity) / count(*), 6) AS avg_qty,
+  round(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) / 100.0 / count(*), 6) AS avg_price,
+  round(SUM(CAST(floor(l_discount * 100 + 0.5) AS BIGINT)) / 100.0 / count(*), 6) AS avg_disc,
   count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -42,12 +55,20 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.round(_exact_sum(F.col("l_extendedprice"), 100), 2).alias(
+                "sum_base_price"
+            ),
+            F.round(_exact_sum(disc_price, 10000), 2).alias("sum_disc_price"),
+            F.round(
+                _exact_sum(disc_price * (1 + F.col("l_tax")), 1000000), 2
+            ).alias("sum_charge"),
+            F.round(F.sum("l_quantity") / F.count(F.lit(1)), 6).alias("avg_qty"),
+            F.round(
+                _exact_sum(F.col("l_extendedprice"), 100) / F.count(F.lit(1)), 6
+            ).alias("avg_price"),
+            F.round(
+                _exact_sum(F.col("l_discount"), 100) / F.count(F.lit(1)), 6
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -56,7 +77,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q3_ORACLE = """
 SELECT
   l_orderkey,
-  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+  round(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue,
   CAST(o_orderdate AS DATE) AS o_orderdate,
   o_orderpriority
 FROM customer
@@ -87,9 +108,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                _exact_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                ),
+                2,
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -103,7 +127,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q5_ORACLE = """
-SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT n_name, round(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM customer, orders, lineitem, supplier, nation, region
 WHERE c_custkey = o_custkey
   AND l_orderkey = o_orderkey
@@ -141,15 +165,18 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            F.round(
+                _exact_sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000
+                ),
+                2,
+            ).alias("revenue")
         )
     )
 
 
 _Q6_ORACLE = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT round(SUM(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) / 10000.0, 2) AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
@@ -172,9 +199,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            F.round(
+                _exact_sum(
+                    F.col("l_extendedprice") * F.col("l_discount"), 10000
+                ),
+                2,
+            ).alias("revenue")
         )
     )
 
@@ -248,10 +278,10 @@ def q12_priority_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q14_ORACLE = """
 SELECT
-  round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+  round(100.00 * (SUM(CAST(floor((CASE WHEN p_type LIKE 'PROMO%%'
                           THEN l_extendedprice * (1 - l_discount)
-                          ELSE 0 END)
-        / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+                          ELSE 0 END) * 10000 + 0.5) AS BIGINT)) / 10000.0)
+        / (SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 10000.0), 6) AS promo_revenue
 FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'
@@ -274,6 +304,8 @@ def q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(100.0 * F.sum(promo) / F.sum(rev), 6).alias("promo_revenue")
+            F.round(
+                100.0 * _exact_sum(promo, 10000) / _exact_sum(rev, 10000), 6
+            ).alias("promo_revenue")
         )
     )

@@ -14,7 +14,12 @@ Conventions:
   hash identical values;
 - double aggregates are ``round(x, 2..6)`` in BOTH engines;
 - counts that pass through a second SUM are cast back to BIGINT in
-  SQL (DuckDB widens SUM(BIGINT) to HUGEINT).
+  SQL (DuckDB widens SUM(BIGINT) to HUGEINT);
+- money/rate SUMS (and any ranking or gate built on one) go through
+  exact scaled-integer summation in BOTH engines (``_exact_sum`` /
+  ``_sum_cents``: floor(x*scale+0.5) per row, BIGINT sum, one
+  division) — ``round(sum(double), k)`` depends on partial-agg order
+  at the last ulp and has flipped driver hashes twice (q9/q10 r4).
 """
 
 from __future__ import annotations

@@ -90,6 +90,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "embedding_kmeans_cells",     # new: distributed Lloyd k-means
     "hourly_dense_series",        # new: gap-fill + forward-fill
     "streaming_top_event_types",  # new: TopNEmitter update stream
+    "streaming_user_asof_join",   # new: TemporalJoin streaming twin
     # never driver-verified: corpus-mix module
     "doc_decontaminate",
     "corpus_pack_chunks",
@@ -138,8 +139,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # ngram/clusters/ann re-verify the r5 shingle + connected-
     # components refactors
     "last_time_and_count",        # LastTimeAndCount
-    "asof_attribution",           # temporal/as-of join
     "streaming_cumulate_hourly",  # custom streaming state machine
+    # (asof_attribution rotated out: streaming_user_asof_join makes
+    # the temporal-join family claim with the strictly harder twin)
     # (cumulate_hourly rotated out: the streaming twin covers the
     # CUMULATE family with the strictly harder claim)
     "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)

@@ -820,3 +820,123 @@ def streaming_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.read.parquet(out)
+
+
+# ---------------------------------------------------------------------------
+# streaming_user_asof_join — TemporalJoinFunction's streaming as-of
+# ---------------------------------------------------------------------------
+
+
+def _user_asof_oracle() -> str:
+    from openmetrics_spark.queries.users_q import _USER_JOIN_ORACLE
+
+    return _USER_JOIN_ORACLE
+
+
+@register(
+    "streaming_user_asof_join",
+    oracle=_user_asof_oracle(),
+    tags=("streaming", "join", "user"),
+)
+def streaming_user_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TemporalJoinFunction (reference: common/functions/
+    TemporalJoinFunction.java:77-87 — the RocksDB-backed event-time
+    as-of the UserJoin runs on) as a REAL streaming query sharing the
+    BATCH user_versioned_join's oracle: the folded user VERSIONS and
+    the click stream replay through the nearest-prior state machine
+    (with the lookback window spanning the whole stream, nearest-
+    in-time ≡ latest-at-or-before, i.e. exactly ASOF), and the paired
+    version ids re-attach their merged fields on read-back. The
+    reference keeps only the latest version per key forever; the
+    buffer here holds versions within the lookback — same answer on
+    any lookback ≥ the key's update gap, and the bounded-state story
+    (evict below watermark − lookback) is unchanged."""
+    from openmetrics_spark.jobs.streaming_flat_output import SENTINEL_MS
+    from openmetrics_spark.operators.joins import effective_users
+    from openmetrics_spark.queries.users_q import (
+        derive_clicks,
+        derive_user_updates,
+    )
+    from openmetrics_spark.streaming import stream_inferred_join
+
+    work = _workdir("userasof")
+    ev = table(spark, sf_dir, "events")
+    upd = derive_user_updates(ev)
+    fields = ["user_id", "is_internal_user", "ignore_usage", "properties_json"]
+    eff = effective_users(
+        upd, ("platform_id", "log_user_id"),
+        ts_col="log_timestamp", order_col="event_id",
+    )
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("platform_id", "log_user_id", "log_timestamp").orderBy(
+        F.col("log_timestamp").desc(), F.col("event_id").desc()
+    )
+    vers = (
+        eff.withColumn("__vn", F.row_number().over(wv))
+        .filter(F.col("__vn") == 1)
+        .drop("__vn")
+    )
+    # one staged source, two sides: version rows ('v') and clicks ('c')
+    v_rows = vers.select(
+        F.lit("v").alias("side"),
+        F.col("event_id").alias("id"),
+        "uid",
+        F.timestamp_millis("log_timestamp").alias("ts"),
+        F.col("log_timestamp").alias("ms"),
+    )
+    c_rows = derive_clicks(ev).select(
+        F.lit("c").alias("side"),
+        F.col("click_id").alias("id"),
+        "uid",
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    staged = os.path.join(work, "events")
+    grid = _events_grid(spark, sf_dir)
+    _restage(spark, v_rows.unionByName(c_rows), staged, "ms", grid, sentinel=False)
+    # far-future sentinel VERSION row flushes every pending click
+    spark.createDataFrame(
+        [("v", 999_999_999, -1, SENTINEL_MS)],
+        "side STRING, id LONG, uid LONG, ms LONG",
+    ).select(
+        "side", "id", "uid", F.timestamp_millis("ms").alias("ts"), "ms"
+    ).coalesce(1).write.mode("append").parquet(staged)
+
+    s = _stream(spark, staged)
+    paired = stream_inferred_join(
+        s.filter(F.col("side") == "v"),
+        s.filter(F.col("side") == "c"),
+        user_col="uid",
+        left_id_col="id",
+        right_id_col="id",
+        left_ts_col="ts",
+        right_ts_col="ts",
+        scope_cols=(),
+        window_before_ms=40 * 86_400_000,  # ≥ the whole staged span
+        window_after_ms=0,
+        delay_ms=2000,
+    )
+    out = os.path.join(work, "paired")
+    with _stream_shuffle_partitions(spark):
+        _drain(paired, out, os.path.join(work, "_chk", "paired"))
+    pairs = (
+        spark.read.parquet(out)
+        .filter(~F.col("late") & (F.col("u") >= 0))
+        .select(
+            F.col("right_id").alias("click_id"),
+            F.col("left_id").alias("version_id"),
+        )
+    )
+    enriched = pairs.join(
+        vers.select(F.col("event_id").alias("version_id"), *fields),
+        "version_id",
+        "left",
+    )
+    return enriched.select(
+        "click_id",
+        "user_id",
+        F.col("is_internal_user").cast("string").alias("is_internal_user"),
+        F.col("ignore_usage").cast("string").alias("ignore_usage"),
+        "properties_json",
+    )

@@ -68,17 +68,20 @@ FROM clicks c ASOF LEFT JOIN vers v
 """
 
 
-@register("user_versioned_join", oracle=_USER_JOIN_ORACLE, tags=("join", "user"))
-def user_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Clicks enriched with the effective user at click time, built
-    from partial updates via the UserUpdateMerger field rules."""
-    ev = table(spark, sf_dir, "events")
+def derive_user_updates(ev: DataFrame) -> DataFrame:
+    """The synthetic PARTIAL user-update stream (alternating fields
+    set), shared by the batch query and its streaming twin so both
+    feed the same oracle. ``uid`` carries the raw user id — in this
+    derivation the (platform_id, log_user_id) key is a bijection of
+    it, which is what lets the streaming state machine key on one
+    long column."""
     base_key = [
         (F.col("user_id") % 4).alias("platform_id"),
         F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias("log_user_id"),
     ]
-    upd = ev.filter(F.col("event_type") == "signup").select(
+    return ev.filter(F.col("event_type") == "signup").select(
         *base_key,
+        F.col("user_id").alias("uid"),
         F.unix_millis("ts").alias("log_timestamp"),
         "event_id",
         F.when(
@@ -97,9 +100,28 @@ def user_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit('{"v":'), F.col("event_id").cast("string"), F.lit("}")),
         ).alias("properties_json"),
     )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), *base_key, "ts"
+
+
+def derive_clicks(ev: DataFrame) -> DataFrame:
+    base_key = [
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias("log_user_id"),
+    ]
+    return ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("uid"),
+        *base_key,
+        "ts",
     )
+
+
+@register("user_versioned_join", oracle=_USER_JOIN_ORACLE, tags=("join", "user"))
+def user_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clicks enriched with the effective user at click time, built
+    from partial updates via the UserUpdateMerger field rules."""
+    ev = table(spark, sf_dir, "events")
+    upd = derive_user_updates(ev).drop("uid")
+    clicks = derive_clicks(ev).drop("uid")
     joined = user_join(
         clicks,
         upd,

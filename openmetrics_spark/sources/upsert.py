@@ -112,7 +112,11 @@ class UpsertTable:
         return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
 
     def read(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.path)
+        # mergeSchema: partitions rewrite independently, so after a
+        # widening batch the table legitimately holds files of both
+        # schemas; the default single-footer schema pick would
+        # silently drop the new column
+        return spark.read.option("mergeSchema", "true").parquet(self.path)
 
     # -- the sink --------------------------------------------------------
 
@@ -191,7 +195,12 @@ class UpsertTable:
         for c in self.pk_cols:
             ex_cond = ex_cond & (F.col(c) == F.col(f"__ex_{c}"))
         winners = prepared.join(existing_keys, ex_cond, "left_anti")
-        merged = survivors.unionByName(winners.select(*survivors.columns))
+        # allowMissingColumns: a widening batch (new column) or a
+        # narrowing one must merge loss-free — absent columns fill
+        # with null on whichever side lacks them (Hudi's Avro schema
+        # evolution; the old select(*survivors.columns) silently
+        # DROPPED new columns from incoming rows)
+        merged = survivors.unionByName(winners, allowMissingColumns=True)
         # Materialize before overwriting: the plan reads the same
         # directories the dynamic overwrite replaces.
         merged = merged.localCheckpoint(eager=True)
@@ -304,7 +313,14 @@ class MorUpsertTable:
         return fs.exists(hpath) and len(fs.listStatus(hpath)) > 0
 
     def _read(self, spark: SparkSession, path: str) -> DataFrame | None:
-        return spark.read.parquet(path) if self._exists(spark, path) else None
+        # mergeSchema: delta commits may widen the schema over time;
+        # the default single-footer pick would read whichever file it
+        # sampled and silently drop newer columns
+        return (
+            spark.read.option("mergeSchema", "true").parquet(path)
+            if self._exists(spark, path)
+            else None
+        )
 
     def _prepare(self, batch: DataFrame) -> DataFrame:
         prepared = (
@@ -390,7 +406,7 @@ class MorUpsertTable:
         elif log is None:
             unioned = base
         else:
-            unioned = base.unionByName(log)
+            unioned = base.unionByName(log, allowMissingColumns=True)
         w = Window.partitionBy(*self.pk_cols, "dt", "hour").orderBy(
             F.col(self.ts_ms_col).desc(),
             F.col("__commit").desc(),
@@ -443,7 +459,13 @@ class MorUpsertTable:
         exact = F.concat_ws(
             "/", F.col("dt").cast("string"), F.col("hour").cast("string")
         ).isin([f"{d}/{h}" for d, h in parts])
-        touched = log if base is None else base.filter(prune & exact).unionByName(log)
+        touched = (
+            log
+            if base is None
+            else base.filter(prune & exact).unionByName(
+                log, allowMissingColumns=True
+            )
+        )
         w = Window.partitionBy(*self.pk_cols, "dt", "hour").orderBy(
             F.col(self.ts_ms_col).desc(),
             F.col("__commit").desc(),

@@ -340,3 +340,36 @@ def test_mor_incremental_consumer_reconstructs_snapshot(spark, mor):
         for r in mor.read_snapshot(spark).collect()
     }
     assert view == snap
+
+
+def test_schema_evolution_widening_is_loss_free(spark, table, mor):
+    """Hudi-style schema evolution: a widening batch (new column) must
+    merge loss-free in BOTH engines and in EITHER order — old rows
+    null-fill the new column, and the new column's values survive the
+    merge (the pre-fix COW merge silently dropped new columns; the
+    pre-fix MOR read picked one file's schema at random)."""
+    wide = "pk string, payload string, event_api_timestamp long, extra string"
+    table.upsert(_batch(spark, [("a", "a1", T0)]))
+    table.upsert(
+        spark.createDataFrame([("a", "a2", T0 + 1, "x"), ("b", "b1", T0 + 2, "y")], wide)
+    )
+    got = {
+        (r["pk"], r["payload"], r["extra"])
+        for r in table.read(spark).collect()
+    }
+    assert got == {("a", "a2", "x"), ("b", "b1", "y")}
+
+    # MOR: widen first, then a narrow batch — the wide column survives
+    mor.upsert(spark.createDataFrame([("a", "a1", T0, "x")], wide))
+    mor.upsert(_batch(spark, [("b", "b1", T0 + 1)]))
+    got_m = {
+        (r["pk"], r["payload"], r["extra"])
+        for r in mor.read_snapshot(spark).collect()
+    }
+    assert got_m == {("a", "a1", "x"), ("b", "b1", None)}
+    mor.compact(spark)
+    got_c = {
+        (r["pk"], r["payload"], r["extra"])
+        for r in mor.read_snapshot(spark).collect()
+    }
+    assert got_c == got_m

@@ -1,0 +1,41 @@
+"""Order-independent exact money/rate sums for cross-engine hashing.
+
+``round(sum(double), k)`` depends on summation ORDER at the last ulp:
+partial-aggregation order is nondeterministic, and when the true sum
+sits on a rounding boundary Spark and DuckDB can legitimately round to
+different values — the exact hash-mismatch class the round-4 verdict
+flagged (observed live on q9/q10 at sf0.01). The cure: every value in
+the data is an exact multiple of 1/scale (whole cents, whole percents
+— asserted against the testdata), so ``floor(x*scale + 0.5)`` recovers
+the exact integer per row (each step is one deterministic IEEE op
+producing identical values in any engine), the BIGINT sum is exact in
+any order, and ONE division returns the true total.
+
+SQL twin: ``SUM(CAST(floor((e) * S + 0.5) AS BIGINT)) / S.0``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def exact_units(expr, scale: int) -> Column:
+    """Per-row exact integer count of 1/scale units."""
+    return F.floor(expr * scale + F.lit(0.5)).cast("long")
+
+
+def exact_sum(expr, scale: int) -> Column:
+    """Order-independent sum via exact integer units (see module
+    docstring)."""
+    return F.sum(exact_units(expr, scale)) / float(scale)
+
+
+def cents(expr) -> Column:
+    """Per-row exact integer cents."""
+    return exact_units(expr, 100)
+
+
+def sum_cents(expr) -> Column:
+    """Order-independent money sum in whole cents / 100."""
+    return exact_sum(expr, 100)

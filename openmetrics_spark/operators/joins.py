@@ -447,10 +447,16 @@ def user_join(
 
     eff = effective_users(users, on, ts_col=user_ts_ms, order_col=order_col)
     cols = [c for c in (user_cols or USER_MERGE_RULES) if c in eff.columns]
-    # one version per (key, ts): the final fold at that instant
-    worder = [F.col(user_ts_ms).desc()] + (
-        [F.col(order_col).desc()] if order_col is not None else []
-    )
+    # one version per (key, ts): the final fold at that instant —
+    # order_col is the only live tiebreak (ts is a partition constant;
+    # without one, fall back to the first merged field so the pick is
+    # at least deterministic)
+    if order_col is not None:
+        worder = [F.col(order_col).desc()]
+    elif cols:
+        worder = [F.col(cols[0]).desc()]
+    else:
+        worder = [F.lit(1)]
     wv = Window.partitionBy(*on, user_ts_ms).orderBy(*worder)
     eff = (
         eff.withColumn("__vn", F.row_number().over(wv))

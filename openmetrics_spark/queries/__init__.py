@@ -141,7 +141,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "last_time_and_count",        # LastTimeAndCount
     "streaming_cumulate_hourly",  # custom streaming state machine
     # (asof_attribution rotated out: streaming_user_asof_join makes
-    # the temporal-join family claim with the strictly harder twin)
+    # the temporal-join family claim with the strictly harder twin;
+    # bfj_view_insertions rotated out: the inferred-join family rides
+    # on bfj_join_side_outputs this round — if that row comes back
+    # red, restore bfj_view_insertions as the family's green anchor)
     # (cumulate_hourly rotated out: the streaming twin covers the
     # CUMULATE family with the strictly harder claim)
     "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)

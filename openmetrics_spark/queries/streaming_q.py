@@ -90,13 +90,27 @@ def _events_grid(
     symmetry and ignored."""
     grid = _GRID_CACHE.get(sf_dir)
     if grid is None:
+        lo, hi = _events_span(spark, sf_dir)
+        grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+        _GRID_CACHE[sf_dir] = grid
+    return grid
+
+
+_SPAN_CACHE: dict[str, tuple[int, int]] = {}
+
+
+def _events_span(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(min, max) epoch-millis of the full events table, memoized —
+    the slice grid and any full-lookback window derive from it."""
+    span = _SPAN_CACHE.get(sf_dir)
+    if span is None:
         full = table(spark, sf_dir, "events")
         lo, hi = full.agg(
             F.min(F.unix_millis("ts")), F.max(F.unix_millis("ts"))
         ).first()
-        grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
-        _GRID_CACHE[sf_dir] = grid
-    return grid
+        span = (int(lo), int(hi))
+        _SPAN_CACHE[sf_dir] = span
+    return span
 
 
 def _staged_events(spark: SparkSession, sf_dir: str, work: str) -> str:
@@ -870,7 +884,7 @@ def streaming_user_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     wv = Window.partitionBy("platform_id", "log_user_id", "log_timestamp").orderBy(
-        F.col("log_timestamp").desc(), F.col("event_id").desc()
+        F.col("event_id").desc()
     )
     vers = (
         eff.withColumn("__vn", F.row_number().over(wv))
@@ -913,7 +927,14 @@ def streaming_user_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         left_ts_col="ts",
         right_ts_col="ts",
         scope_cols=(),
-        window_before_ms=40 * 86_400_000,  # ≥ the whole staged span
+        # the ASOF oracle has UNBOUNDED lookback; derive the buffer
+        # window from the actual staged span (+1h slack) rather than a
+        # constant that silently diverges if the data span grows
+        window_before_ms=(
+            _events_span(spark, sf_dir)[1]
+            - _events_span(spark, sf_dir)[0]
+            + 3_600_000
+        ),
         window_after_ms=0,
         delay_ms=2000,
     )

@@ -14,16 +14,7 @@ from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
 
-def _exact_sum(expr, scale: int):
-    """Summation-order-independent money sum. Every money/rate value
-    in the data is an exact multiple of 1/scale (whole cents, whole
-    percents — asserted over the full table), so floor(x*scale + 0.5)
-    recovers the exact integer per row, the BIGINT sum is exact, and
-    ONE division returns the true total. sum(double) by contrast
-    drifts at the last ulp with partial-aggregation order — the class
-    that flipped q9/q10's driver hashes before the cents rewrite.
-    SQL twin: ``SUM(CAST(floor((e) * S + 0.5) AS BIGINT)) / S.0``."""
-    return F.sum(F.floor(expr * scale + F.lit(0.5)).cast("long")) / float(scale)
+from openmetrics_spark.functions.money import exact_sum as _exact_sum
 
 
 _Q1_ORACLE = """

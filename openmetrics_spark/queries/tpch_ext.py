@@ -33,23 +33,10 @@ def _ts(s: str):
     return F.lit(s).cast("timestamp")
 
 
-def _sum_cents(expr) -> F.Column:
-    """Order-independent money sum for cross-engine exact hashing:
-    round each ROW to integer cents (every step — multiply, +0.5,
-    floor — is a deterministic IEEE op producing identical values in
-    any engine), sum the BIGINTs exactly, divide once. By contrast
-    ``round(sum(double), 2)`` depends on summation ORDER at the last
-    ulp, and when the true sum sits on a .xx5 boundary Spark and
-    DuckDB can legitimately round to different cents — the exact
-    hash-mismatch class the round-4 verdict flagged (observed live on
-    q9/q10 at sf0.01 before this rewrite). SQL twin:
-    ``SUM(CAST(floor((e) * 100 + 0.5) AS BIGINT)) / 100.0``."""
-    return F.sum(_cents(expr)) / 100.0
-
-
-def _cents(expr) -> F.Column:
-    """Per-row exact integer cents (see :func:`_sum_cents`)."""
-    return F.floor(expr * 100 + F.lit(0.5)).cast("long")
+from openmetrics_spark.functions.money import (  # noqa: E402
+    cents as _cents,
+    sum_cents as _sum_cents,
+)
 
 
 _Q4_ORACLE = """

@@ -115,8 +115,15 @@ class UpsertTable:
         # mergeSchema: partitions rewrite independently, so after a
         # widening batch the table legitimately holds files of both
         # schemas; the default single-footer schema pick would
-        # silently drop the new column
+        # silently drop the new column. Full-table reads list every
+        # file anyway; the ingest path reads only touched partitions.
         return spark.read.option("mergeSchema", "true").parquet(self.path)
+
+    def _dir_exists(self, spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
 
     # -- the sink --------------------------------------------------------
 
@@ -162,7 +169,26 @@ class UpsertTable:
         exact = F.concat_ws(
             "/", F.col("dt").cast("string"), F.col("hour").cast("string")
         ).isin([f"{d}/{h}" for d, h in parts])
-        existing = self.read(spark).filter(prune & exact)
+        # read ONLY the touched partition directories: mergeSchema's
+        # footer sweep must stay O(touched files), not O(table) — the
+        # property ("merge cost scales with batch spread, not table
+        # size") the full-table self.read() would break at scale
+        touched_dirs = [
+            p
+            for p in (f"{self.path}/dt={d}/hour={h}" for d, h in parts)
+            if self._dir_exists(spark, p)
+        ]
+        if not touched_dirs:
+            prepared.write.partitionBy("dt", "hour").mode("append").save(
+                self.path
+            )
+            return
+        existing = (
+            spark.read.option("mergeSchema", "true")
+            .option("basePath", self.path)
+            .parquet(*touched_dirs)
+            .filter(prune & exact)
+        )
         # keep existing rows whose key is absent from the batch OR
         # whose precombine beats the batch row (ties -> incoming wins)
         incoming_keys = prepared.select(
@@ -228,13 +254,27 @@ class UpsertTable:
         on = " AND ".join(
             [f"t.{c} = s.{c}" for c in self.pk_cols] + ["t.dt = s.dt", "t.hour = s.hour"]
         )
-        (
-            target.alias("t")
-            .merge(prepared.alias("s"), on)
-            .whenMatchedUpdateAll(condition=f"s.{self.ts_ms_col} >= t.{self.ts_ms_col}")
-            .whenNotMatchedInsertAll()
-            .execute()
+        # schema autoMerge: a widening batch must evolve the target
+        # schema, matching the parquet engines' loss-free behavior
+        # (without it, UpdateAll/InsertAll throws on any new column)
+        prev = spark.conf.get(
+            "spark.databricks.delta.schema.autoMerge.enabled", "false"
         )
+        spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
+        try:
+            (
+                target.alias("t")
+                .merge(prepared.alias("s"), on)
+                .whenMatchedUpdateAll(
+                    condition=f"s.{self.ts_ms_col} >= t.{self.ts_ms_col}"
+                )
+                .whenNotMatchedInsertAll()
+                .execute()
+            )
+        finally:
+            spark.conf.set(
+                "spark.databricks.delta.schema.autoMerge.enabled", prev
+            )
 
 
 def stream_upsert(
@@ -452,7 +492,18 @@ class MorUpsertTable:
             (r["dt"], r["hour"])
             for r in log.select("dt", "hour").distinct().collect()
         ]
-        base = self._read(spark, self.base_path)
+        # read ONLY the touched base directories, so the mergeSchema
+        # footer sweep stays O(log spread), never O(base) — the cost
+        # property this method's contract states
+        jvm = spark._jvm
+        fs = jvm.org.apache.hadoop.fs.Path(self.base_path).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        touched_dirs = [
+            p
+            for p in (f"{self.base_path}/dt={d}/hour={h}" for d, h in parts)
+            if fs.exists(jvm.org.apache.hadoop.fs.Path(p))
+        ]
         prune = F.col("dt").isin([d for d, _ in parts]) & F.col("hour").isin(
             [h for _, h in parts]
         )
@@ -461,10 +512,12 @@ class MorUpsertTable:
         ).isin([f"{d}/{h}" for d, h in parts])
         touched = (
             log
-            if base is None
-            else base.filter(prune & exact).unionByName(
-                log, allowMissingColumns=True
-            )
+            if not touched_dirs
+            else spark.read.option("mergeSchema", "true")
+            .option("basePath", self.base_path)
+            .parquet(*touched_dirs)
+            .filter(prune & exact)
+            .unionByName(log, allowMissingColumns=True)
         )
         w = Window.partitionBy(*self.pk_cols, "dt", "hour").orderBy(
             F.col(self.ts_ms_col).desc(),

@@ -427,3 +427,46 @@ def hourly_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("sv", ignorenulls=True).over(w), 2).alias("filled_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# user_set_ops — INTERSECT / EXCEPT over behavior cohorts (§2.6 set ops)
+# ---------------------------------------------------------------------------
+
+_SET_OPS_ORACLE = """
+SELECT user_id, 'engaged' AS cohort FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'click'
+)
+UNION ALL
+SELECT user_id, 'error_free_buyer' AS cohort FROM (
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'error'
+)
+"""
+
+
+@register("user_set_ops", oracle=_SET_OPS_ORACLE, tags=("setop",))
+def user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operator surface (§2.6): INTERSECT and EXCEPT over behavior
+    cohorts, unioned with a tag. Both compile to aggregate+join plans
+    over the pre-projected (user_id) column — the scan reads one
+    column, and the distinct shuffles carry bare longs."""
+    ev = table(spark, sf_dir, "events")
+
+    def ids(t: str) -> DataFrame:
+        return ev.filter(F.col("event_type") == t).select("user_id")
+
+    engaged = (
+        ids("purchase").intersect(ids("click"))
+        .select("user_id", F.lit("engaged").alias("cohort"))
+    )
+    # subtract = EXCEPT DISTINCT (exceptAll is bag semantics: a user
+    # with more purchases than errors would survive it)
+    clean = (
+        ids("purchase").subtract(ids("error"))
+        .select("user_id", F.lit("error_free_buyer").alias("cohort"))
+    )
+    return engaged.unionByName(clean)

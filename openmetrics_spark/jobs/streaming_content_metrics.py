@@ -35,6 +35,7 @@ from openmetrics_spark.jobs.streaming_flat_output import (
     _restage,
     _stream,
 )
+from openmetrics_spark.functions.money import exact_units
 from openmetrics_spark.sources.sinks import (
     kinesis_metric_envelope,
     to_kinesis_records,
@@ -52,8 +53,8 @@ def _metric_aggs() -> dict[str, F.Column]:
         "views": F.sum(F.when(t == "view", 1).otherwise(0)),
         "navigates": F.sum(F.when(t == "click", 1).otherwise(0)),
         "purchases": F.sum(F.when(t == "purchase", 1).otherwise(0)),
-        "gmv_usd_cents": F.round(
-            F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)) * 100, 0
+        "gmv_usd_cents": F.sum(
+            exact_units(F.when(t == "purchase", F.col("value")).otherwise(0.0), 100)
         ).cast("long"),
     }
 

@@ -22,6 +22,7 @@ from openmetrics_spark.operators.dedup import keep_first, pick_best
 from openmetrics_spark.operators.joins import asof_join
 from openmetrics_spark.operators.metrics import cumulate_metrics, tumbling_metrics
 from openmetrics_spark.operators.sessions import session_rollup
+from openmetrics_spark.functions.money import exact_sum, exact_units
 from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
@@ -157,7 +158,7 @@ WITH o AS (
   FROM o
 )
 SELECT user_id, min(ms) AS session_start_ms, max(ms) AS session_end_ms,
-       count(*) AS n_events, round(sum(value), 2) AS total_value
+       count(*) AS n_events, round(SUM(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
 FROM s
 GROUP BY user_id, sess
 """
@@ -173,7 +174,7 @@ def session_rollup_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         "ts",
         30 * 60 * 1000,
-        aggs=[F.round(F.sum("value"), 2).alias("total_value")],
+        aggs=[F.round(exact_sum(F.col("value"), 100), 2).alias("total_value")],
     )
 
 
@@ -330,7 +331,7 @@ SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
        CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signups,
        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue
+       round(SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue
 FROM events
 GROUP BY 1
 """
@@ -350,7 +351,7 @@ def hourly_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_signups": F.sum(F.when(t == "signup", 1).otherwise(0)),
         "n_errors": F.sum(F.when(t == "error", 1).otherwise(0)),
         "revenue": F.round(
-            F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)), 2
+            exact_sum(F.when(t == "purchase", F.col("value")).otherwise(0.0), 100), 2
         ),
     }
     return tumbling_metrics(ev, [], "ts", HOUR, aggs)
@@ -360,7 +361,7 @@ _DAILY_METRICS_ORACLE = """
 SELECT (epoch_ms(ts) // 86400000) * 86400000 AS window_ms,
        count(*) AS n_events,
        count(DISTINCT user_id) AS n_users,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2) AS revenue
+       round(SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS revenue
 FROM events
 GROUP BY 1
 """
@@ -375,7 +376,10 @@ def daily_event_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events": F.count(F.lit(1)),
         "n_users": F.countDistinct("user_id"),
         "revenue": F.round(
-            F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)),
+            exact_sum(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0),
+                100,
+            ),
             2,
         ),
     }
@@ -386,13 +390,13 @@ _CUMULATE_ORACLE = """
 WITH h AS (
   SELECT (epoch_ms(ts) // 3600000) * 3600000 AS window_ms,
          count(*) AS ne,
-         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+         SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) * 100 + 0.5) AS BIGINT)) AS rev_c
   FROM events
   GROUP BY 1
 )
 SELECT (window_ms // 86400000) * 86400000 AS period_ms, window_ms,
        CAST(sum(ne) OVER w AS BIGINT) AS n_events,
-       round(sum(rev) OVER w, 2) AS revenue
+       round(CAST(sum(rev_c) OVER w AS BIGINT) / 100.0, 2) AS revenue
 FROM h
 WINDOW w AS (PARTITION BY window_ms // 86400000 ORDER BY window_ms
              ROWS UNBOUNDED PRECEDING)
@@ -408,13 +412,19 @@ def cumulate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     aggs = {
         "n_events": F.count(F.lit(1)),
-        "revenue": F.sum(
-            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0)
+        "rev_c": F.sum(
+            exact_units(
+                F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0),
+                100,
+            )
         ),
     }
     out = cumulate_metrics(ev, [], "ts", HOUR, DAY, aggs)
     return out.select(
-        "period_ms", "window_ms", "n_events", F.round("revenue", 2).alias("revenue")
+        "period_ms",
+        "window_ms",
+        "n_events",
+        F.round(F.col("rev_c") / 100.0, 2).alias("revenue"),
     )
 
 
@@ -432,7 +442,7 @@ WITH h AS (
          sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS v,
          sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nav,
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pur,
-         sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS rev
+         SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) * 100 + 0.5) AS BIGINT)) AS rev_c
   FROM events
   GROUP BY 1, 2
 ), c AS (
@@ -440,7 +450,7 @@ WITH h AS (
          CAST(sum(v) OVER w AS BIGINT) AS views,
          CAST(sum(nav) OVER w AS BIGINT) AS navigates,
          CAST(sum(pur) OVER w AS BIGINT) AS purchases,
-         CAST(round(sum(rev) OVER w * 100, 0) AS BIGINT) AS gmv_usd_cents
+         CAST(sum(rev_c) OVER w AS BIGINT) AS gmv_usd_cents
   FROM h
   WINDOW w AS (PARTITION BY content_id, window_ms // 86400000 ORDER BY window_ms
                ROWS UNBOUNDED PRECEDING)
@@ -476,13 +486,15 @@ def cumulated_metrics_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "views": F.sum(F.when(t == "view", 1).otherwise(0)),
         "navigates": F.sum(F.when(t == "click", 1).otherwise(0)),
         "purchases": F.sum(F.when(t == "purchase", 1).otherwise(0)),
-        "rev": F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)),
+        "rev_c": F.sum(
+            exact_units(F.when(t == "purchase", F.col("value")).otherwise(0.0), 100)
+        ),
     }
     cum = cumulate_metrics(
         ev.withColumn("content_id", content), ["content_id"], "ts", HOUR, DAY, aggs
     )
     rows = (
-        cum.withColumn("gmv_usd_cents", F.round(F.col("rev") * 100, 0).cast("long"))
+        cum.withColumn("gmv_usd_cents", F.col("rev_c").cast("long"))
         .withColumn("platform_id", F.lit(1).cast("long"))
         .withColumn(
             "dt", F.date_format(F.timestamp_millis(F.col("period_ms")), "yyyy-MM-dd")
@@ -547,7 +559,7 @@ def top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PROPS_ORACLE = """
 SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
        count(*) AS n,
-       round(avg(value), 6) AS avg_value
+       round(SUM(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value
 FROM events
 GROUP BY 1
 """
@@ -565,7 +577,9 @@ def props_json_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k_bucket")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                exact_sum(F.col("value"), 100) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
         )
     )
 
@@ -836,7 +850,7 @@ def gated_query_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CONTENT_LOOKUP_ORACLE = """
 SELECT d.lang, d.source, count(*) AS n_events,
-       round(avg(e.value), 6) AS avg_value
+       round(SUM(CAST(floor((e.value) * 100 + 0.5) AS BIGINT)) / 100.0 / count(*), 6) AS avg_value
 FROM events e
 JOIN (SELECT doc_id, lang, source FROM documents WHERE doc_id < 100) d
   ON CAST(json_extract_string(e.props, '$.k') AS INTEGER) = d.doc_id
@@ -863,6 +877,8 @@ def content_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                exact_sum(F.col("value"), 100) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
         )
     )

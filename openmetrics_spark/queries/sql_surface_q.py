@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from openmetrics_spark.functions.money import exact_sum, exact_units
 from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
@@ -62,7 +63,7 @@ SELECT (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_ms,
        event_type,
        CAST(grouping(event_type) AS BIGINT) AS is_subtotal,
        CAST(count(*) AS BIGINT) AS n_events,
-       round(sum(value), 2) AS total_value
+       round(SUM(CAST(floor((value) * 100 + 0.5) AS BIGINT)) / 100.0, 2) AS total_value
 FROM events
 GROUP BY ROLLUP ((epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS}, event_type)
 HAVING day_ms IS NOT NULL
@@ -86,7 +87,7 @@ def daily_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("event_type").cast("long").alias("is_subtotal"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(exact_sum(F.col("value"), 100), 2).alias("total_value"),
         )
         .filter(F.col("day_ms").isNotNull())
     )
@@ -102,7 +103,7 @@ SELECT (epoch_ms(ts) // {_DAY_MS}) * {_DAY_MS} AS day_ms,
        CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
        CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
          AS purchases,
-       round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END), 2)
+       round(SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) * 100 + 0.5) AS BIGINT)) / 100.0, 2)
          AS revenue
 FROM events
 GROUP BY 1
@@ -126,7 +127,7 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(t == "click", 1).otherwise(0)).alias("clicks"),
         F.sum(F.when(t == "purchase", 1).otherwise(0)).alias("purchases"),
         F.round(
-            F.sum(F.when(t == "purchase", F.col("value")).otherwise(0.0)), 2
+            exact_sum(F.when(t == "purchase", F.col("value")).otherwise(0.0), 100), 2
         ).alias("revenue"),
     )
 
@@ -364,7 +365,7 @@ _DENSE_ORACLE = f"""
 WITH e AS (
   SELECT event_type, epoch_ms(ts) // {_HOUR_MS} AS h, value FROM events
 ), hourly AS (
-  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n, sum(value) AS sv
+  SELECT event_type, h, CAST(count(*) AS BIGINT) AS n, SUM(CAST(floor((value) * 100 + 0.5) AS BIGINT)) AS sv
   FROM e GROUP BY 1, 2
 ), b AS (
   SELECT min(h) AS h0, max(h) AS h1 FROM e
@@ -379,7 +380,7 @@ SELECT grid.event_type, grid.h * {_HOUR_MS} AS hour_ms,
        round(last_value(sv IGNORE NULLS) OVER (
          PARTITION BY grid.event_type ORDER BY grid.h
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 2) AS filled_value
+       ) / 100.0, 2) AS filled_value
 FROM grid LEFT JOIN hourly USING (event_type, h)
 """
 
@@ -402,7 +403,8 @@ def hourly_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
     )
     hourly = ev.groupBy("event_type", "h").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("value").alias("sv")
+        F.count(F.lit(1)).alias("n"),
+        F.sum(exact_units(F.col("value"), 100)).alias("sv"),
     )
     bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
     grid = (
@@ -424,7 +426,9 @@ def hourly_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("h") * _HOUR_MS).alias("hour_ms"),
             F.coalesce(n, F.lit(0)).alias("n_events"),
             F.when(n.isNull(), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_gap"),
-            F.round(F.last("sv", ignorenulls=True).over(w), 2).alias("filled_value"),
+            F.round(
+                F.last("sv", ignorenulls=True).over(w) / 100.0, 2
+            ).alias("filled_value"),
         )
     )
 

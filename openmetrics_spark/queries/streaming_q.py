@@ -27,6 +27,7 @@ from openmetrics_spark.jobs.streaming_flat_output import (
     _restage,
     _stream,
 )
+from openmetrics_spark.functions.money import exact_sum, exact_units
 from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
@@ -138,8 +139,9 @@ SELECT CAST(user_id AS VARCHAR) AS content_id,
          AS navigates,
        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
          AS purchases,
-       CAST(round(sum(CASE WHEN event_type = 'purchase' THEN value
-                           ELSE 0 END) * 100, 0) AS BIGINT) AS gmv_usd_cents
+       CAST(SUM(CAST(floor((CASE WHEN event_type = 'purchase' THEN value
+                                  ELSE 0 END) * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         AS gmv_usd_cents
 FROM events
 GROUP BY 1, 2
 """
@@ -570,7 +572,7 @@ def streaming_session_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ms").alias("session_start_ms"),
             F.max("ms").alias("session_end_ms"),
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
+            F.round(exact_sum(F.col("value"), 100), 2).alias("total_value"),
         )
     )
     out = os.path.join(work, "sessions")
@@ -726,7 +728,9 @@ def streaming_content_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(
+                exact_sum(F.col("value"), 100) / F.count(F.lit(1)), 6
+            ).alias("avg_value"),
         )
     )
 

@@ -31,3 +31,35 @@ def test_entry_contract(spark):
     o = e.oracle_sql()
     assert set(o) <= set(q)
     assert len(q) >= 20
+
+
+def test_no_order_dependent_float_sums_in_oracles():
+    """Regression guard for the q9/q10 hash-flip class: a
+    ``round(sum(<double>), k)`` in an oracle depends on partial-agg
+    order at the last ulp and can legitimately round differently per
+    engine on a boundary. Every money/value aggregate must go through
+    the exact scaled-integer pattern (functions/money.py). Allowlist:
+    integral-column sums (exact in any order) and log-likelihood sums
+    (inherently float, documented approximate, rounded at 4 dp)."""
+    import re
+
+    from openmetrics_spark.queries import all_queries
+
+    allow = {
+        # sums of an integral column — exact in any order
+        "q1_pricing_summary": ["sum(l_quantity)"],
+        # -ln() sums cannot be quantized faithfully; both engines fold
+        # the same doubles and the 4 dp round absorbs the tail
+        "doc_unigram_logprob": ["sum(-ln("],
+        "doc_unigram_logprob_capped": ["sum(-ln("],
+    }
+    pat = re.compile(r"round\(\s*(sum|avg)\(\s*(?!CAST\(floor)", re.I)
+    offenders = []
+    for name, spec in all_queries().items():
+        if not spec.oracle:
+            continue
+        for m in pat.finditer(spec.oracle):
+            frag = spec.oracle[m.start() : m.end() + 40]
+            if not any(tok in frag for tok in allow.get(name, [])):
+                offenders.append((name, frag.replace("\n", " ")))
+    assert not offenders, offenders

@@ -131,7 +131,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q19_disjunctive_revenue",
     "q21_waiting_supplier",
     # (q16/q17/q20/q22, ann_ivf_kmeans_topk, upsert_incremental_pull
-    # and user_set_ops
+    # user_set_ops and embedding_outliers
     # rotate into the r6 window — the list must stay at 50 and the
     # slots go to queries whose CODE changed this round; the kmeans
     # core and the reworked MOR internals each already have an

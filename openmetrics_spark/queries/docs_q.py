@@ -283,6 +283,72 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_OUTLIERS_PER_CELL = 3
+
+_KMEANS_OUTLIER_ORACLE = (
+    "WITH "
+    + ", ".join(_kmeans_ctes())
+    + f""", sc AS (
+  SELECT a.vec_id, a.cell,
+         list_cosine_similarity(d.v, c.cv) AS cos_c
+  FROM a{_KM_ITERS} a
+  JOIN d ON d.vec_id = a.vec_id
+  JOIN c{_KM_ITERS - 1} c ON c.cid = a.cell
+)
+SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+       round(cos_c, 6) AS centroid_cos, rank
+FROM (
+  SELECT vec_id, cell, cos_c,
+         CAST(row_number() OVER (
+           PARTITION BY cell ORDER BY cos_c, vec_id
+         ) AS BIGINT) AS rank
+  FROM sc
+) WHERE rank <= {_OUTLIERS_PER_CELL}"""
+)
+
+
+@register("embedding_outliers", oracle=_KMEANS_OUTLIER_ORACLE, tags=("llm", "similarity"))
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding QA: the {n} vectors per k-means cell FARTHEST from
+    their own centroid (lowest cosine) — the corrupt-embedding /
+    out-of-distribution screen a pipeline runs before vectors feed
+    retrieval or dedup. The per-vector centroid cosine is the argmax
+    the assignment already computed; ranking happens per cell over a
+    handful of candidates. Integer-exact like the rest of the kmeans
+    family, so the oracle replays it bit-for-bit."""
+    from openmetrics_spark.llm.cluster import _lloyd
+    from openmetrics_spark.llm.similarity import cosine
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    assigned, cents = _lloyd(
+        emb, "vec_id", "embedding", _KM_K, _KM_ITERS, _KM_DIM
+    )
+    # CASE chain over the (bounded) centroid set: each row's cosine to
+    # its OWN cell's centroid
+    expr = None
+    for cid, cv in cents:
+        leg = cosine(F.col("v"), F.array(*[F.lit(float(x)) for x in cv]))
+        expr = (
+            F.when(F.col("cell") == int(cid), leg)
+            if expr is None
+            else expr.when(F.col("cell") == int(cid), leg)
+        )
+    w = Window.partitionBy("cell").orderBy(F.col("cos_c"), F.col("vid"))
+    return (
+        assigned.select(
+            "vid", F.col("cell").cast("long").alias("cell"), expr.alias("cos_c")
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _OUTLIERS_PER_CELL)
+        .select(
+            F.col("vid").alias("vec_id"),
+            "cell",
+            F.round("cos_c", 6).alias("centroid_cos"),
+            "rank",
+        )
+    )
+
+
 @register("embedding_kmeans_cells", oracle=_KMEANS_ORACLE, tags=("llm", "similarity"))
 def embedding_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed spherical k-means (k=8, 3 Lloyd iterations) over the

@@ -137,7 +137,9 @@ def test_mor_snapshot_prunes_partitions(spark, tmp_path):
 def test_kmeans_assignment_is_narrow(spark, sf_dir):
     # the Lloyd assignment scores against driver-inlined centroid
     # literals: no join, no cartesian, no exchange before the final
-    # projection — the vector table streams through unshuffled.
-    plan = _plan(spark, sf_dir, "embedding_kmeans_cells")
-    assert "CartesianProduct" not in plan, plan
-    assert "Join" not in plan, plan
+    # projection — the vector table streams through unshuffled. The
+    # outlier screen adds only a per-cell window on top.
+    for name in ("embedding_kmeans_cells", "embedding_outliers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+        assert "Join" not in plan, (name, plan)

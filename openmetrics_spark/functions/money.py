@@ -12,6 +12,13 @@ producing identical values in any engine), the BIGINT sum is exact in
 any order, and ONE division returns the true total.
 
 SQL twin: ``SUM(CAST(floor((e) * S + 0.5) AS BIGINT)) / S.0``.
+
+Negative values: ``floor(x + 0.5)`` rounds exact halves toward +inf
+(-3.005 → -300 cents, not -301). Both engines apply the identical
+rule, so cross-engine equality is unaffected; it only matters if a
+caller expects round-half-away semantics on negative money, which no
+current dataset carries (values are asserted non-negative multiples
+of 1/scale).
 """
 
 from __future__ import annotations

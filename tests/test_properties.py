@@ -308,3 +308,89 @@ def test_kmeans_matches_python_model(spark, vecs):
     # assignments can flip on that ulp
     scaled = [[1000 * x for x in v] for v in vecs]
     assert got == _model_kmeans(scaled, 3, 2)
+
+
+# ---------------------------------------------------------------------------
+# gap-fill + forward fill vs a pure-Python model
+# ---------------------------------------------------------------------------
+
+_series = st.lists(
+    st.tuples(
+        st.integers(0, 1),    # series key
+        st.integers(0, 12),   # hour offset
+        st.integers(0, 500),  # value in cents
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_series)
+@SET
+def test_dense_series_matches_python_model(spark, rows):
+    """The gap-fill shape of hourly_dense_series: dense grid over the
+    global hour bounds per key, zero-filled counts, gap flags, and an
+    ignore-nulls forward fill — checked against a dict model on random
+    sparse series (leading gaps, all-gap keys, single-hour spans)."""
+    from pyspark.sql import Window
+
+    _T0 = 1704067200000
+    H = 3_600_000
+    df = spark.createDataFrame(
+        [(f"k{k}", _T0 + h * H, c / 100.0) for k, h, c in rows],
+        "key string, ms long, value double",
+    ).withColumn("ts", F.timestamp_millis("ms"))
+
+    hourly = (
+        df.select("key", (F.col("ms") / H).cast("long").alias("h"), "value")
+        .groupBy("key", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")).alias("sv"),
+        )
+    )
+    bounds = df.agg(
+        (F.min("ms") / H).cast("long").alias("h0"),
+        (F.max("ms") / H).cast("long").alias("h1"),
+    )
+    grid = (
+        hourly.select("key").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select("key", F.explode(F.sequence("h0", "h1")).alias("h"))
+    )
+    w = Window.partitionBy("key").orderBy("h").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    got = {
+        (r["key"], r["h"]): (r["n_events"], r["is_gap"], r["filled"])
+        for r in grid.join(hourly, ["key", "h"], "left")
+        .select(
+            "key",
+            "h",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_events"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).cast("long").alias("is_gap"),
+            F.last("sv", ignorenulls=True).over(w).alias("filled"),
+        )
+        .collect()
+    }
+
+    # dict model (absolute hour index, matching ms // H)
+    base_h = _T0 // H
+    per = {}
+    for k, h, c in rows:
+        key = f"k{k}"
+        n, sv = per.get((key, base_h + h), (0, 0))
+        per[(key, base_h + h)] = (n + 1, sv + c)
+    h0 = base_h + min(h for _, h, _ in rows)
+    h1 = base_h + max(h for _, h, _ in rows)
+    want = {}
+    for key in {f"k{k}" for k, _, _ in rows}:
+        last = None
+        for h in range(h0, h1 + 1):
+            if (key, h) in per:
+                n, sv = per[(key, h)]
+                last = sv
+                want[(key, h)] = (n, 0, last)
+            else:
+                want[(key, h)] = (0, 1, last)
+    assert got == want

@@ -37,6 +37,7 @@ from openmetrics_spark.functions.feature_ids import (
     feature_id_col,
 )
 from openmetrics_spark.operators.counters import last_time_and_count, sliding_counter
+from openmetrics_spark.tables import literal_df
 
 JOIN_CHAR = "\x1f"  # RedisSink.JOIN_CHAR (ASCII unit separator)
 TYPE_SEPARATOR = "\x1d"  # counter/Constants.java (ASCII group separator)
@@ -442,8 +443,8 @@ def metadata_commands(
         rows.append(
             ("HSET", FEATURE_IDS_KEY, lfam.name, ",".join(map(str, fids)), -1, 0)
         )
-    return spark.createDataFrame(
-        rows, "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG"
+    return literal_df(
+        spark, rows, "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG"
     )
 
 
@@ -507,7 +508,8 @@ def wipe_command(spark) -> DataFrame:
     writing (CounterJob.java:238-243, prepareSink :589-593 — ONLY for
     backfills). Union this ahead of the command stream; the writer
     executes FLUSHALL before any HSET."""
-    return spark.createDataFrame(
+    return literal_df(
+        spark,
         [("FLUSHALL", "", "", "", -1, 0)],
         "command STRING, key STRING, field STRING, value STRING, ttl_s LONG, emit_ms LONG",
     )

@@ -63,6 +63,7 @@ from openmetrics_spark.operators.validate import (
     validate_view,
 )
 from openmetrics_spark.streaming.core import stream_from_dir
+from openmetrics_spark.tables import literal_df
 from openmetrics_spark.streaming.ops import stream_keep_first
 from openmetrics_spark.streaming.stateful import (
     stream_combine_delivery_logs,
@@ -112,6 +113,12 @@ def _sentinel_row(schema: T.StructType) -> tuple:
         else:
             out.append(None)
     return tuple(out)
+
+
+def _literal_df(spark: SparkSession, schema: T.StructType, row: tuple, n: int = 1) -> DataFrame:
+    """A tiny constant DataFrame built JVM-side (see tables.literal_df
+    for why createDataFrame is banned from staging paths)."""
+    return literal_df(spark, [row] * n, schema)
 
 
 def _restage(
@@ -168,7 +175,9 @@ def _restage(
             # empty slices still write a (0-row) file to keep the
             # per-source batch count aligned across staged dirs
             before = set(os.listdir(dst))
-            df.limit(0).coalesce(1).write.mode("append").parquet(dst)
+            _literal_df(
+                spark, df.schema, _sentinel_row(df.schema), n=0
+            ).coalesce(1).write.mode("append").parquet(dst)
             for name in set(os.listdir(dst)) - before:
                 os.utime(os.path.join(dst, name), (t0 + i, t0 + i))
             continue
@@ -181,7 +190,7 @@ def _restage(
     shutil.rmtree(tmp, ignore_errors=True)
     if sentinel:
         before = set(os.listdir(dst))
-        spark.createDataFrame([_sentinel_row(df.schema)], df.schema).coalesce(
+        _literal_df(spark, df.schema, _sentinel_row(df.schema)).coalesce(
             1
         ).write.mode("append").parquet(dst)
         for name in set(os.listdir(dst)) - before:

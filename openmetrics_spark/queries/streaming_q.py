@@ -29,7 +29,7 @@ from openmetrics_spark.jobs.streaming_flat_output import (
 )
 from openmetrics_spark.functions.money import exact_sum, exact_units
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import table
+from openmetrics_spark.tables import literal_df, table
 
 HOUR_MS = 3_600_000
 
@@ -74,8 +74,14 @@ def _stream_shuffle_partitions(spark: SparkSession, n: int = 8):
 
 
 # every streaming query slices the same events table on the same
-# thirds-of-span grid; the (lo, hi) scan is one full-table aggregate
-# per call, so memoize it per sf_dir for the life of the process
+# half-of-span grid; the (lo, hi) scan is one full-table aggregate
+# per call, so memoize it per sf_dir for the life of the process.
+# Two slices + the sentinel = three micro-batches: state still has to
+# survive a batch boundary and finalize against a mid-stream watermark
+# (the multi-batch claim), while each extra slice would only re-buy
+# the same evidence for another round of fixed per-batch cost
+# (state-store load/commit + a Python worker round-trip per
+# partition).
 _GRID_CACHE: dict[str, list[int]] = {}
 
 
@@ -92,7 +98,7 @@ def _events_grid(
     grid = _GRID_CACHE.get(sf_dir)
     if grid is None:
         lo, hi = _events_span(spark, sf_dir)
-        grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+        grid = [lo + (hi - lo) // 2]
         _GRID_CACHE[sf_dir] = grid
     return grid
 
@@ -494,7 +500,8 @@ def streaming_inferred_attribution(
     _restage(spark, ev, staged, "ms", grid, sentinel=False)
     # sentinel VIEW (not the generic 'zz' row): it must survive the
     # event_type filter to advance the single union watermark
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [(999_999_999, -1, "view", SENTINEL_MS)],
         "event_id LONG, user_id LONG, event_type STRING, ms LONG",
     ).select(
@@ -823,8 +830,8 @@ def streaming_top_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         recs = [(bid, et, True) for _, et in ranked if et not in state["prev"]]
         recs += [(bid, et, False) for et in sorted(state["prev"] - cur)]
         if recs:
-            spark.createDataFrame(
-                recs, "batch_id long, event_type string, keep boolean"
+            literal_df(
+                spark, recs, "batch_id long, event_type string, keep boolean"
             ).coalesce(1).write.mode("append").parquet(out)
         state["prev"] = cur
 
@@ -914,7 +921,8 @@ def streaming_user_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid = _events_grid(spark, sf_dir)
     _restage(spark, v_rows.unionByName(c_rows), staged, "ms", grid, sentinel=False)
     # far-future sentinel VERSION row flushes every pending click
-    spark.createDataFrame(
+    literal_df(
+        spark,
         [("v", 999_999_999, -1, SENTINEL_MS)],
         "side STRING, id LONG, uid LONG, ms LONG",
     ).select(

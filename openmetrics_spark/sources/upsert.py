@@ -397,7 +397,9 @@ class MorUpsertTable:
         return f"{self.path}/_commit_hwm"
 
     def _write_hwm(self, spark: SparkSession, value: int) -> None:
-        spark.createDataFrame([(str(value),)], "v string").coalesce(
+        from openmetrics_spark.tables import literal_df
+
+        literal_df(spark, [(str(value),)], "v string").coalesce(
             1
         ).write.mode("overwrite").text(self._hwm_path)
 

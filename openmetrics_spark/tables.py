@@ -113,6 +113,46 @@ def release_caches() -> int:
     return n
 
 
+def literal_df(
+    spark: SparkSession,
+    rows: list[tuple],
+    schema: T.StructType | str,
+) -> DataFrame:
+    """A small constant DataFrame built as a pure Catalyst plan.
+
+    ``spark.createDataFrame(rows, schema)`` plans a Python-RDD-backed
+    scan; the first action on it spins up a Python worker round-trip,
+    measured ~4.5 s per WRITE in a warm local session — which silently
+    dominated every staging sentinel, stream side-output and metadata
+    write that used it for a handful of rows. Building the same rows
+    as ``range(1).select(explode(array(struct(lit(...)))))`` keeps the
+    whole plan JVM-side (~0.25 s) and is cluster-identical semantics.
+
+    Only for CONSTANT rows already on the driver and small enough to
+    inline into a plan (sentinels, metadata rows, side-output deltas).
+    Real data always comes from files/fixtures, never literals."""
+    if isinstance(schema, str):
+        schema = spark.createDataFrame([], schema).schema
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in schema.fields]
+        )
+    structs = [
+        F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for f, v in zip(schema.fields, row)
+            ]
+        )
+        for row in rows
+    ]
+    return (
+        spark.range(1)
+        .select(F.explode(F.array(*structs)).alias("__r"))
+        .select("__r.*")
+    )
+
+
 def spread_for_compute(df: DataFrame, min_fraction: float = 0.5) -> DataFrame:
     """Repartition a narrow scan up to cluster parallelism ahead of a
     CPU-heavy stage. Small parquet inputs arrive as one split, which

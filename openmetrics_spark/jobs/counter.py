@@ -375,12 +375,19 @@ def full_counter_commands(
     (user_id too unless ``log_user_user`` supplies it)."""
     if log_user_user is not None:
         flat = enrich_with_log_user_user(flat, log_user_user, ts_col=ts_col)
-    # NOT cached, deliberately: each family × window branch prunes
-    # `flat` to its own ~4 columns at the scan, and the A/B measured
-    # per-branch recomputation ~15% faster than materializing the full
-    # wide frame once (cache write + wide reads beat 16 narrow
-    # re-scans only when the upstream is expensive — here it is a
-    # projection over one scan plus one as-of shuffle).
+        # cut the lineage once the as-of shuffle (and any Python-UDF
+        # column like query_hex) is in the plan: every family × window
+        # branch re-executes the upstream otherwise — A/B at sf0.1
+        # measured 7.8-9.0 s recompute vs 6.1-6.8 s checkpointed,
+        # while plain persist() was NO faster than recompute (wide
+        # InMemoryRelation reads cost as much as the narrow re-scans)
+        # and a repartition(32) before the checkpoint was slower still
+        # (16 branches × 32 map tasks of pure scheduling overhead).
+        # localCheckpoint trades executor-loss recomputability for
+        # speed; on a real cluster the enriched frame is small
+        # (|events| rows × 9 narrow columns) and a lost block only
+        # fails-and-retries the job, which the driver retries anyway.
+        flat = flat.localCheckpoint(eager=False)
     out: DataFrame | None = None
     for fam in families:
         for window_ms, slide_ms, window_enum, ttl_s in window_configs:

@@ -84,6 +84,7 @@ def stream_last_time_and_count(
     )
 
     def update(key, pdf_iter, state: GroupState):
+        import numpy as np
         import pandas as pd
 
         if state.exists:
@@ -92,11 +93,16 @@ def stream_last_time_and_count(
         else:
             last_ms, buckets = None, {}
         for pdf in pdf_iter:
-            ms = pdf["__ms"].astype("int64")
+            # np.unique, not pandas value_counts: this body runs once
+            # per KEY per micro-batch, and pandas' per-call machinery
+            # (~0.5 ms) dwarfs the work for typical small groups —
+            # the numpy path measured ~80x cheaper per invocation
+            ms = pdf["__ms"].to_numpy()
             mx = int(ms.max())
             last_ms = mx if last_ms is None else max(last_ms, mx)
-            for b, n in (ms // bucket_ms * bucket_ms).value_counts().items():
-                buckets[int(b)] = buckets.get(int(b), 0) + int(n)
+            ub, cnt = np.unique(ms // bucket_ms * bucket_ms, return_counts=True)
+            for b, n in zip(ub.tolist(), cnt.tolist()):
+                buckets[b] = buckets.get(b, 0) + n
         floor = last_ms - horizon_ms
         buckets = {b: n for b, n in buckets.items() if b > floor - bucket_ms}
         total = sum(n for b, n in buckets.items() if b > floor)
@@ -744,17 +750,26 @@ def stream_cumulate_counter(
                 for p, v in json.loads(pj).items()
             }
         for pdf in pdf_iter:
-            ms = pdf["__ms"].astype("int64")
-            buck = ms // step_ms * step_ms
-            per = ms // period_ms * period_ms
-            inc = (
-                pd.Series(1, index=ms.index)
-                if value_col is None
-                else pdf["__v"].astype("int64")
-            )
-            for (p, b), n in inc.groupby([per, buck]).sum().items():
-                ent = periods.setdefault(int(p), [0, {}])
-                ent[1][int(b)] = ent[1].get(int(b), 0) + int(n)
+            # numpy, not pandas groupby: this body runs once per KEY
+            # per micro-batch and the groupby machinery alone measured
+            # ~1 ms/invocation vs ~10 us for the unique+loop below —
+            # across thousands of keys that WAS the drain wall-time.
+            # A period is derivable from its bucket because CUMULATE
+            # requires period = k * step (buckets never straddle).
+            import numpy as np
+
+            buck = (pdf["__ms"].to_numpy() // step_ms) * step_ms
+            ub, inv = np.unique(buck, return_inverse=True)
+            if value_col is None:
+                sums = np.bincount(inv, minlength=len(ub)).astype("int64")
+            else:
+                # int64-exact grouped sum (bincount's float weights
+                # would round values above 2^53)
+                sums = np.zeros(len(ub), dtype="int64")
+                np.add.at(sums, inv, pdf["__v"].to_numpy().astype("int64"))
+            for b, n in zip(ub.tolist(), sums.tolist()):
+                ent = periods.setdefault(b // period_ms * period_ms, [0, {}])
+                ent[1][b] = ent[1].get(b, 0) + n
         wm = state.getCurrentWatermarkMs()
         out = []
         closed = []

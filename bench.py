@@ -91,6 +91,61 @@ def main() -> int:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # fourth warmup leg: the Arrow pandas_udf worker pool (xxhash64)
+    # and the Structured-Streaming machinery (state-store provider,
+    # micro-batch planner, applyInPandasWithState codegen + its python
+    # worker protocol) each initialize lazily on FIRST use — measured
+    # ~2-3 s billed to counter_commands_full / streaming_cumulate_
+    # hourly without this, pure one-time setup that is noise at
+    # steady state. A 64-row hash job plus a 2-slice micro-stream
+    # touch both paths once, outside the timed window.
+    from openmetrics_spark.functions.hashing import xxhash64_udf
+
+    (
+        table(spark, sf_dir, "documents")
+        .limit(64)
+        .select(xxhash64_udf(F.col("text")))
+        .write.format("noop").mode("overwrite").save()
+    )
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from openmetrics_spark.jobs.streaming_flat_output import (
+        _drain,
+        _restage,
+        _stream,
+    )
+    from openmetrics_spark.streaming.stateful import stream_cumulate_counter
+
+    _warm_work = _tempfile.mkdtemp(prefix="bench_stream_warm_")
+    try:
+        ev64 = (
+            table(spark, sf_dir, "events")
+            .limit(256)
+            .select("user_id", "ts", F.unix_millis("ts").alias("ms"))
+        )
+        mid = int(ev64.agg(F.avg("ms")).first()[0])
+        _staged = _os.path.join(_warm_work, "ev")
+        _restage(spark, ev64, _staged, "ms", [mid], sentinel=True)
+        warm_cum = stream_cumulate_counter(
+            _stream(spark, _staged),
+            key_col="user_id", ts_col="ts",
+            step_ms=3_600_000, period_ms=86_400_000, delay_ms=2000,
+        )
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        try:
+            _drain(
+                warm_cum,
+                _os.path.join(_warm_work, "out"),
+                _os.path.join(_warm_work, "chk"),
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+    finally:
+        _shutil.rmtree(_warm_work, ignore_errors=True)
+
     from openmetrics_spark.tables import release_caches
 
     specs = {n: s for n, s in all_queries().items() if s.headline}

@@ -746,11 +746,17 @@ def streaming_content_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # streaming_top_event_types — TopNEmitter's membership-update stream
 # ---------------------------------------------------------------------------
 
+# The prefixes MUST mirror _events_grid's slice boundaries: one
+# half-of-span cut → two staged slices → two micro-batches, so the
+# membership diff replays exactly two cumulative prefixes. (This
+# oracle went red at sf0.01 when the grid moved from thirds to halves
+# while the SQL still modeled three prefixes — the slice grid is part
+# of this query's contract.)
 _TOPN_PREFIXES_SQL = """
 WITH b AS (
   SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
 ), bounds AS (
-  SELECT lo + (hi - lo) // 3 AS b1, lo + (2 * (hi - lo)) // 3 AS b2 FROM b
+  SELECT lo + (hi - lo) // 2 AS b1 FROM b
 ), e AS (
   SELECT event_type, epoch_ms(ts) AS ms FROM events
 )"""
@@ -759,8 +765,7 @@ WITH b AS (
 def _topn_prefix(k: int) -> str:
     where = {
         0: "WHERE ms < (SELECT b1 FROM bounds)",
-        1: "WHERE ms < (SELECT b2 FROM bounds)",
-        2: "",
+        1: "",
     }[k]
     return f"""t{k} AS (
   SELECT event_type, count(*) AS c FROM e {where} GROUP BY 1
@@ -775,7 +780,7 @@ def _topn_prefix(k: int) -> str:
 _STREAM_TOPN_ORACLE = (
     _TOPN_PREFIXES_SQL
     + ", "
-    + ", ".join(_topn_prefix(k) for k in range(3))
+    + ", ".join(_topn_prefix(k) for k in range(2))
     + """
 SELECT CAST(0 AS BIGINT) AS batch_id, event_type, true AS keep FROM top0
 UNION ALL
@@ -784,12 +789,6 @@ WHERE event_type NOT IN (SELECT event_type FROM top0)
 UNION ALL
 SELECT 1, event_type, false FROM top0
 WHERE event_type NOT IN (SELECT event_type FROM top1)
-UNION ALL
-SELECT 2, event_type, true FROM top2
-WHERE event_type NOT IN (SELECT event_type FROM top1)
-UNION ALL
-SELECT 2, event_type, false FROM top1
-WHERE event_type NOT IN (SELECT event_type FROM top2)
 """
 )
 

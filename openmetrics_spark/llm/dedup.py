@@ -227,9 +227,14 @@ def minhash_lsh_pairs(
     generation is a groupBy on band keys, not an all-pairs product."""
     rows = num_hashes // bands
     docs = spread_for_compute(docs)
+    # same short-doc gate as the incremental variant: all-sentinel
+    # signatures would pair every <n-token doc with every other,
+    # quadratic in the short-doc count, all dying at jaccard 0.0
     base = docs.select(
         F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), num_hashes, seed))
+    ).filter(F.size(F.col("sh")) > 0).withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes, seed)
+    )
     banded = base.select(
         "doc", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     )
@@ -277,10 +282,19 @@ def minhash_incremental_pairs(
     rows = num_hashes // bands
 
     def banded(df: DataFrame, out: str) -> DataFrame:
+        # Docs too short to shingle (< n tokens) get the all-sentinel
+        # signature, so EVERY short doc shares identical band keys with
+        # every other short doc: without this gate the band join emits
+        # |short-incoming|×|short-existing| candidate pairs (each
+        # dragging both shingle arrays through the shuffle) that can
+        # only die at the exact-Jaccard filter (empty ∩ anything = 0 <
+        # threshold). Dropping them up front keeps the claimed
+        # linear-in-|incoming| cost honest for the short-doc crowd
+        # common in crawl batches; output is unchanged.
         base = spread_for_compute(df).select(
             F.col(id_col).alias(out),
             shingles(text_col, n).alias(f"__sh_{out}"),
-        ).withColumn(
+        ).filter(F.size(F.col(f"__sh_{out}")) > 0).withColumn(
             "__sig", minhash_signature(F.col(f"__sh_{out}"), num_hashes, seed)
         )
         return base.select(

@@ -449,12 +449,14 @@ def user_join(
     cols = [c for c in (user_cols or USER_MERGE_RULES) if c in eff.columns]
     # one version per (key, ts): the final fold at that instant —
     # order_col is the only live tiebreak (ts is a partition constant;
-    # without one, fall back to the first merged field so the pick is
-    # at least deterministic)
+    # without one, fall back to ALL merged fields desc — a total order
+    # over the output columns, so two versions that still tie are
+    # identical in everything the join emits and the pick can't leak
+    # nondeterminism downstream)
     if order_col is not None:
         worder = [F.col(order_col).desc()]
     elif cols:
-        worder = [F.col(cols[0]).desc()]
+        worder = [F.col(c).desc() for c in cols]
     else:
         worder = [F.lit(1)]
     wv = Window.partitionBy(*on, user_ts_ms).orderBy(*worder)

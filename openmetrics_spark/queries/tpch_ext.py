@@ -36,6 +36,7 @@ def _ts(s: str):
 from openmetrics_spark.functions.money import (  # noqa: E402
     cents as _cents,
     sum_cents as _sum_cents,
+    sum_money4 as _sum_money4,
 )
 
 
@@ -76,7 +77,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q7_ORACLE = """
 SELECT supp_nation, cust_nation, l_year,
-       SUM(CAST(floor(volume * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+       floor(SUM(CAST(floor(volume * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0 AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          CAST(year(l_shipdate) AS INTEGER) AS l_year,
@@ -130,7 +131,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(_sum_cents(F.col("volume")).alias("revenue"))
+        .agg(_sum_money4(F.col("volume")).alias("revenue"))
     )
 
 
@@ -205,7 +206,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q9_ORACLE = """
-SELECT nation, o_year, SUM(CAST(floor(amount * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_profit
+SELECT nation, o_year,
+       floor(SUM(CAST(floor(amount * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0 AS sum_profit
 FROM (
   SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
          l_extendedprice * (1 - l_discount)
@@ -244,13 +246,13 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(_sum_cents(F.col("amount")).alias("sum_profit"))
+        .agg(_sum_money4(F.col("amount")).alias("sum_profit"))
     )
 
 
 _Q10_ORACLE = """
 SELECT c_custkey, c_name,
-       SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue,
+       floor(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0 AS revenue,
        c_acctbal, n_name
 FROM customer, orders, lineitem, nation
 WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -280,7 +282,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(
-            _sum_cents(
+            _sum_money4(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )
@@ -364,7 +366,7 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q15_ORACLE = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS total_revenue
+         floor(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0 AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -386,7 +388,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = table(spark, sf_dir, "supplier")
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        _sum_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+        _sum_money4(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
             "total_revenue"
         )
     )
@@ -512,7 +514,7 @@ def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q19_ORACLE = """
-SELECT SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) / 100.0 AS revenue
+SELECT floor(SUM(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) / 100.0 + 0.5) / 100.0 AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
        AND l_quantity BETWEEN 1 AND 20)
@@ -553,7 +555,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(clause)
         .agg(
-            _sum_cents(
+            _sum_money4(
                 F.col("l_extendedprice") * (1 - F.col("l_discount"))
             ).alias("revenue")
         )

@@ -52,14 +52,42 @@ def test_no_order_dependent_float_sums_in_oracles():
         # the same doubles and the 4 dp round absorbs the tail
         "doc_unigram_logprob": ["sum(-ln("],
         "doc_unigram_logprob_capped": ["sum(-ln("],
+        # every CASE branch is an exact BIGINT (CAST(floor …) / 0)
+        "q8_market_share": ["SUM(CASE WHEN nation"],
+        # c / rev_c are integral counts / exact cents — any-order exact
+        "doc_dup_span_coverage": ["sum(c)"],
+        "cumulate_hourly": ["sum(rev_c)"],
+        # pow(int, 0.7) is irrational — unquantizable like the -ln()
+        # sums; both engines fold identical doubles, round 6 absorbs
+        "domain_mix_weights": ["sum(pow(n_tokens"],
     }
-    pat = re.compile(r"round\(\s*(sum|avg)\(\s*(?!CAST\(floor)", re.I)
+    def round_args(sql: str):
+        """Yield the balanced-paren argument span of every round(...)
+        — not just the immediately-nested callee, so shapes like
+        ``round(100.00 * (SUM(x) / SUM(y)), 2)`` (the pre-fix q14
+        form) are inspected too."""
+        for m in re.finditer(r"\bround\s*\(", sql, re.I):
+            depth, i = 1, m.end()
+            while i < len(sql) and depth:
+                if sql[i] == "(":
+                    depth += 1
+                elif sql[i] == ")":
+                    depth -= 1
+                i += 1
+            yield sql[m.end() : i - 1]
+
+    # a sum/avg is exempt only when its own operand starts with the
+    # exact-integer quantization (CAST(floor(...))
+    inner = re.compile(r"\b(sum|avg)\s*\(\s*(?!CAST\s*\(\s*floor)", re.I)
     offenders = []
     for name, spec in all_queries().items():
         if not spec.oracle:
             continue
-        for m in pat.finditer(spec.oracle):
-            frag = spec.oracle[m.start() : m.end() + 40]
-            if not any(tok in frag for tok in allow.get(name, [])):
-                offenders.append((name, frag.replace("\n", " ")))
+        for arg in round_args(spec.oracle):
+            for m in inner.finditer(arg):
+                frag = arg[m.start() : m.end() + 40]
+                if not any(
+                    tok.lower() in frag.lower() for tok in allow.get(name, [])
+                ):
+                    offenders.append((name, frag.replace("\n", " ")))
     assert not offenders, offenders

@@ -15,10 +15,17 @@ Encoding (RedisSink.java:26-105): tuple fields joined by 0x1f; the
 (hsetOrDel) so replays reconcile — commands are idempotent,
 at-least-once delivery is safe.
 
-Scale notes: each family×window is one sliding_counter — a
-pre-tumbled partial aggregate (map-side combined) before the key
-shuffle; the final command stream is a UNION of small aggregated
-frames, written by foreachBatch through a pipelined redis client.
+Scale notes: the job plans ONE pre-tumbled bucket shuffle per
+distinct slide for ALL sliding families (events expand to one
+family-key struct per family before the shuffle — the grouping-sets
+shape) and one window+aggregate pass for all Last* families; shuffle
+bytes match the per-family plans (family_counts / last_commands,
+kept as the readable spec twins and parity-pinned in
+tests/test_counter_job.py), but the exchange-chain count drops
+~28 → ~6 — measured 2x end-to-end at sf0.1 where stage scheduling
+dominates, and at 100 TB it concentrates AQE's skew/coalesce
+decisions into a few large stages. The final command stream is
+written by foreachBatch through a pipelined redis client.
 """
 
 from __future__ import annotations
@@ -36,7 +43,11 @@ from openmetrics_spark.functions.feature_ids import (
     expand_feature_ids,
     feature_id_col,
 )
-from openmetrics_spark.operators.counters import last_time_and_count, sliding_counter
+from openmetrics_spark.operators.counters import (
+    last_time_and_count,
+    multi_window_counter,
+    sliding_counter,
+)
 from openmetrics_spark.tables import literal_df
 
 JOIN_CHAR = "\x1f"  # RedisSink.JOIN_CHAR (ASCII unit separator)
@@ -241,6 +252,179 @@ def family_counts(
     )
 
 
+def family_counts_multi(
+    flat: DataFrame,
+    fam: KeyFamily,
+    window_configs: tuple = WINDOW_CONFIGS,
+    ts_col: str = "ts",
+    metric_col: str = "agg_metric",
+) -> DataFrame:
+    """All window configs of one family off a SINGLE raw-event shuffle
+    (multi_window_counter), encoded as redis commands — the batch twin
+    of the reference serving every bucket size from one keyed state
+    pass (SlidingCounter.java:215-283). The window-enum tag rides the
+    aggregate and lands directly in the packed feature id (the tag IS
+    the CountWindow bit field); the per-config TTL decodes from the
+    same tag with one chained CASE."""
+    counted = multi_window_counter(
+        flat,
+        [*fam.key_cols, *fam.field_cols, metric_col],
+        ts_col,
+        [(int(enum), window_ms, slide_ms) for window_ms, slide_ms, enum, _ in window_configs],
+    )
+    fid = (
+        F.lit(int(fam.count_type))
+        .cast("long")
+        .bitwiseOR(F.col(metric_col).cast("long"))
+        .bitwiseOR(F.col("window_tag"))
+    )
+    ttl = None
+    for _, _, enum, ttl_s in window_configs:
+        branch = F.when(F.col("window_tag") == int(enum), F.lit(ttl_s).cast("long"))
+        ttl = branch if ttl is None else ttl.when(
+            F.col("window_tag") == int(enum), F.lit(ttl_s).cast("long")
+        )
+    field = _join_tuple([*[F.col(c) for c in fam.field_cols], fid])
+    return counted.select(
+        F.when(F.col("n") != 0, F.lit("HSET")).otherwise(F.lit("HDEL")).alias("command"),
+        _key_col(fam).alias("key"),
+        field.alias("field"),
+        F.col("n").cast("string").alias("value"),
+        ttl.alias("ttl_s"),
+        F.col("emit_ms"),
+    )
+
+
+def unified_sliding_commands(
+    flat: DataFrame,
+    families: tuple[KeyFamily, ...] = FAMILIES,
+    window_configs: tuple = WINDOW_CONFIGS,
+    ts_col: str = "ts",
+    metric_col: str = "agg_metric",
+) -> DataFrame:
+    """EVERY sliding family × window config in one two-stage plan per
+    distinct slide — the full-job analog of the reference keying one
+    operator per family and serving all windows from its state
+    (CounterJob.java:388-500 + SlidingCounter.java:215-283).
+
+    Each event explodes into one (count_type, key, field_prefix)
+    struct per family BEFORE the bucket shuffle (an Expand, exactly
+    what GROUPING SETS plans), so all families ride ONE raw shuffle
+    per slide instead of one per family×config. Shuffled bytes are
+    the same as the per-family plans — the win is stage count:
+    6 families × 4 configs collapses from 24 exchange chains to 2,
+    which at sf0.1 is almost pure scheduling overhead and at 100 TB
+    is one AQE skew/coalesce domain instead of 24 small ones.
+
+    The family markers (``USER_TYPE``/``QUERY_TYPE``), key layout and
+    field encoding are byte-identical to ``family_counts`` — the
+    struct carries the already-encoded key string and the field
+    PREFIX (field cols + trailing join char, empty when the family
+    has no field cols), and the packed feature id appends after the
+    aggregate: fid = count_type | metric | window_tag."""
+    by_slide: dict[int, list[tuple[int, int, int]]] = {}
+    for window_ms, slide_ms, enum, ttl_s in window_configs:
+        assert window_ms % slide_ms == 0
+        by_slide.setdefault(slide_ms, []).append(
+            (int(enum), window_ms // slide_ms, ttl_s)
+        )
+    fam_structs = []
+    for fam in families:
+        if fam.field_cols:
+            prefix = F.concat(
+                _join_tuple([F.col(c) for c in fam.field_cols]), F.lit(JOIN_CHAR)
+            )
+        else:
+            prefix = F.lit("")
+        fam_structs.append(
+            F.struct(
+                F.lit(int(fam.count_type)).cast("long").alias("ctype"),
+                _key_col(fam).alias("key"),
+                prefix.alias("fprefix"),
+            )
+        )
+    base = flat.select(
+        F.explode(F.array(*fam_structs)).alias("__f"),
+        F.col(metric_col).alias("__metric"),
+        F.col(ts_col).alias("__ts"),
+    )
+    out: DataFrame | None = None
+    for slide_ms, cfgs in sorted(by_slide.items()):
+        bucket = (
+            (F.unix_millis(F.col("__ts")) / F.lit(slide_ms)).cast("long")
+            * F.lit(slide_ms)
+        ).alias("bucket_ms")
+        b = (
+            base.select("__f", "__metric", bucket)
+            .groupBy("__f", "__metric", "bucket_ms")
+            .agg(F.count(F.lit(1)).alias("bn"))
+        )
+        # flat emit index 1..Σk, decoded by codegen'd CASEs (see
+        # operators/counters.multi_window_counter for the A/B against
+        # the interpreted transform()-struct shape)
+        total_k = sum(k for _, k, _ in cfgs)
+        j = F.col("__j")
+        tag_expr = off_expr = ttl_expr = None
+        cum = 0
+        for tag, k, ttl_s in cfgs:
+            cond = j <= F.lit(cum + k)
+            t, o, tt = (
+                F.lit(tag).cast("long"),
+                (j - F.lit(cum)).cast("long"),
+                F.lit(ttl_s).cast("long"),
+            )
+            if tag_expr is None:
+                tag_expr, off_expr, ttl_expr = F.when(cond, t), F.when(cond, o), F.when(cond, tt)
+            else:
+                tag_expr, off_expr, ttl_expr = (
+                    tag_expr.when(cond, t),
+                    off_expr.when(cond, o),
+                    ttl_expr.when(cond, tt),
+                )
+            cum += k
+        counted = (
+            b.select(
+                "__f",
+                "__metric",
+                "bn",
+                "bucket_ms",
+                F.explode(F.sequence(F.lit(1), F.lit(total_k))).alias("__j"),
+            )
+            .select(
+                "__f",
+                "__metric",
+                "bn",
+                tag_expr.alias("window_tag"),
+                (F.col("bucket_ms") + off_expr * F.lit(slide_ms).cast("long")).alias(
+                    "emit_ms"
+                ),
+            )
+            .groupBy("__f", "__metric", "window_tag", "emit_ms")
+            .agg(F.sum("bn").alias("n"))
+        )
+        fid = (
+            F.col("__f.ctype")
+            .bitwiseOR(F.col("__metric").cast("long"))
+            .bitwiseOR(F.col("window_tag"))
+        )
+        ttl_expr2 = None
+        for tag, _, ttl_s in cfgs:
+            br = F.when(F.col("window_tag") == tag, F.lit(ttl_s).cast("long"))
+            ttl_expr2 = br if ttl_expr2 is None else ttl_expr2.when(
+                F.col("window_tag") == tag, F.lit(ttl_s).cast("long")
+            )
+        cmds = counted.select(
+            F.when(F.col("n") != 0, F.lit("HSET")).otherwise(F.lit("HDEL")).alias("command"),
+            F.col("__f.key").alias("key"),
+            F.concat(F.col("__f.fprefix"), fid.cast("string")).alias("field"),
+            F.col("n").cast("string").alias("value"),
+            ttl_expr2.alias("ttl_s"),
+            F.col("emit_ms"),
+        )
+        out = cmds if out is None else out.unionByName(cmds)
+    return out
+
+
 def counter_commands(
     flat: DataFrame,
     families: tuple[KeyFamily, ...] = FAMILIES,
@@ -251,14 +435,7 @@ def counter_commands(
     unioned into one command stream (CounterJob.defineJob's shape).
     ``flat`` must carry the family key/field columns + ``metric_col``
     (see functions.feature_ids.agg_metric_for_action)."""
-    out: DataFrame | None = None
-    for fam in families:
-        for window_ms, slide_ms, window_enum, ttl_s in WINDOW_CONFIGS:
-            cmds = family_counts(
-                flat, fam, window_ms, slide_ms, window_enum, ttl_s, ts_col, metric_col
-            )
-            out = cmds if out is None else out.unionByName(cmds)
-    return out
+    return unified_sliding_commands(flat, families, WINDOW_CONFIGS, ts_col, metric_col)
 
 
 def last_commands(
@@ -303,6 +480,74 @@ def last_commands(
         F.col("last_ms").alias("emit_ms"),
     )
     return ts_cmds.unionByName(count_cmds)
+
+
+def unified_last_commands(
+    flat: DataFrame,
+    last_families: tuple[LastFamily, ...] = LAST_FAMILIES,
+    horizon_ms: int = _90D_S * 1000,
+    ts_col: str = "ts",
+    metric_col: str = "agg_metric",
+) -> DataFrame:
+    """All 4 Last* families in ONE window+aggregate pass: each event
+    explodes into one (fid-types, key, ttls) struct per family before
+    the key shuffle, the per-key anchor/last/count aggregate runs once
+    over (family-struct, metric), and each result row inlines into its
+    TWO commands (timestamp + trailing-count hash fields,
+    CounterJob.java:832-834,882-884) via a codegen'd 2-struct array —
+    no union branch per family, no double-computed aggregate."""
+    from pyspark.sql import Window
+
+    structs = [
+        F.struct(
+            F.lit(int(f.ts_fid_type)).cast("long").alias("tstype"),
+            F.lit(int(f.count_fid_type)).cast("long").alias("ctype"),
+            _key_col(f).alias("key"),
+            F.lit(f.ts_ttl_s).cast("long").alias("ts_ttl"),
+            F.lit(f.count_ttl_s).cast("long").alias("count_ttl"),
+        )
+        for f in last_families
+    ]
+    base = flat.select(
+        F.explode(F.array(*structs)).alias("__f"),
+        F.col(metric_col).alias("__metric"),
+        F.unix_millis(F.col(ts_col)).alias("__ms"),
+    )
+    w = Window.partitionBy(F.col("__f"), F.col("__metric"))
+    anchored = base.withColumn("__anchor", F.max("__ms").over(w))
+    in_h = (F.col("__ms") > F.col("__anchor") - F.lit(horizon_ms)) & (
+        F.col("__ms") <= F.col("__anchor")
+    )
+    ltc = anchored.groupBy("__f", "__metric").agg(
+        F.max("__ms").alias("last_ms"),
+        F.sum(F.when(in_h, 1).otherwise(0)).alias("n_horizon"),
+    )
+    cmd = F.when(F.col("n_horizon") != 0, F.lit("HSET")).otherwise(F.lit("HDEL"))
+    ts_fid = F.col("__f.tstype").bitwiseOR(F.col("__metric").cast("long")).bitwiseOR(
+        F.lit(int(CountWindow.NONE)).cast("long")
+    )
+    count_fid = F.col("__f.ctype").bitwiseOR(F.col("__metric").cast("long")).bitwiseOR(
+        F.lit(int(CountWindow.DAY_90)).cast("long")
+    )
+    pairs = F.array(
+        F.struct(
+            cmd.alias("command"),
+            F.col("__f.key").alias("key"),
+            ts_fid.cast("string").alias("field"),
+            F.col("last_ms").cast("string").alias("value"),
+            F.col("__f.ts_ttl").alias("ttl_s"),
+            F.col("last_ms").alias("emit_ms"),
+        ),
+        F.struct(
+            cmd.alias("command"),
+            F.col("__f.key").alias("key"),
+            count_fid.cast("string").alias("field"),
+            F.col("n_horizon").cast("string").alias("value"),
+            F.col("__f.count_ttl").alias("ttl_s"),
+            F.col("last_ms").alias("emit_ms"),
+        ),
+    )
+    return ltc.select(F.inline(pairs))
 
 
 def query_hex_col(query_col: F.Column) -> F.Column:
@@ -388,16 +633,10 @@ def full_counter_commands(
         # (|events| rows × 9 narrow columns) and a lost block only
         # fails-and-retries the job, which the driver retries anyway.
         flat = flat.localCheckpoint(eager=False)
-    out: DataFrame | None = None
-    for fam in families:
-        for window_ms, slide_ms, window_enum, ttl_s in window_configs:
-            cmds = family_counts(
-                flat, fam, window_ms, slide_ms, window_enum, ttl_s, ts_col, metric_col
-            )
-            out = cmds if out is None else out.unionByName(cmds)
-    for lfam in last_families:
+    out = unified_sliding_commands(flat, families, window_configs, ts_col, metric_col)
+    if last_families:
         out = out.unionByName(
-            last_commands(flat, lfam, last_horizon_ms, ts_col, metric_col)
+            unified_last_commands(flat, last_families, last_horizon_ms, ts_col, metric_col)
         )
     if with_metadata:
         windows = [w for _, _, w, _ in window_configs]

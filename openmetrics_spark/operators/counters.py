@@ -97,6 +97,98 @@ def sliding_counter(
     return expanded.groupBy(*key_cols, "emit_ms").agg(F.sum("bn").alias("n"))
 
 
+def multi_window_counter(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str,
+    configs: Sequence[tuple[int, int, int]],
+    value_col: str | None = None,
+) -> DataFrame:
+    """Trailing counts for SEVERAL window configs off one raw-event
+    shuffle PER DISTINCT SLIDE — the batch analog of the reference
+    emitting every bucket size from a single state pass
+    (SlidingCounter.java:215-283: one keyed state map serves all
+    windows of a counter).
+
+    ``configs``: (tag, window_ms, slide_ms) triples; ``tag`` (any
+    int — callers pass the CountWindow enum value) identifies the
+    config in the output. Output: key cols + ``window_tag`` +
+    ``emit_ms`` + ``n`` — exactly ``sliding_counter``'s rows per
+    config, tagged.
+
+    Plan shape: configs GROUP BY their slide. Each distinct slide
+    tumbles raw events once (map-side combined — the reference's 4
+    configs have two distinct slides, 15 m and 4 h, so two raw
+    shuffles replace four), then explodes its buckets across ALL of
+    the slide's configs in one pass — an array of (tag, emit)
+    structs, k_c entries per config — and re-aggregates once. The
+    DAY/7d/30d trio thus shares one 4 h bucket frame and one
+    expansion aggregate instead of three of each.
+
+    (An earlier variant derived coarse buckets from a gcd-fine bucket
+    frame to reach a single raw shuffle; the fine aggregate fed two
+    consumers, Spark planned it twice — ReuseExchange does not
+    canonicalize across the union branches — and the A/B at sf0.1
+    measured it strictly slower than bucketing each slide from raw.)"""
+    assert configs, "need at least one window config"
+    by_slide: dict[int, list[tuple[int, int]]] = {}
+    for tag, window_ms, slide_ms in configs:
+        assert window_ms % slide_ms == 0, "window must be a multiple of slide"
+        by_slide.setdefault(slide_ms, []).append((tag, window_ms))
+    agg = (F.count(F.lit(1)) if value_col is None else F.sum(value_col)).alias("bn")
+    outs: list[DataFrame] = []
+    for slide_ms, cfgs in sorted(by_slide.items()):
+        base_cols = [*key_cols, _bucket_ms(ts_col, slide_ms).alias("bucket_ms")]
+        if value_col is not None:
+            base_cols.append(F.col(value_col))
+        b = df.select(*base_cols).groupBy(*key_cols, "bucket_ms").agg(agg)
+        # ONE explode of a flat index 1..Σk_c, decoded to (tag, offset)
+        # by chained CASEs — everything stays in whole-stage codegen.
+        # (A transform()-built array of (tag, emit) structs was tried
+        # first: higher-order-function lambda bodies evaluate
+        # interpreted per element, and the A/B at sf0.1 measured the
+        # struct-array build 33% slower than the old per-config path;
+        # this shape beat it.)
+        ks = [(tag, window_ms // slide_ms) for tag, window_ms in cfgs]
+        total_k = sum(k for _, k in ks)
+        j = F.col("__j")
+        tag_expr: Column | None = None
+        off_expr: Column | None = None
+        cum = 0
+        for tag, k in ks:
+            cond = j <= F.lit(cum + k)
+            t = F.lit(tag).cast("long")
+            o = (j - F.lit(cum)).cast("long")
+            if tag_expr is None:
+                tag_expr, off_expr = F.when(cond, t), F.when(cond, o)
+            else:
+                tag_expr, off_expr = tag_expr.when(cond, t), off_expr.when(cond, o)
+            cum += k
+        exp = b.select(
+            *key_cols,
+            "bn",
+            "bucket_ms",
+            F.explode(F.sequence(F.lit(1), F.lit(total_k))).alias("__j"),
+        ).select(
+            *key_cols,
+            "bn",
+            tag_expr.alias("window_tag"),
+            (
+                F.col("bucket_ms")
+                + off_expr * F.lit(slide_ms).cast("long")
+            ).alias("emit_ms"),
+        )
+        outs.append(
+            exp.groupBy(*key_cols, "window_tag", "emit_ms").agg(
+                F.sum("bn").alias("n")
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
+
+
 def last_time_and_count(
     df: DataFrame,
     key_cols: Sequence[str],

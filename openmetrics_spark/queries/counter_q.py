@@ -24,9 +24,14 @@ Flat-frame derivation (identical in Spark and the oracle SQL):
   code path; the full set stays the library default and is covered by
   unit tests).
 
-Scale: one as-of shuffle for enrichment; per family x window one
-pre-tumbled sliding counter (map-side combined); Last* families one
-shuffle each; the union is written by foreachBatch — no collect.
+Scale: one as-of shuffle for enrichment; then ONE pre-tumbled
+bucket shuffle per distinct slide carrying every family (each event
+expands to 6 family-key structs before the shuffle — grouping-sets
+shape), one fused window expansion/aggregate per slide, and one
+window+aggregate pass serving all 4 Last* families; the union is
+written by foreachBatch — no collect. Same shuffled bytes as the
+per-family plans, ~6 exchange chains instead of ~28 (measured 2x
+end-to-end at sf0.1, where stage scheduling dominates).
 """
 
 from __future__ import annotations

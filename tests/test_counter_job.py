@@ -168,6 +168,39 @@ def test_key_encoding_goldens(spark, flat_events):
     assert "1\x1fc0" in keys
 
 
+def test_unified_builders_match_per_family_spec(spark, flat_events):
+    """The fused one-shuffle-per-slide plans (unified_sliding_commands /
+    unified_last_commands) must emit the EXACT row multiset of the
+    readable per-family builders (family_counts / last_commands) —
+    the per-family forms are the spec twins the fused plans are
+    allowed to optimize, never to change."""
+    from openmetrics_spark.jobs.counter import (
+        LAST_FAMILIES,
+        WINDOW_CONFIGS,
+        family_counts,
+        last_commands,
+        unified_last_commands,
+        unified_sliding_commands,
+    )
+
+    unified = unified_sliding_commands(flat_events, FAMILIES, WINDOW_CONFIGS)
+    spec = None
+    for fam in FAMILIES:
+        for w, s, e, t in WINDOW_CONFIGS:
+            c = family_counts(flat_events, fam, w, s, e, t)
+            spec = c if spec is None else spec.unionByName(c)
+    assert unified.exceptAll(spec).count() == 0
+    assert spec.exceptAll(unified).count() == 0
+
+    u_last = unified_last_commands(flat_events, LAST_FAMILIES)
+    s_last = None
+    for lfam in LAST_FAMILIES:
+        c = last_commands(flat_events, lfam)
+        s_last = c if s_last is None else s_last.unionByName(c)
+    assert u_last.exceptAll(s_last).count() == 0
+    assert s_last.exceptAll(u_last).count() == 0
+
+
 def test_metadata_commands(spark):
     md = metadata_commands(spark)
     rows = {(r.key, r.field): r.value for r in md.collect()}

@@ -353,3 +353,51 @@ def counter_commands_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         window_configs=DRIVER_WINDOWS,
         last_horizon_ms=_90D_MS,
     )
+
+
+# the reference's 7 d and 30 d daily-counter configs at full fidelity
+# (4 h emit slide, 14 d / 60 d TTLs — SlidingDailyCounter.java:10-58)
+WEEKLY_WINDOWS = (
+    (7 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_7, 14 * 86400),
+    (30 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_30, 60 * 86400),
+)
+
+
+def _weekly_oracle() -> str:
+    streams = [
+        _sliding_sql(FAMILIES[0], w, s, e, t) for w, s, e, t in WEEKLY_WINDOWS
+    ]
+    body = "\nUNION ALL\n".join(streams)
+    n_ua = len(_UA_FIXTURE)
+    os_cases = " ".join(
+        f"WHEN {i} THEN '{os}'" for i, (_, os, _) in enumerate(_UA_FIXTURE)
+    )
+    fam_cases = " ".join(
+        f"WHEN {i} THEN '{fam}'" for i, (_, _, fam) in enumerate(_UA_FIXTURE)
+    )
+    return f"""
+WITH flat AS (
+  SELECT user_id % 4 AS platform_id, epoch_ms(ts) AS ms,
+         CASE user_id % {n_ua} {os_cases} END AS os,
+         CASE user_id % {n_ua} {fam_cases} END AS user_agent_family,
+         CAST(CASE event_type WHEN 'view' THEN 32 WHEN 'click' THEN 64 ELSE 96 END AS BIGINT) AS agg_metric
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+)
+{body}
+"""
+
+
+@register("counter_commands_weekly", oracle=_weekly_oracle(), tags=("counter",))
+def counter_commands_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 7 d / 30 d daily-counter configs end-to-end — CountWindow
+    DAY_7/DAY_30 feature-id packing, the 42- and 180-fold emit
+    expansion, and the 14 d / 60 d TTLs (SlidingDailyCounter.java:
+    10-58, FeatureId.java:36-58). Scoped to the platform-device
+    family so the k=180 expansion keeps oracle rows bounded (~40k at
+    sf0.01): the key space is 4 platforms × 6 (os, ua-family) pairs ×
+    3 metrics; wider families only multiply rows, the window/packing
+    code path is identical."""
+    flat, _ = _flat_and_luu(spark, sf_dir)
+    from openmetrics_spark.jobs.counter import unified_sliding_commands
+
+    return unified_sliding_commands(flat, (FAMILIES[0],), WEEKLY_WINDOWS)

@@ -686,7 +686,12 @@ def inferred_view_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Views play impressions, purchases play actions, props.k plays content_id.
 # ---------------------------------------------------------------------------
 
-_LATEST_IMP_ORACLE = """
+def _latest_imp_oracle(lookback_ms: int = 604800000) -> str:
+    """AddLatestImpressions reconstruction, parameterized on the
+    impression-candidate lookback so the streaming twin (which runs
+    with a span-covering lookback to keep stream == batch exact — see
+    streaming_q.streaming_latest_impressions) shares the oracle."""
+    return f"""
 WITH imp AS (
   SELECT user_id, event_id AS impression_id, epoch_ms(ts) AS imp_ms,
          CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
@@ -702,7 +707,7 @@ WITH imp AS (
          row_number() OVER (PARTITION BY a.action_id
            ORDER BY i.imp_ms DESC, i.impression_id DESC) AS r1
   FROM act a JOIN imp i ON a.user_id = i.user_id
-   AND i.imp_ms < a.act_ms AND i.imp_ms >= a.act_ms - 604800000
+   AND i.imp_ms < a.act_ms AND i.imp_ms >= a.act_ms - {lookback_ms}
 ), kept AS (
   SELECT c.action_id, c.impression_id, c.k, c.act_ms, c.imp_ms,
          row_number() OVER (PARTITION BY c.action_id
@@ -714,6 +719,9 @@ SELECT action_id, CAST(rank AS BIGINT) AS rank, impression_id,
        k AS content, act_ms - imp_ms AS gap_ms
 FROM kept WHERE rank <= 25
 """
+
+
+_LATEST_IMP_ORACLE = _latest_imp_oracle()
 
 
 @register("latest_impressions_negatives", oracle=_LATEST_IMP_ORACLE, tags=("join", "enrich"))

@@ -972,3 +972,87 @@ def streaming_user_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ignore_usage").cast("string").alias("ignore_usage"),
         "properties_json",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_latest_impressions — AddLatestImpressions' keyed list state
+# ---------------------------------------------------------------------------
+
+# span-covering lookback shared by the stream op and the oracle: with
+# no candidate-window truncation and no first-action TTL eviction in
+# play, the streaming state machine's answer is EXACTLY the global
+# batch reconstruction, so the driver hash gate applies bit-for-bit.
+# (The production 7 d lookback stays the default of both the operator
+# and the batch query latest_impressions_negatives; its TTL-eviction
+# divergence from a global oracle is documented on the operator.)
+_LATEST_IMP_LOOKBACK_MS = 10_000_000_000_000
+
+
+def _streaming_latest_imp_oracle() -> str:
+    from openmetrics_spark.queries.events_q import _latest_imp_oracle
+
+    return _latest_imp_oracle(_LATEST_IMP_LOOKBACK_MS)
+
+
+@register(
+    "streaming_latest_impressions",
+    oracle=_streaming_latest_imp_oracle(),
+    tags=("streaming", "enrich"),
+)
+def streaming_latest_impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AddLatestImpressions as a REAL multi-batch checkpointed stream
+    (reference: common/functions/AddLatestImpressions.java:33-386 —
+    per user keep the latest ≤30 impressions; on each action emit ≤25
+    after excluding already-actioned contents). Views play
+    impressions, purchases play actions, props.k plays content. Both
+    sides replay through one staged ordered source; each action
+    resolves once the watermark passes it, against exactly the state
+    the reference's keyed list state would hold. The far-future
+    sentinel rides the impression side (a -1 user no action touches)
+    to flush every pending action."""
+    from openmetrics_spark.streaming.stateful import (
+        stream_add_latest_impressions,
+    )
+
+    work = _workdir("latestimp")
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    rows = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        F.when(F.col("event_type") == "view", F.lit("i"))
+        .otherwise(F.lit("a"))
+        .alias("side"),
+        "user_id",
+        F.col("event_id").alias("rid"),
+        F.unix_millis("ts").alias("ms"),
+        k.alias("content"),
+        "ts",
+    )
+    staged = os.path.join(work, "events")
+    _restage(spark, rows, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+    s = _stream(spark, staged)
+    # side != 'a' keeps the sentinel ("zz") on the impression branch
+    imp = s.filter(F.col("side") != "a").select(
+        "user_id",
+        F.col("rid").alias("impression_id"),
+        F.col("ms").alias("imp_ms"),
+        F.col("content").alias("content_id"),
+        "ts",
+    )
+    act = s.filter(F.col("side") == "a").select(
+        "user_id",
+        F.col("rid").alias("action_id"),
+        F.col("ms").alias("act_ms"),
+        F.col("content").alias("content_id"),
+        "ts",
+    )
+    out_sdf = stream_add_latest_impressions(
+        imp, act, user_col="user_id", lookback_ms=_LATEST_IMP_LOOKBACK_MS
+    )
+    out = os.path.join(work, "negatives")
+    with _stream_shuffle_partitions(spark):
+        _drain(out_sdf, out, os.path.join(work, "_chk", "negatives"))
+    return (
+        spark.read.parquet(out)
+        .filter(F.col("u") >= 0)
+        .select("action_id", "rank", "impression_id", "content", "gap_ms")
+    )

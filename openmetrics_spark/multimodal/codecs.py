@@ -30,14 +30,23 @@ def encode_image(pixels: np.ndarray) -> bytes:
 
 
 def decode_image(data: bytes) -> np.ndarray:
-    if data[:4] != MAGIC_IMAGE:
+    if data[:4] == MAGIC_IMAGE:
+        w, h, c = struct.unpack("<HHB", data[4:9])
+        arr = np.frombuffer(data[9:], dtype=np.uint8)
+        return arr.reshape((h, w, c)) if c > 1 else arr.reshape((h, w))
+    # real-format seam: PIL decodes JPEG/PNG/… wherever it is
+    # installed (tests/test_multimodal.py exercises it behind
+    # importorskip); this container does not bundle it
+    try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError as e:
         raise NotImplementedError(
-            "real image codecs (JPEG/PNG via PIL or opencv) are not "
-            "bundled; only the RAWI toy format decodes here"
-        )
-    w, h, c = struct.unpack("<HHB", data[4:9])
-    arr = np.frombuffer(data[9:], dtype=np.uint8)
-    return arr.reshape((h, w, c)) if c > 1 else arr.reshape((h, w))
+            "real image codecs (JPEG/PNG) need PIL, which is not "
+            "bundled; only the RAWI toy format decodes without it"
+        ) from e
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(data)))
 
 
 def encode_audio(samples: np.ndarray, sample_rate: int) -> bytes:

@@ -123,6 +123,93 @@ def stream_last_time_and_count(
     )
 
 
+def stream_last_time_and_count_tws(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    bucket_ms: int,
+    horizon_ms: int,
+    delay_ms: int = 1000,
+) -> DataFrame:
+    """``stream_last_time_and_count`` on the Spark-4-native
+    ``transformWithStateInPandas`` surface (value-state handle instead
+    of the legacy GroupState) — the migration target the module
+    docstring names. Semantics are identical by construction: same
+    state tuple (last_ms, buckets_json), same eviction and emission;
+    tests/test_streaming.py asserts output parity with the GroupState
+    path wherever the TWS protocol's ``protobuf`` dependency exists.
+
+    Raises ImportError where protobuf is unavailable (``HAS_TWS``)."""
+    if not HAS_TWS:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package; "
+            "use stream_last_time_and_count (GroupState) instead"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = sdf.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("key", key_type),
+            StructField("last_ms", LongType()),
+            StructField("n_horizon", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_ms", LongType()),
+            StructField("buckets_json", StringType()),
+        ]
+    )
+
+    class _LtcProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ltc", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+            import pandas as pd
+
+            cur = self._state.get() if self._state.exists() else None
+            if cur is not None:
+                last_ms = cur[0]
+                buckets = {int(k): v for k, v in json.loads(cur[1]).items()}
+            else:
+                last_ms, buckets = None, {}
+            for pdf in rows:
+                ms = pdf["__ms"].to_numpy()
+                mx = int(ms.max())
+                last_ms = mx if last_ms is None else max(last_ms, mx)
+                ub, cnt = np.unique(
+                    ms // bucket_ms * bucket_ms, return_counts=True
+                )
+                for b, n in zip(ub.tolist(), cnt.tolist()):
+                    buckets[b] = buckets.get(b, 0) + n
+            floor = last_ms - horizon_ms
+            buckets = {b: n for b, n in buckets.items() if b > floor - bucket_ms}
+            total = sum(n for b, n in buckets.items() if b > floor)
+            self._state.update((last_ms, json.dumps(buckets)))
+            yield pd.DataFrame(
+                {"key": [key[0]], "last_ms": [last_ms], "n_horizon": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    prepared = sdf.withWatermark(ts_col, f"{delay_ms} milliseconds").select(
+        F.col(key_col).alias("key"), F.unix_millis(ts_col).alias("__ms")
+    )
+    return prepared.groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_LtcProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_inferred_join(
     left_sdf: DataFrame,
     right_sdf: DataFrame,

@@ -78,3 +78,37 @@ def test_metadata_only_prunes_binary(spark, tmp_path):
     assert "data:binary" not in schema_line
     # nested pruning: only metadata.width survives
     assert "metadata:struct<width:int>" in schema_line
+
+
+def test_pil_real_codec_seam():
+    """The real-format branch of decode_image: a PNG generated
+    in-process round-trips through PIL to the original array.
+    Skips (with reason) where PIL is not installed — this container
+    does not bundle it; the RAW formats above keep the operator layer
+    verified either way."""
+    pytest.importorskip("PIL", reason="real image codecs need PIL")
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 256, size=(13, 17, 3), dtype=np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="PNG")
+    got = codecs.decode_image(buf.getvalue())
+    assert got.shape == arr.shape
+    assert (got == arr).all()
+
+
+def test_real_codec_raises_without_pil():
+    """Where PIL is absent the seam must stay an explicit
+    NotImplementedError (never a silent wrong decode) for non-RAW
+    bytes."""
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed; the raising branch is unreachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError):
+        codecs.decode_image(b"\x89PNG\r\n\x1a\nnotreally")

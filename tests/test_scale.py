@@ -139,3 +139,111 @@ def test_optimize_layout_makes_file_stats_disjoint(spark, sf_dir, tmp_path):
 
     # and the layout changes nothing semantically
     assert spark.read.parquet(out).count() == ev.count()
+
+
+def test_aqe_skew_split_engages_on_hot_join(spark):
+    """The inferred join's production risk is keyBy skew (reference:
+    CombineDeliveryLog.java:25-27). Deterministic half of the proof:
+    with AQE's skew thresholds scaled to the fixture, a sort-merge
+    join whose left side has one key owning ~30% of rows must come
+    out of adaptive planning with the skew=true split engaged."""
+    import pyspark
+
+    # one key owns 80% of rows; thresholds scale the default 256MB/5x
+    # skew test down to the fixture's KB-sized partitions (the RATIO
+    # logic under test is size-invariant)
+    n = 400_000
+    left = spark.range(n).select(
+        F.when(F.col("id") % 10 < 8, F.lit(7)).otherwise(F.col("id") % 5000).alias("k"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    right = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "8KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # aggregate AFTER the join so the collect is tiny, and drive
+        # the SAME DataFrame's queryExecution (count() would plan a
+        # separate execution and leave this one un-finalized)
+        joined = left.join(right, "k").groupBy().count()
+        assert joined.collect()[0][0] == n
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_inferred_join_hot_key_runtime_within_bound(spark):
+    """Adversarial-fixture half: one user owning ~30% of all events
+    must not blow the inferred join up. The scope shuffle is a
+    union+window plan (no row explosion — state scales with the
+    partition, not the square of it), so the hot run must stay within
+    2x of the uniform run plus a fixed-overhead floor. Measured pairs
+    are recorded in docs/SCALE.md."""
+    import time
+
+    from openmetrics_spark.operators.joins import Scope, inferred_join
+
+    def fixture(hot: bool):
+        n_v, n_c, n_users = 60_000, 15_000, 1500
+        base = 1_700_000_000_000
+        uid = F.col("id") % n_users
+        if hot:
+            uid = F.when(F.col("id") % 10 < 3, F.lit(7)).otherwise(uid)
+        views = spark.range(n_v).select(
+            uid.alias("user_id"),
+            (F.col("id") % 40).cast("string").alias("kk"),
+            F.timestamp_millis(F.lit(base) + F.col("id") * 500).alias("ts"),
+            F.col("id").alias("view_id"),
+            (F.lit(base) + F.col("id") * 500).alias("view_ms"),
+        )
+        clicks = spark.range(n_c).select(
+            (F.col("id") + 1_000_000).alias("click_id"),
+            uid.alias("user_id"),
+            (F.col("id") % 40).cast("string").alias("kk"),
+            F.timestamp_millis(
+                F.lit(base) + F.col("id") * 2000 + 250
+            ).alias("ts"),
+        )
+        return views, clicks
+
+    def run(hot: bool) -> tuple[float, int]:
+        views, clicks = fixture(hot)
+        t0 = time.time()
+        out = inferred_join(
+            views,
+            clicks,
+            scopes=[Scope(("user_id", "kk")), Scope(("user_id",))],
+            fk=None,
+            left_ts="ts",
+            right_ts="ts",
+            window_before_ms=600_000,
+            window_after_ms=0,
+            left_payload=["view_id", "view_ms"],
+            right_id="click_id",
+            right_outer=True,
+        )
+        cnt = out.count()
+        return time.time() - t0, cnt
+
+    run(False)  # warm codegen/exchange machinery
+    t_uniform, n_uniform = run(False)
+    t_hot, n_hot = run(True)
+    assert n_uniform == 15_000 and n_hot == 15_000  # right_outer keeps all
+    # 2x + 2s floor: at test scale fixed overhead dominates both runs;
+    # the assert exists to catch a quadratic/explosive hot-key path,
+    # which would blow past this bound by orders of magnitude
+    assert t_hot <= 2 * t_uniform + 2.0, (t_hot, t_uniform)

@@ -201,6 +201,37 @@ def test_stream_last_time_and_count(spark, events_dir):
     assert _rows(final, cols) == _rows(want, cols)
 
 
+def test_stream_last_time_and_count_tws_parity(spark, events_dir):
+    """The transformWithStateInPandas twin (the Spark-4-native state
+    surface) must emit exactly what the GroupState path emits. The TWS
+    state protocol needs the protobuf package at runtime; where it is
+    absent (this container does not bundle it) the test records a
+    skip — the GroupState path above remains the verified operator."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from openmetrics_spark.streaming.stateful import (
+        stream_last_time_and_count,
+        stream_last_time_and_count_tws,
+    )
+
+    b = _batch(spark, events_dir)
+    cols = ["key", "last_ms", "n_horizon"]
+    outs = []
+    for op in (stream_last_time_and_count, stream_last_time_and_count_tws):
+        s = _stream(spark, events_dir, b)
+        got = run_to_memory(
+            op(s, "user_id", "ts", bucket_ms=MIN15, horizon_ms=HOUR),
+            output_mode="update",
+        )
+        final = got.groupBy("key").agg(
+            F.max_by(F.struct("last_ms", "n_horizon"), "last_ms").alias("s")
+        ).select("key", "s.last_ms", "s.n_horizon")
+        outs.append(_rows(final, cols))
+    assert outs[0] == outs[1]
+
+
 def test_stream_inferred_join_parity(spark, events_dir, tmp_path):
     """The BaseInferred state machine twin: scope-fallback (user, k) →
     (user) nearest-prior-view attribution of clicks, drained across

@@ -20,6 +20,14 @@ it); r05 widens the headline set from 11 to 15 queries (adds
 counter_commands_full, corpus_prep_manifest_v2, doc_dup_span_coverage,
 streaming_cumulate_hourly — the engine's heaviest work), so r05's
 total is NOT comparable to r04's total; per-query times are.
+
+r5→r6 note: inferred_view_attribution's r5 reading (1.429 s, +8% vs
+r4's 1.327 s) was re-measured ×5 warm in r6: [1.479, 1.142, 0.907,
+0.837, 0.839] — single-shot numbers for this query carry ±40% noise
+around a ~0.85 s steady state; the r5 delta was noise, no plan
+change was made. r6 also REWROTE the counter job's fan-out (one
+bucket shuffle per slide for all families + one Last* pass), so
+counter_commands_full r6 vs r5 is a real plan change (~2x).
 """
 
 from __future__ import annotations

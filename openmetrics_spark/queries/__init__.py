@@ -79,82 +79,73 @@ def register(
 DRIVER_WINDOW = 50
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
-    # fixed / modified this round — must re-verify at the driver
-    "doc_repetition_stats",       # r4's only red row: oracle CAST fixed
-    "counter_commands_full",      # UA-family extraction now in the path
-    "bfj_join_side_outputs",      # new: inferred-join mismatch/dup side channels
-    "doc_unigram_logprob_capped", # new: broadcast capped-vocab variant
-    "validation_error_split",     # new: Validate* error side output
-    "doc_pii_scrub",              # new: document PII redaction
-    "doc_bm25_topk",              # new: BM25 keyword retrieval
-    "embedding_kmeans_cells",     # new: distributed Lloyd k-means
-    "hourly_dense_series",        # new: gap-fill + forward-fill
-    "streaming_top_event_types",  # new: TopNEmitter update stream
-    "streaming_user_asof_join",   # new: TemporalJoin streaming twin
-    # never driver-verified: corpus-mix module
-    "doc_decontaminate",
-    "corpus_pack_chunks",
-    "domain_mix_weights",
-    "corpus_sample_stratified",
-    "quality_filter_funnel",
-    "doc_dup_span_coverage",
-    "corpus_bpe_first_merges",
-    "doc_unigram_logprob",
-    "doc_quality_classifier",
-    "corpus_prep_manifest_v2",
-    # never driver-verified: streaming pipelines
-    "streaming_inferred_attribution",
-    "streaming_session_rollup",
-    "streaming_interval_join",
-    # never driver-verified: sinks / joins / envelopes
-    "upsert_mor_snapshot",   # new: merge-on-read twin of the COW sink
-    "upsert_two_batches",
-    "user_versioned_join",
-    "cumulated_metrics_envelope",
-    "streaming_content_lookup",      # new: cached-client lookup variant
-    "minhash_incremental_neardup",   # new: batch-vs-corpus dedup
-    # never driver-verified: multimodal (av gained an oracle in r4)
-    "multimodal_image_stats",
-    "multimodal_resize_stats",
-    "multimodal_av_features",
-    # never driver-verified: TPC-H remainder
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q18_large_volume_customer",
+    # --- the last 9 never-driver-verified queries (r5 verdict #1):
+    # a green row here makes every registered query driver-verified
+    # at least once
+    "bfj_merge_details_drops",
+    "ann_ivf_kmeans_topk",
+    "embedding_outliers",
+    "user_set_ops",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q20_excess_suppliers",
+    "q22_dormant_customers",
+    "upsert_incremental_pull",
+    # --- new this round
+    "counter_commands_weekly",       # DAY_7/DAY_30 packing + TTLs (verdict #3)
+    "streaming_latest_impressions",  # AddLatestImpressions stream (verdict #4)
+    # --- code changed this round — must re-verify at the driver
+    "counter_commands_full",   # fan-out fused: 1 shuffle/slide + 1 Last* pass
+    "q7_volume_shipping",      # sum_money4: exact 1e-4 units, cents once
+    "q9_product_profit",       # (ADVICE r5: cent-quantized rows drifted
+    "q10_returned_items",      #  from round(sum,2); both engines moved
+    "q15_top_supplier",        #  to the shared integer-space round)
     "q19_disjunctive_revenue",
-    "q21_waiting_supplier",
-    # (q16/q17/q20/q22, ann_ivf_kmeans_topk, upsert_incremental_pull
-    # user_set_ops and embedding_outliers
-    # rotate into the r6 window — the list must stay at 50 and the
-    # slots go to queries whose CODE changed this round; the kmeans
-    # core and the reworked MOR internals each already have an
-    # in-window twin this round)
-    # green anchors — one per §2 family stays inside every window;
-    # ngram/clusters/ann re-verify the r5 shingle + connected-
-    # components refactors
-    "last_time_and_count",        # LastTimeAndCount
-    "streaming_cumulate_hourly",  # custom streaming state machine
-    # (asof_attribution rotated out: streaming_user_asof_join makes
-    # the temporal-join family claim with the strictly harder twin;
-    # bfj_view_insertions rotated out: the inferred-join family rides
-    # on bfj_join_side_outputs this round — if that row comes back
-    # red, restore bfj_view_insertions as the family's green anchor)
-    # (cumulate_hourly rotated out: the streaming twin covers the
-    # CUMULATE family with the strictly harder claim)
-    "ngram_jaccard_neardup",      # LLM near-dup (r5 posting refactor)
-    "doc_dedup_clusters",         # connected components (r5 edge cut)
-    "minhash_lsh_neardup",        # shingles() signature path (r5)
-    # (bfj_joined_actions / doc_exact_dedup / hourly_event_metrics /
-    # q1_pricing_summary rotated out this round: their families stay
-    # covered by bfj_join_side_outputs, the near-dup trio, the two
-    # cumulate rows, and the 12 in-window TPC-H queries.)
+    "minhash_lsh_neardup",         # short-doc sentinel-band gate added
+    "minhash_incremental_neardup", # (ADVICE r5 quadratic-candidate fix)
+    "user_versioned_join",         # user_join fallback tiebreak totalized
+    "streaming_user_asof_join",    # rides the same user_join path
+    "latest_impressions_negatives",  # oracle refactored into _latest_imp_oracle()
+    # --- green anchors: one per SURVEY §2 / LLM-pipeline family so no
+    # family goes unwatched while the rotation lands (r4/r5 green
+    # history per docs/QUERIES.md)
+    "bfj_view_insertions",           # inferred join, view→insertion
+    "streaming_inferred_attribution",  # inferred join streaming twin
+    "hourly_event_metrics",          # unified event stream + metrics
+    "streaming_cumulate_hourly",     # custom CUMULATE state machine
+    "cumulated_metrics_envelope",    # Kinesis envelope
+    "upsert_mor_snapshot",           # Hudi-style MOR sink
+    "validation_error_split",        # Validate* error side output
+    "last_time_and_count",           # LastTimeAndCount batch
+    "keep_first_dedup",              # KeepFirstRow
+    "gated_query_counts",            # top-query gating + xxhash64
+    "hourly_dense_series",           # gap-fill + forward-fill
+    "streaming_top_event_types",     # TopNEmitter delta stream
+    "streaming_session_rollup",      # session windows
+    "streaming_content_lookup",      # cached-client lookup
+    "ngram_jaccard_neardup",         # inverted-index near-dup
+    "doc_exact_dedup",               # exact dedup
+    "doc_dedup_clusters",            # connected components
+    "doc_decontaminate",             # benchmark decontamination
+    "embedding_kmeans_cells",        # distributed Lloyd k-means
+    "doc_repetition_stats",          # text analysis
+    "doc_pii_scrub",                 # PII redaction
+    "doc_bm25_topk",                 # keyword retrieval
+    "corpus_prep_manifest_v2",       # full corpus chain, one query
+    "doc_dup_span_coverage",         # dup-span coverage
+    "multimodal_image_stats",        # multimodal: image decode
+    "multimodal_resize_stats",       # multimodal: resize
+    "multimodal_av_features",        # multimodal: audio/video
+    "asof_attribution",              # TemporalJoin core (bench headliner)
+    # (rotated out this round, all with green rows on record:
+    # doc_unigram_logprob/_capped, doc_quality_classifier,
+    # corpus_pack_chunks/domain_mix_weights/corpus_sample_stratified/
+    # quality_filter_funnel/corpus_bpe_first_merges — the corpus
+    # family rides corpus_prep_manifest_v2, which composes the whole
+    # chain; streaming_interval_join, upsert_two_batches,
+    # bfj_join_side_outputs and the green TPC-H rows q1-q21 — their
+    # families stay covered by the in-window anchors and the 9 TPC-H
+    # priority/modified rows.)
 )
 
 

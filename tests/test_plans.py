@@ -143,3 +143,16 @@ def test_kmeans_assignment_is_narrow(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, (name, plan)
         assert "Join" not in plan, (name, plan)
+
+
+def test_counter_fanout_exchange_budget(spark, sf_dir):
+    """The fused counter job must keep its exchange-chain budget: one
+    bucket shuffle per distinct slide for ALL sliding families, one
+    window pass for ALL Last* families, plus the as-of enrichment —
+    not the ~28 per-family chains the fused plan replaced. The count
+    is asserted loose (< 12) so legitimate AQE/plan drift doesn't
+    flap the test, while a regression to per-family planning (24+)
+    fails loudly."""
+    plan = _plan(spark, sf_dir, "counter_commands_full")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges < 12, f"{n_exchanges} exchanges\n{plan[:2000]}"

@@ -391,6 +391,7 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 25,
+    driver_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step
     that turns near-duplicate PAIRS into dedup CLUSTERS (each doc
@@ -408,6 +409,17 @@ def connected_components(
     plan doesn't grow with iterations.
 
     Returns (id, component) — component = min id in the component.
+
+    Small-graph fast path: near-dup edge lists are usually MUCH
+    smaller than the corpus (pairs ≈ true duplicates, not documents),
+    and the iterative loop pays 2 driver actions per round — ~3.5 s
+    of pure scheduling for a 127-edge graph on the manifest chain.
+    Below ``driver_max_edges`` symmetrized edges (2M (long,long) rows
+    ≈ 32 MB — the same bounded-driver-state budget as the k-means
+    centroids) a union-find on the driver computes the identical
+    min-label result in one collect; the distributed loop remains the
+    path for graphs that outgrow it. Parity between the two paths is
+    pinned in tests/test_corpus_mix.py.
     """
     # materialize the symmetrized edge list ONCE: every iteration's
     # neighbor join references `edges`, and without the checkpoint each
@@ -419,6 +431,35 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    if edges.count() <= driver_max_edges:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.toLocalIterator():
+            a, b = int(row[0]), int(row[1])
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        roots: dict[int, int] = {}
+        for node in parent:
+            r = find(node)
+            roots[r] = min(roots.get(r, node), node)
+        out = [(node, roots[find(node)]) for node in parent]
+        import pandas as pd
+
+        return pairs.sparkSession.createDataFrame(
+            pd.DataFrame(out, columns=["id", "component"]),
+            "id LONG, component LONG",
+        )
     lab = (
         edges.select(F.col("a").alias("id"))
         .distinct()

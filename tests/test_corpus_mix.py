@@ -104,3 +104,41 @@ def test_capped_logprob_broadcasts_vocab(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_connected_components_driver_and_distributed_parity(spark):
+    """The small-graph union-find fast path and the distributed
+    min-label/pointer-jump loop must label every node identically
+    (component = min reachable id) on a graph with chains, a cycle,
+    singleton-free isolated edges, and two disjoint cliques."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.llm.dedup import connected_components
+
+    edges = [
+        # chain 1-2-3-4 (min 1)
+        (2, 1), (2, 3), (3, 4),
+        # cycle 10-11-12-10 (min 10)
+        (10, 11), (11, 12), (12, 10),
+        # isolated edge (min 20)
+        (21, 20),
+        # clique 30-33 (min 30)
+        (30, 31), (30, 32), (30, 33), (31, 32), (31, 33), (32, 33),
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+
+    def rows(df):
+        return sorted((int(r.id), int(r.component)) for r in df.collect())
+
+    fast = rows(connected_components(pairs, "doc_a", "doc_b"))
+    dist = rows(
+        connected_components(pairs, "doc_a", "doc_b", driver_max_edges=0)
+    )
+    want = (
+        [(i, 1) for i in (1, 2, 3, 4)]
+        + [(i, 10) for i in (10, 11, 12)]
+        + [(i, 20) for i in (20, 21)]
+        + [(i, 30) for i in (30, 31, 32, 33)]
+    )
+    assert fast == sorted(want)
+    assert dist == fast

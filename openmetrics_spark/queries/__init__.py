@@ -132,7 +132,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_pii_scrub",                 # PII redaction
     "doc_bm25_topk",                 # keyword retrieval
     "corpus_prep_manifest_v2",       # full corpus chain, one query
-    "doc_dup_span_coverage",         # dup-span coverage
+    "corpus_bpe_encode",             # NEW r6: BPE merge application
+    # (doc_dup_span_coverage ceded its anchor slot to the new BPE
+    # encoder: it stays a bench headliner with an r5 green row, and
+    # the dup-span family is adjacent to the in-window manifest)
     "multimodal_image_stats",        # multimodal: image decode
     "multimodal_resize_stats",       # multimodal: resize
     "multimodal_av_features",        # multimodal: audio/video

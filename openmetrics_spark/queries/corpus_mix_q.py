@@ -564,6 +564,133 @@ def corpus_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# corpus_bpe_encode — APPLY the learned merges: greedy leftmost
+# encoding of every document under the top-K merge table, the
+# tokenizer-application half of the BPE pair (corpus_bpe_first_merges
+# is the learning half).
+# ---------------------------------------------------------------------------
+
+_BPE_K = 16
+
+# each token is wrapped chr(31)token chr(30) so a merge pattern can
+# only match WHOLE adjacent tokens (never a token suffix), and
+# adjacent matches share no boundary characters — left-to-right
+# non-overlapping replace() (identical in Spark and DuckDB) is then
+# exactly BPE's greedy leftmost application of one merge.
+_BPE_ENCODE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), c AS (
+  SELECT pair, count(*) AS freq FROM (
+    SELECT unnest(list_transform(range(len(tok) - 1),
+                                 i -> tok[i+1] || ' ' || tok[i+2])) AS pair
+    FROM t WHERE len(tok) >= 2
+  ) GROUP BY pair
+), topk AS (
+  SELECT pair, rank FROM (
+    SELECT pair, row_number() OVER (ORDER BY freq DESC, pair) AS rank FROM c
+  ) WHERE rank <= {{k}}
+), ms AS (
+  SELECT list({{{{'pat': chr(31) || split_part(pair, ' ', 1) || chr(30)
+                        || chr(31) || split_part(pair, ' ', 2) || chr(30),
+               'rep': chr(31) || pair || chr(30)}}}} ORDER BY rank) AS ml
+  FROM topk
+), enc AS (
+  SELECT doc_id, len(tok) AS n_raw,
+    list_reduce(
+      list_prepend(
+        {{{{'pat': CASE WHEN len(tok) > 0
+                      THEN chr(31) || array_to_string(tok, chr(30) || chr(31)) || chr(30)
+                      ELSE '' END,
+          'rep': ''}}}},
+        ml),
+      (acc, m) -> {{{{'pat': replace(acc.pat, m.pat, m.rep), 'rep': ''}}}}
+    ).pat AS s
+  FROM t, ms
+)
+SELECT doc_id, CAST(n_raw AS BIGINT) AS n_raw,
+       CAST(len(s) - len(replace(s, chr(31), '')) AS BIGINT) AS n_encoded
+FROM enc
+""".format(k=_BPE_K)
+
+
+@register("corpus_bpe_encode", oracle=_BPE_ENCODE_ORACLE, tags=("llm", "text"))
+def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document under the corpus's own top-16 BPE merge
+    table (the application half of Sennrich et al. 2016; the learning
+    half is corpus_bpe_first_merges): per doc, the raw token count and
+    the count after greedily merging the learned pairs in rank order.
+
+    Spark-first shape: the merge table folds over each document as a
+    SINGLE column expression — F.aggregate over a broadcast K-element
+    merge array with a literal replace() per step — so encoding is one
+    narrow projection, no Python, no per-merge pass over the corpus;
+    the merge table itself is one map-side-combined pair count + a
+    TakeOrderedAndProject. The token-wrapping scheme (chr(31)/chr(30)
+    delimiters) makes whole-token adjacency a plain substring match,
+    and left-to-right non-overlapping replace() is exactly greedy
+    leftmost BPE — bit-identical in both engines."""
+    from pyspark.sql import Window
+
+    from openmetrics_spark.llm.text import ngrams
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    counts = (
+        t.filter(F.size("tok") >= 2)
+        .select(F.explode(ngrams(F.col("tok"), 2)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), F.col("pair"))
+    topk = (
+        counts.orderBy(F.col("freq").desc(), F.col("pair"))
+        .limit(_BPE_K)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    SEP_L, SEP_R = "\x1f", "\x1e"
+    x = F.split_part(F.col("pair"), F.lit(" "), F.lit(1))
+    y = F.split_part(F.col("pair"), F.lit(" "), F.lit(2))
+    ms = topk.select(
+        F.struct(
+            F.col("rank"),
+            F.concat(
+                F.lit(SEP_L), x, F.lit(SEP_R), F.lit(SEP_L), y, F.lit(SEP_R)
+            ).alias("pat"),
+            F.concat(F.lit(SEP_L), F.col("pair"), F.lit(SEP_R)).alias("rep"),
+        ).alias("m")
+    ).agg(F.array_sort(F.collect_list("m")).alias("ml"))
+    doc_s = F.when(
+        F.size("tok") > 0,
+        F.concat(
+            F.lit(SEP_L),
+            F.array_join(F.col("tok"), SEP_R + SEP_L),
+            F.lit(SEP_R),
+        ),
+    ).otherwise(F.lit(""))
+    enc = (
+        t.crossJoin(F.broadcast(ms))
+        .select(
+            "doc_id",
+            F.size("tok").cast("long").alias("n_raw"),
+            F.aggregate(
+                F.col("ml"),
+                doc_s,
+                lambda acc, m: F.replace(acc, m["pat"], m["rep"]),
+            ).alias("s"),
+        )
+    )
+    return enc.select(
+        "doc_id",
+        "n_raw",
+        (
+            F.length("s") - F.length(F.replace(F.col("s"), F.lit(SEP_L)))
+        ).cast("long").alias("n_encoded"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc_unigram_logprob — perplexity-proxy quality scoring (the CCNet
 # recipe, Wenzek et al. 2020: score documents under a language model
 # and filter the tail; here the LM is the corpus's own unigram model).

@@ -412,14 +412,17 @@ def connected_components(
 
     Small-graph fast path: near-dup edge lists are usually MUCH
     smaller than the corpus (pairs ≈ true duplicates, not documents),
-    and the iterative loop pays 2 driver actions per round — ~3.5 s
-    of pure scheduling for a 127-edge graph on the manifest chain.
-    Below ``driver_max_edges`` symmetrized edges (2M (long,long) rows
-    ≈ 32 MB — the same bounded-driver-state budget as the k-means
-    centroids) a union-find on the driver computes the identical
-    min-label result in one collect; the distributed loop remains the
-    path for graphs that outgrow it. Parity between the two paths is
-    pinned in tests/test_corpus_mix.py.
+    and the iterative loop pays 2 driver actions per round of pure
+    scheduling. Below ``driver_max_edges`` symmetrized edges (2M
+    (long,long) rows ≈ 32 MB — the same bounded-driver-state budget
+    as the k-means centroids) a union-find on the driver computes the
+    identical min-label result in one collect. Honest accounting at
+    sf0.1 (cache-isolated A/B): the manifest graph converges in 1-2
+    rounds, so the saving there is only ~0.3-0.5 s — the edge-list
+    materialization dominates either way; the path pays off on
+    graphs needing more rounds (longer chains), and the distributed
+    loop remains for graphs that outgrow the budget. Parity between
+    the two paths is pinned in tests/test_corpus_mix.py.
     """
     # materialize the symmetrized edge list ONCE: every iteration's
     # neighbor join references `edges`, and without the checkpoint each
@@ -442,7 +445,11 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.toLocalIterator():
+        # one collect, not toLocalIterator: the latter runs a fetch
+        # job per partition (32 round trips for a tiny frame); the
+        # frame is count-gated ≤ driver_max_edges so one collect is
+        # bounded by construction
+        for row in edges.collect():
             a, b = int(row[0]), int(row[1])
             parent.setdefault(a, a)
             parent.setdefault(b, b)

@@ -401,3 +401,87 @@ def counter_commands_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmetrics_spark.jobs.counter import unified_sliding_commands
 
     return unified_sliding_commands(flat, (FAMILIES[0],), WEEKLY_WINDOWS)
+
+
+# ---------------------------------------------------------------------------
+# counter_backfill_gate — the backfill output gate as a driver row
+# (it held only pytest coverage before): buffer-collapse of
+# pre-cutoff commands + the start/stop window filter.
+# ---------------------------------------------------------------------------
+
+# fixed mid-span cutoff (events span 2024-01-01..01-30) so both gate
+# branches are non-trivial: series keep emitting after the cutoff
+# (buffered values suppressed by the live write) AND the flush path
+# exercises re-stamping for any series that goes quiet
+_GATE_UNTIL_MS = 1_705_363_200_000  # 2024-01-16T00:00:00Z
+_GATE_BUFFER_MS = 4 * HOUR_MS
+
+
+def _backfill_gate_oracle() -> str:
+    hour_cfg = DRIVER_WINDOWS[0]
+    cmds = _sliding_sql(FAMILIES[0], *hour_cfg)
+    n_ua = len(_UA_FIXTURE)
+    os_cases = " ".join(
+        f"WHEN {i} THEN '{os}'" for i, (_, os, _) in enumerate(_UA_FIXTURE)
+    )
+    fam_cases = " ".join(
+        f"WHEN {i} THEN '{fam}'" for i, (_, _, fam) in enumerate(_UA_FIXTURE)
+    )
+    return f"""
+WITH flat AS (
+  SELECT user_id % 4 AS platform_id, epoch_ms(ts) AS ms,
+         CASE user_id % {n_ua} {os_cases} END AS os,
+         CASE user_id % {n_ua} {fam_cases} END AS user_agent_family,
+         CAST(CASE event_type WHEN 'view' THEN 32 WHEN 'click' THEN 64 ELSE 96 END AS BIGINT) AS agg_metric
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), cmds AS ({cmds}
+), pre AS (
+  SELECT * FROM cmds WHERE emit_ms < {_GATE_UNTIL_MS}
+), post AS (
+  SELECT * FROM cmds WHERE emit_ms >= {_GATE_UNTIL_MS}
+), latest AS (
+  -- emit_ms is unique per (key, field) series, so arg_max on emit_ms
+  -- equals the Spark side's max_by(struct(emit_ms, value))
+  SELECT key, field,
+         arg_max(command, emit_ms) AS command,
+         arg_max(value, emit_ms) AS value,
+         arg_max(ttl_s, emit_ms) AS ttl_s,
+         max(emit_ms) AS emit_ms
+  FROM pre GROUP BY key, field
+), flushed AS (
+  SELECT l.command, l.key, l.field, l.value, l.ttl_s,
+         (l.emit_ms // {_GATE_BUFFER_MS} + 1) * {_GATE_BUFFER_MS} AS emit_ms
+  FROM latest l
+  ANTI JOIN (SELECT DISTINCT key, field FROM post) p USING (key, field)
+)
+SELECT command, key, field, value, ttl_s, emit_ms FROM post
+UNION ALL
+SELECT command, key, field, value, ttl_s, emit_ms FROM flushed
+"""
+
+
+@register(
+    "counter_backfill_gate", oracle=_backfill_gate_oracle(), tags=("counter",)
+)
+def counter_backfill_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill spreading + output window over a real command stream
+    (CounterJob.java:501-583): commands emitted before the cutoff
+    collapse per (key, field) to the latest value, re-stamped to the
+    next 4 h boundary, and flush ONLY where no live command follows —
+    the batch closed form of the cached-command KeyedProcessFunction.
+    Scoped to the platform-device HOUR family; the gate logic is
+    family-independent."""
+    from openmetrics_spark.jobs.counter import (
+        backfill_gate,
+        unified_sliding_commands,
+    )
+
+    flat, _ = _flat_and_luu(spark, sf_dir)
+    cmds = unified_sliding_commands(flat, (FAMILIES[0],), (DRIVER_WINDOWS[0],))
+    return backfill_gate(
+        cmds,
+        output_start_ms=0,
+        output_stop_ms=-1,
+        buffer_ms=_GATE_BUFFER_MS,
+        buffer_until_ms=_GATE_UNTIL_MS,
+    )

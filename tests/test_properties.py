@@ -394,3 +394,65 @@ def test_dense_series_matches_python_model(spark, rows):
             else:
                 want[(key, h)] = (0, 1, last)
     assert got == want
+
+
+_mw_events = st.lists(
+    st.tuples(
+        st.integers(0, 3),          # key
+        st.integers(0, 4_000_000),  # ts offset ms
+        st.integers(1, 5),          # value
+    ),
+    min_size=0,
+    max_size=30,
+)
+
+_mw_configs = st.lists(
+    st.sampled_from(
+        [
+            # (tag, window_ms, slide_ms) — window multiple of slide;
+            # mixed slide groups exercise the per-slide bucketing
+            (1, 600_000, 300_000),
+            (2, 1_200_000, 300_000),
+            (3, 3_600_000, 900_000),
+            (4, 1_800_000, 900_000),
+            (5, 7_200_000, 1_800_000),
+        ]
+    ),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda c: c[0],
+)
+
+
+@given(evs=_mw_events, configs=_mw_configs, use_value=st.booleans())
+@SET
+def test_multi_window_counter_matches_sliding_counter(
+    spark, evs, configs, use_value
+):
+    """The fused multi-config operator must equal one sliding_counter
+    per config (tagged) on random events, random config subsets, and
+    both count and value-sum modes — the guard that keeps the
+    counter-job consolidation honest beyond the library defaults."""
+    from openmetrics_spark.operators.counters import (
+        multi_window_counter,
+        sliding_counter,
+    )
+
+    base = 1_700_000_000_000
+    rows = [(k, base + ts, v) for k, ts, v in evs]
+    df = spark.createDataFrame(
+        rows, "k LONG, ms LONG, v LONG"
+    ).withColumn("ts", F.timestamp_millis("ms")).drop("ms")
+    vcol = "v" if use_value else None
+
+    got = {
+        (r.k, r.window_tag, r.emit_ms, r.n)
+        for r in multi_window_counter(
+            df, ["k"], "ts", configs, value_col=vcol
+        ).collect()
+    }
+    want = set()
+    for tag, w, s in configs:
+        for r in sliding_counter(df, ["k"], "ts", w, s, value_col=vcol).collect():
+            want.add((r.k, tag, r.emit_ms, r.n))
+    assert got == want

@@ -90,7 +90,11 @@ def exploded_shingles(
 
 def minhash_signature(shingle_col: Column, k: int, seed: int = 7) -> Column:
     """Array of k min-hash values (null-safe: empty shingle set → all
-    MINHASH_EMPTY sentinels). Pure column expressions — codegen'd."""
+    MINHASH_EMPTY sentinels). Pure column expressions over a shingle
+    ARRAY — the readable spec twin of ``_minhash_base``'s exploded
+    aggregate, parity-pinned in tests/test_corpus_mix.py; the
+    pipelines run the aggregate form (the array transform's lambda
+    body evaluates interpreted per element, ~4x slower)."""
     # NB: salt must be captured via a closure factory, NOT a default
     # parameter — pyspark creates a lambda variable for EVERY declared
     # parameter, so `lambda x, i=i` would receive the array index as i.
@@ -212,6 +216,43 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_base(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    num_hashes: int,
+    seed: int,
+    doc_out: str = "doc",
+    sh_out: str = "sh",
+) -> DataFrame:
+    """(doc, shingle-set, minhash signature) computed on the EXPLODED
+    posting list: each salted hash is a codegen'd projection over
+    (doc, shingle-hash) rows and the per-salt minimum is a map-side-
+    combined aggregate — value-identical to ``minhash_signature``
+    (same salted-hash formula over the same shingle hashes; min over
+    a group == min over the array) but off the interpreted
+    higher-order-function path, measured ~4x faster at sf0.1. Docs
+    with no shingles (< n tokens) produce no posting rows and so are
+    absent — exactly the short-doc gate both callers need (their
+    all-sentinel signatures would otherwise pair every short doc with
+    every other)."""
+    posting = exploded_shingles(spread_for_compute(docs), id_col, text_col, n)
+    mins = [
+        F.min(
+            _hash_expr(
+                F.concat_ws("_", F.lit(f"{seed}_{i}"), F.col("s").cast("string"))
+            )
+        ).alias(f"__m{i}")
+        for i in range(num_hashes)
+    ]
+    aggd = posting.groupBy("doc").agg(
+        F.collect_set("s").alias(sh_out), *mins
+    )
+    sig = F.array(*[F.col(f"__m{i}") for i in range(num_hashes)])
+    return aggd.select(F.col("doc").alias(doc_out), sh_out, sig.alias("sig"))
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str,
@@ -224,17 +265,11 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash banding; candidates verified
     with exact Jaccard on the shingle sets. Scale path: candidate
-    generation is a groupBy on band keys, not an all-pairs product."""
+    generation is a groupBy on band keys, not an all-pairs product.
+    Signatures come from the exploded-posting aggregate
+    (``_minhash_base``) — codegen, not interpreted HOF lambdas."""
     rows = num_hashes // bands
-    docs = spread_for_compute(docs)
-    # same short-doc gate as the incremental variant: all-sentinel
-    # signatures would pair every <n-token doc with every other,
-    # quadratic in the short-doc count, all dying at jaccard 0.0
-    base = docs.select(
-        F.col(id_col).alias("doc"), shingles(text_col, n).alias("sh")
-    ).filter(F.size(F.col("sh")) > 0).withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes, seed)
-    )
+    base = _minhash_base(docs, id_col, text_col, n, num_hashes, seed)
     banded = base.select(
         "doc", "sh", F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk")
     )
@@ -282,25 +317,21 @@ def minhash_incremental_pairs(
     rows = num_hashes // bands
 
     def banded(df: DataFrame, out: str) -> DataFrame:
-        # Docs too short to shingle (< n tokens) get the all-sentinel
-        # signature, so EVERY short doc shares identical band keys with
-        # every other short doc: without this gate the band join emits
-        # |short-incoming|×|short-existing| candidate pairs (each
-        # dragging both shingle arrays through the shuffle) that can
-        # only die at the exact-Jaccard filter (empty ∩ anything = 0 <
-        # threshold). Dropping them up front keeps the claimed
-        # linear-in-|incoming| cost honest for the short-doc crowd
-        # common in crawl batches; output is unchanged.
-        base = spread_for_compute(df).select(
-            F.col(id_col).alias(out),
-            shingles(text_col, n).alias(f"__sh_{out}"),
-        ).filter(F.size(F.col(f"__sh_{out}")) > 0).withColumn(
-            "__sig", minhash_signature(F.col(f"__sh_{out}"), num_hashes, seed)
+        # _minhash_base's posting aggregate drops docs too short to
+        # shingle (< n tokens) by construction — without that gate
+        # every short doc shares the all-sentinel band keys with every
+        # other and the band join emits |short-incoming| ×
+        # |short-existing| candidates that only die at jaccard 0.0,
+        # breaking the linear-in-|incoming| claim for the short-doc
+        # crowd common in crawl batches.
+        base = _minhash_base(
+            df, id_col, text_col, n, num_hashes, seed,
+            doc_out=out, sh_out=f"__sh_{out}",
         )
         return base.select(
             out,
             f"__sh_{out}",
-            F.explode(lsh_band_keys(F.col("__sig"), bands, rows)).alias("bk"),
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
         )
 
     inc = banded(incoming, "incoming_id")

@@ -142,3 +142,48 @@ def test_connected_components_driver_and_distributed_parity(spark):
     )
     assert fast == sorted(want)
     assert dist == fast
+
+
+def test_minhash_base_matches_array_signature(spark):
+    """The exploded-posting signature aggregate (_minhash_base, the
+    codegen path both LSH variants run on) must produce exactly the
+    array-shaped minhash_signature(shingles(...)) — which stays as
+    the readable spec twin."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.llm.dedup import (
+        _minhash_base,
+        minhash_signature,
+        shingles,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different text with many various words here"),
+        (4, "to short"),          # 2 tokens -> no 3-gram shingles
+        (5, ""),                  # empty
+        (6, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    spec = (
+        docs.select(
+            F.col("doc_id").alias("doc"), shingles("text", 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .select("doc", minhash_signature(F.col("sh"), 8, seed=7).alias("sig"))
+    )
+    fast = _minhash_base(docs, "doc_id", "text", 3, 8, 7)
+    s = {r.doc: list(r.sig) for r in spec.collect()}
+    f = {r.doc: list(r.sig) for r in fast.collect()}
+    assert set(s) == set(f) == {1, 2, 3, 6}  # short/empty docs absent
+    assert s == f
+    # and the shingle SET the verification uses matches the array form
+    sh_spec = {
+        r.doc: set(r.sh)
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), shingles("text", 3).alias("sh")
+        ).filter(F.size("sh") > 0).collect()
+    }
+    sh_fast = {r.doc: set(r.sh) for r in fast.select("doc", "sh").collect()}
+    assert sh_spec == sh_fast

@@ -42,6 +42,38 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """By-index dot product for a KNOWN dimension — a flat dim-term
+    arithmetic expression that stays in whole-stage codegen, where
+    ``dot``'s zip_with/aggregate lambdas evaluate interpreted per
+    element. Bit-identical to ``dot``: the fold adds the products
+    left-to-right from 0.0, and 0.0 + p0 == p0 exactly, so the
+    left-associated sum here reproduces the same double at every
+    step (parity-pinned in tests/test_similarity.py).
+
+    USE WITH CARE: only for a handful of dot products per plan. An
+    A/B that swapped it into the k-centroid fan-outs (k × dim ≈ 512+
+    expression terms, literal centroid arrays repeated per term)
+    regressed k-means 3.3 s → 22.6 s and trained-IVF to 92 s at
+    sf0.1 — Catalyst analysis/codegen cost grows superlinearly with
+    the expression tree, dwarfing the interpreted-fold savings. The
+    HOF ``dot``/``cosine`` remain the right form for centroid fans;
+    this is the right form for one or two fixed-dim products."""
+    out = a[0] * b[0]
+    for i in range(1, dim):
+        out = out + a[i] * b[i]
+    return out
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Codegen cosine for a known dimension; with a literal array on
+    either side, Catalyst constant-folds that side's norm at plan
+    time (same double ops, same value)."""
+    return dot_fixed(a, b, dim) / (
+        F.sqrt(dot_fixed(a, a, dim)) * F.sqrt(dot_fixed(b, b, dim))
+    )
+
+
 def brute_topk(
     embeddings: DataFrame,
     id_col: str,

@@ -59,3 +59,31 @@ def test_ivf_assignment_is_total(spark, sf_dir):
     # nprobe == n_cells -> no pruning -> must equal brute force exactly
     exact = brute_topk(emb, "vec_id", "embedding", q_ids, k=n)
     assert _pairs(out) == _pairs(exact)
+
+
+def test_dot_fixed_matches_hof_dot(spark):
+    """dot_fixed must reproduce the zip_with/aggregate fold's double
+    BIT-FOR-BIT (same left-to-right association from 0.0) — the
+    contract that lets the codegen path replace the HOF path under
+    hash-compared oracles."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.llm.similarity import cosine, cosine_fixed, dot, dot_fixed
+
+    rows = [
+        (1, [0.1, -2.5, 3.75, 0.003, 9.0, -0.125, 7.5, 1e-7]),
+        (2, [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+        (3, [-0.333, 0.999, -1e-3, 2.5e4, 0.0, -8.25, 3.14159, 2.71828]),
+    ]
+    df = spark.createDataFrame(rows, "id LONG, v ARRAY<DOUBLE>")
+    a = df.alias("a")
+    b = df.alias("b")
+    pairs = a.crossJoin(b).select(
+        dot(F.col("a.v"), F.col("b.v")).alias("hof"),
+        dot_fixed(F.col("a.v"), F.col("b.v"), 8).alias("idx"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("chof"),
+        cosine_fixed(F.col("a.v"), F.col("b.v"), 8).alias("cidx"),
+    )
+    for r in pairs.collect():
+        assert r.hof == r.idx, (r.hof, r.idx)
+        assert r.chof == r.cidx, (r.chof, r.cidx)

@@ -615,7 +615,12 @@ FROM enc
 """.format(k=_BPE_K)
 
 
-@register("corpus_bpe_encode", oracle=_BPE_ENCODE_ORACLE, tags=("llm", "text"))
+@register(
+    "corpus_bpe_encode",
+    oracle=_BPE_ENCODE_ORACLE,
+    headline=True,
+    tags=("llm", "text"),
+)
 def corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encode every document under the corpus's own top-16 BPE merge
     table (the application half of Sennrich et al. 2016; the learning

@@ -387,7 +387,12 @@ WITH flat AS (
 """
 
 
-@register("counter_commands_weekly", oracle=_weekly_oracle(), tags=("counter",))
+@register(
+    "counter_commands_weekly",
+    oracle=_weekly_oracle(),
+    headline=True,
+    tags=("counter",),
+)
 def counter_commands_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 7 d / 30 d daily-counter configs end-to-end — CountWindow
     DAY_7/DAY_30 feature-id packing, the 42- and 180-fold emit

@@ -776,7 +776,7 @@ SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
 """
 
 
-@register("minhash_lsh_neardup", oracle=_MINHASH_ORACLE, tags=("llm", "dedup"))
+@register("minhash_lsh_neardup", oracle=_MINHASH_ORACLE, headline=True, tags=("llm", "dedup"))
 def minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) banded 4x4 LSH candidate pairs, verified by exact
     Jaccard >= 0.5. All signature math is salted md5 column expressions

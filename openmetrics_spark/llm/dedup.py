@@ -365,10 +365,7 @@ def simhash_neardup_pairs(
     chunk keys, never all-pairs)."""
     n_chunks = bits // chunk_bits
     mask = (1 << chunk_bits) - 1
-    docs = spread_for_compute(docs)
-    base = docs.select(
-        F.col(id_col).alias("doc"), simhash(text_col, bits).alias("fp")
-    )
+    base = _simhash_base(docs, id_col, text_col, bits)
     chunk_keys = F.array(
         *[
             F.shiftright(F.col("fp"), i * chunk_bits).bitwiseAND(F.lit(mask))
@@ -397,10 +394,50 @@ def simhash_neardup_pairs(
     )
 
 
+def _simhash_base(
+    docs: DataFrame, id_col: str, text_col: str, bits: int
+) -> DataFrame:
+    """(doc, simhash fingerprint) computed on the EXPLODED token
+    stream: the 60 per-bit votes are conditional-sum aggregates in ONE
+    map-side-combined groupBy — value-identical to :func:`simhash`
+    (integer vote sums are order-independent; same bit test, same
+    packing) but off the interpreted per-bit array folds, same rewrite
+    as ``_minhash_base``. Docs with no tokens keep fp = 0 (the fold's
+    value over an empty array) via the left re-join — identical
+    fingerprints among empty docs are real simhash semantics the
+    oracle reproduces, so they must not silently drop."""
+    docs = spread_for_compute(docs)
+    ids = docs.select(F.col(id_col).alias("doc"))
+    th = docs.select(
+        F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("t")
+    ).select("doc", _hash_expr(F.col("t")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b) % 2 == 1, 1).otherwise(-1)
+        ).alias(f"__v{b}")
+        for b in range(bits)
+    ]
+    agg = th.groupBy("doc").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = (
+            F.when(F.col(f"__v{b}") > 0, F.lit(1 << b).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp = term if fp is None else fp + term
+    fped = agg.select("doc", fp.alias("fp"))
+    return ids.join(fped, "doc", "left").select(
+        "doc", F.coalesce("fp", F.lit(0).cast("long")).alias("fp")
+    )
+
+
 def simhash(text_col: str, bits: int = 60) -> Column:
     """SimHash fingerprint over token hashes: bit b of the output is 1
     iff sum over tokens of (+1 if bit b of token-hash set else -1) > 0.
-    Pure column expressions; 60 bits keeps everything in signed longs."""
+    Pure column expressions; 60 bits keeps everything in signed longs.
+    The readable spec twin of ``_simhash_base``'s exploded aggregate
+    (which the pipeline runs — per-bit array folds evaluate
+    interpreted per element); parity-pinned in tests/test_corpus_mix.py."""
     tok = tokens(text_col)
     th = F.transform(tok, lambda t: _hash_expr(t))
 

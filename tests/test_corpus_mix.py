@@ -187,3 +187,34 @@ def test_minhash_base_matches_array_signature(spark):
     }
     sh_fast = {r.doc: set(r.sh) for r in fast.select("doc", "sh").collect()}
     assert sh_spec == sh_fast
+
+
+def test_simhash_base_matches_column_simhash(spark):
+    """The exploded-token vote aggregate (_simhash_base, the codegen
+    path the pipeline runs) must produce exactly the array-fold
+    simhash() fingerprint — including fp = 0 for token-less docs,
+    which must NOT drop (identical fingerprints among empty docs are
+    real simhash near-dups)."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.llm.dedup import _simhash_base, simhash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different words entirely"),
+        (4, ""),     # no tokens -> fp 0
+        (5, "   "),  # whitespace only -> fp 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    spec = {
+        r.doc: r.fp
+        for r in docs.select(
+            F.col("doc_id").alias("doc"), simhash("text", 60).alias("fp")
+        ).collect()
+    }
+    fast = {
+        r.doc: r.fp for r in _simhash_base(docs, "doc_id", "text", 60).collect()
+    }
+    assert spec == fast
+    assert fast[4] == 0 and fast[5] == 0

@@ -1,0 +1,121 @@
+"""Empirical scaling probe: run key operators at 1x and 8x the sf0.1
+input and report the wall-time ratio — the measured backing for
+docs/SCALE.md's "would this survive 100x?" claims.
+
+The 8x inputs are CONTENT-DISJOINT replicas (ids offset; document
+tokens prefixed per copy so shingle spaces don't overlap; event users
+offset) — so output growth reflects the ALGORITHM's scaling, not
+pairs manufactured between identical copies. A near-linear ratio
+(<= ~8x wall for 8x rows, typically less while fixed overhead
+amortizes) is the pass condition; a superlinear ratio flags a plan
+whose cost bends the wrong way.
+
+Usage: python scripts/scale_probe.py  (prints one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _ROOT)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def replicated_docs(docs, copies: int):
+    out = None
+    for i in range(copies):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            # prefix every token so copies share no shingles
+            F.regexp_replace("text", r"([a-z0-9]+)", f"c{i}x$1").alias("text")
+            if i
+            else F.col("text"),
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def replicated_events(ev, copies: int):
+    out = None
+    for i in range(copies):
+        c = ev.select(
+            (F.col("user_id") + F.lit(i * 1_000_000)).alias("user_id"),
+            "ts",
+            "event_type",
+            "value",
+            "event_id",
+            "props",
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
+def main() -> int:
+    from openmetrics_spark.llm.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_neardup_pairs,
+    )
+    from openmetrics_spark.operators.counters import sliding_counter
+    from openmetrics_spark.session import get_spark
+    from openmetrics_spark.tables import release_caches, table
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    copies = int(os.environ.get("SCALE_PROBE_COPIES", "8"))
+    spark = get_spark("scale-probe")
+
+    docs1 = table(spark, sf_dir, "documents").select("doc_id", "text")
+    docsN = replicated_docs(docs1, copies)
+    ev1 = table(spark, sf_dir, "events")
+    evN = replicated_events(ev1, copies)
+
+    probes = {
+        "ngram_jaccard": lambda d: ngram_jaccard_pairs(
+            d, "doc_id", "text", n=3, threshold=0.5, max_df=50
+        ),
+        "minhash_lsh": lambda d: minhash_lsh_pairs(d, "doc_id", "text"),
+        "simhash": lambda d: simhash_neardup_pairs(d, "doc_id", "text"),
+        "sliding_counter": lambda e: sliding_counter(
+            e, ["user_id"], "ts", 86_400_000, 14_400_000
+        ),
+    }
+    inputs = {
+        "ngram_jaccard": (docs1, docsN),
+        "minhash_lsh": (docs1, docsN),
+        "simhash": (docs1, docsN),
+        "sliding_counter": (ev1, evN),
+    }
+
+    def run(df) -> tuple[float, int]:
+        t0 = time.perf_counter()
+        n = df.count()
+        dt = time.perf_counter() - t0
+        release_caches()
+        return dt, n
+
+    results = {}
+    for name, build in probes.items():
+        small, big = inputs[name]
+        run(build(small))  # warm the operator's code paths
+        t1, n1 = run(build(small))
+        tn, nn = run(build(big))
+        results[name] = {
+            "t_1x": round(t1, 2),
+            f"t_{copies}x": round(tn, 2),
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            "rows_1x": n1,
+            f"rows_{copies}x": nn,
+        }
+        print(f"{name}: {results[name]}", flush=True)
+
+    print(json.dumps({"copies": copies, "probes": results}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -364,23 +364,15 @@ def unified_sliding_commands(
         # the interpreted transform()-struct shape)
         total_k = sum(k for _, k, _ in cfgs)
         j = F.col("__j")
-        tag_expr = off_expr = ttl_expr = None
+        tag_expr = off_expr = None
         cum = 0
-        for tag, k, ttl_s in cfgs:
+        for tag, k, _ttl in cfgs:
             cond = j <= F.lit(cum + k)
-            t, o, tt = (
-                F.lit(tag).cast("long"),
-                (j - F.lit(cum)).cast("long"),
-                F.lit(ttl_s).cast("long"),
-            )
+            t, o = F.lit(tag).cast("long"), (j - F.lit(cum)).cast("long")
             if tag_expr is None:
-                tag_expr, off_expr, ttl_expr = F.when(cond, t), F.when(cond, o), F.when(cond, tt)
+                tag_expr, off_expr = F.when(cond, t), F.when(cond, o)
             else:
-                tag_expr, off_expr, ttl_expr = (
-                    tag_expr.when(cond, t),
-                    off_expr.when(cond, o),
-                    ttl_expr.when(cond, tt),
-                )
+                tag_expr, off_expr = tag_expr.when(cond, t), off_expr.when(cond, o)
             cum += k
         counted = (
             b.select(
@@ -407,10 +399,12 @@ def unified_sliding_commands(
             .bitwiseOR(F.col("__metric").cast("long"))
             .bitwiseOR(F.col("window_tag"))
         )
-        ttl_expr2 = None
+        # the per-config TTL decodes from the tag AFTER the aggregate —
+        # decoding before it would only widen the shuffled rows
+        ttl_expr = None
         for tag, _, ttl_s in cfgs:
             br = F.when(F.col("window_tag") == tag, F.lit(ttl_s).cast("long"))
-            ttl_expr2 = br if ttl_expr2 is None else ttl_expr2.when(
+            ttl_expr = br if ttl_expr is None else ttl_expr.when(
                 F.col("window_tag") == tag, F.lit(ttl_s).cast("long")
             )
         cmds = counted.select(
@@ -418,7 +412,7 @@ def unified_sliding_commands(
             F.col("__f.key").alias("key"),
             F.concat(F.col("__f.fprefix"), fid.cast("string")).alias("field"),
             F.col("n").cast("string").alias("value"),
-            ttl_expr2.alias("ttl_s"),
+            ttl_expr.alias("ttl_s"),
             F.col("emit_ms"),
         )
         out = cmds if out is None else out.unionByName(cmds)

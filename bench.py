@@ -28,9 +28,10 @@ around a ~0.85 s steady state; the r5 delta was noise, no plan
 change was made. r6 also REWROTE the counter job's fan-out (one
 bucket shuffle per slide for all families + one Last* pass), so
 counter_commands_full r6 vs r5 is a real plan change (~2x).
-r6 additionally adds 3 headliners for the round's new/optimized ops
+r6 additionally adds 4 headliners for the round's new/optimized ops
 (minhash_lsh_neardup after its codegen-signature rewrite,
-counter_commands_weekly, corpus_bpe_encode) — the r6 total is again
+counter_commands_weekly, corpus_bpe_encode, and the new
+approx_distinct_customers_hll sketch) — the r6 total is again
 NOT comparable to r5's; per-query times are.
 """
 

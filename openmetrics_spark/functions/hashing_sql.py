@@ -107,3 +107,33 @@ def query_hex_sql(inner_sql: str, s: str = "__q", out: str = "query_hex") -> str
     return (
         f"(SELECT *, lower(hex(__qh::UBIGINT)) AS {out} FROM {hashed})"
     )
+
+
+def xxhash64_long_sql(
+    inner_sql: str, v: str = "__v", out: str = "__hash", seed: int = 42
+) -> str:
+    """Spark's built-in ``xxhash64(bigint_col)`` — XxHash64.hashLong
+    with Spark's default seed 42 — as DuckDB SQL, so sketches keyed on
+    the JVM-codegen hash are reproducible in the oracle.
+
+    Wraps subquery ``inner_sql`` (producing non-null BIGINT column
+    ``v`` plus passthrough columns) in projections that add ``out`` =
+    the hash as HUGEINT in [0, 2^64). An 8-byte input is one straight
+    line: h = seed + P5 + 8; one chunk fold; the avalanche — no length
+    CASEs needed (cross-checked against pyspark in
+    tests/test_sketches.py).
+    """
+    u = f"(CASE WHEN ({v}) < 0 THEN ({v})::HUGEINT + {M} ELSE ({v})::HUGEINT END)"
+    q = f"(SELECT *, {u} AS __u FROM ({inner_sql}))"
+    h0 = (seed + PRIME5 + 8) % M
+    k1 = _mul(_rotl(_mul("__u", PRIME2), 31), PRIME1)
+    q = f"(SELECT *, {k1} AS __k1 FROM {q})"
+    h = f"(({_mul(_rotl(_xor(str(h0), '__k1'), 27), PRIME1)} + {PRIME4}) % {M})"
+    q = f"(SELECT *, {h} AS __hl FROM {q})"
+    # avalanche (same constants as the string path)
+    q = f"(SELECT *, {_xor('__hl', f'__hl // {1 << 33}')} AS __la1 FROM {q})"
+    q = f"(SELECT *, {_mul('__la1', PRIME2)} AS __la2 FROM {q})"
+    q = f"(SELECT *, {_xor('__la2', f'__la2 // {1 << 29}')} AS __la3 FROM {q})"
+    q = f"(SELECT *, {_mul('__la3', PRIME3)} AS __la4 FROM {q})"
+    q = f"(SELECT *, {_xor('__la4', f'__la4 // {1 << 32}')} AS {out} FROM {q})"
+    return q

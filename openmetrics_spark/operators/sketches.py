@@ -1,0 +1,234 @@
+"""Mergeable, engine-exact approximation sketches.
+
+Closes the two "single-node seams" documented in docs/SCALE.md: exact
+``countDistinct`` and exact sort-based percentiles don't scale, but
+Spark's built-in sketches (``approx_count_distinct`` HLL++,
+``approx_percentile`` KLL) aren't reproducible outside the JVM, so
+they could never be oracle-gated. These twins are:
+
+- ``hll_registers`` / ``hll_estimate`` — classic HyperLogLog (Flajolet
+  et al. 2007, the public paper — NOT Spark's HLL++ variant) keyed on
+  Spark's built-in ``xxhash64`` (seed 42, whole-stage codegen; the
+  DuckDB twin is ``functions.hashing_sql.xxhash64_long_sql``). Every
+  intermediate that could depend on aggregation order is an exact
+  integer: the register is ``max(rho)`` (associative/commutative), the
+  harmonic-mean denominator is summed as ``2^(53-rho)`` scaled
+  integers (DECIMAL(38,0) in Spark, HUGEINT in DuckDB), and the only
+  float math is a straight-line expression over those exact integers,
+  generated from ONE shared SQL template for both engines
+  (IEEE-identical given identical operands and operation order).
+- ``hist_percentiles`` — fixed-grid histogram quantiles: bucket
+  counts (map-side combined), cumulative counts per group, the
+  estimate is the grid value of the first bucket whose cumulative
+  count reaches ``ceil(q*n)``. Error is bounded by the grid width;
+  every step is integer or a single deterministic double op.
+
+100 TB posture: both sketches shuffle O(groups × sketch size), never
+O(rows): HLL registers are ≤ 2^p rows per group with a map-side
+``max`` partial; histogram buckets are O(value_range / width) rows
+per group with a map-side ``count`` partial. Registers are mergeable
+(``max`` is associative), so daily register tables can be persisted
+and re-aggregated — incremental distinct counting without re-reading
+history (see queries/sketch_q.py::hll_merge_monthly_sketches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 12  # 2^12 = 4096 registers → ~1.6% standard error
+
+# The float tail of the estimate, shared TEXTUALLY between the Spark
+# expression and the DuckDB oracle so both engines execute the same
+# IEEE ops in the same order on the same exact-integer inputs.
+# Placeholders: {m} = register count, {s} = scaled harmonic-sum column
+# (exact integer, cast to DOUBLE inside), {v} = zero-register count.
+# 9007199254740992.0 = 2^53, the harmonic-sum scale.
+_RAW_EST = (
+    "((0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * "
+    "9007199254740992.0 / CAST({s} AS DOUBLE))"
+)
+_EST = (
+    "(CASE WHEN {raw} <= 2.5 * {m}.0 AND {v} > 0 "
+    "THEN {m}.0 * ln({m}.0 / CAST({v} AS DOUBLE)) "
+    "ELSE {raw} END)"
+)
+
+
+def hll_estimate_sql(s: str, v: str, p: int = HLL_P) -> str:
+    """The estimate as one SQL expression (BIGINT) — valid in both
+    Spark SQL and DuckDB. ``s`` = scaled harmonic sum column/expr,
+    ``v`` = zero-register count column/expr."""
+    m = 1 << p
+    raw = _RAW_EST.format(m=m, s=s)
+    est = _EST.format(raw=raw, m=m, v=v)
+    return f"CAST(floor({est} + 0.5) AS BIGINT)"
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    p: int = HLL_P,
+) -> DataFrame:
+    """HLL register table: ``group_cols + (bucket, rho)``, one row per
+    non-empty register. ``value_col`` must be a non-null BIGINT.
+
+    bucket = low ``p`` bits of xxhash64(value); rho = 1 + leading
+    zeros of the remaining ``64-p`` bits (``length(bin())`` — exact
+    integer semantics, no float log2). One shuffle of ≤ 2^p rows per
+    group (map-side ``max`` partial).
+    """
+    m = 1 << p
+    rho_max = 64 - p + 1
+    h = df.select(
+        *group_cols, F.xxhash64(F.col(value_col)).alias("__h")
+    ).withColumn("__w", F.expr(f"shiftrightunsigned(__h, {p})"))
+    reg = (
+        h.select(
+            *group_cols,
+            F.expr(f"__h & {m - 1}").alias("bucket"),
+            F.when(F.col("__w") == 0, F.lit(rho_max))
+            .otherwise(F.lit(rho_max) - F.length(F.bin("__w")))
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    return reg
+
+
+def hll_merge_registers(
+    reg: DataFrame, group_cols: Sequence[str], p: int = HLL_P
+) -> DataFrame:
+    """Merge register tables (e.g. collapse a day-keyed sketch onto
+    coarser groups): ``max`` per (group, bucket) — associative, so
+    merged sketches are bit-identical to a sketch built directly on
+    the union of the inputs."""
+    return reg.groupBy(*group_cols, "bucket").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    reg: DataFrame,
+    group_cols: Sequence[str],
+    p: int = HLL_P,
+    out: str = "approx_distinct",
+) -> DataFrame:
+    """Collapse a register table to per-group estimates:
+    ``group_cols + (out BIGINT, registers_used BIGINT)``."""
+    m = 1 << p
+    agg = reg.groupBy(*group_cols).agg(
+        F.count("*").alias("registers_used"),
+        F.sum(
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - rho) AS DECIMAL(38,0))")
+        ).alias("__ssum"),
+    )
+    # exact-integer harmonic sum: empty registers contribute 2^53 each
+    s = (
+        f"(CAST({m} - registers_used AS DECIMAL(38,0)) * 9007199254740992"
+        " + __ssum)"
+    )
+    v = f"({m} - registers_used)"
+    return agg.select(
+        *group_cols,
+        F.expr(hll_estimate_sql(s, v, p)).alias(out),
+        "registers_used",
+    )
+
+
+def hll_registers_sql(
+    inner_sql: str,
+    group_exprs: str,
+    value_col: str,
+    p: int = HLL_P,
+) -> str:
+    """DuckDB twin of :func:`hll_registers`: a subquery producing
+    ``group_exprs..., bucket, rho`` from ``inner_sql`` (which must
+    expose ``value_col`` as BIGINT). Mirrors the Spark path op-for-op
+    via ``xxhash64_long_sql``."""
+    from openmetrics_spark.functions.hashing_sql import xxhash64_long_sql
+
+    m = 1 << p
+    rho_max = 64 - p + 1
+    hashed = xxhash64_long_sql(
+        f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})"
+    )
+    return f"""(
+  SELECT {group_exprs}, bucket, max(rho) AS rho
+  FROM (
+    SELECT {group_exprs}, __hash % {m} AS bucket,
+           CASE WHEN __hash // {m} = 0 THEN {rho_max}
+                ELSE {rho_max} - length(bin(__hash // {m})) END AS rho
+    FROM {hashed}
+  ) GROUP BY ALL
+)"""
+
+
+def hll_estimate_from_registers_sql(
+    registers_sql: str, group_exprs: str, p: int = HLL_P,
+    out: str = "approx_distinct",
+) -> str:
+    """DuckDB twin of :func:`hll_estimate` over a register subquery."""
+    m = 1 << p
+    s = (
+        f"(({m} - registers_used)::HUGEINT * 9007199254740992 + __ssum)"
+    )
+    v = f"({m} - registers_used)"
+    return f"""(
+  SELECT {group_exprs}, {hll_estimate_sql(s, v, p)} AS {out},
+         registers_used
+  FROM (
+    SELECT {group_exprs}, count(*) AS registers_used,
+           SUM(CAST(power(2, 53 - rho) AS HUGEINT)) AS __ssum
+    FROM {registers_sql} GROUP BY ALL
+  )
+)"""
+
+
+def hist_percentiles(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    width: float,
+    qs: Sequence[float],
+    out: str = "approx_value",
+) -> DataFrame:
+    """Fixed-grid histogram percentiles per group: for each q in
+    ``qs`` the smallest grid point ``bucket*width`` whose cumulative
+    count reaches ``ceil(q*n)``. Output: ``group_cols + (q DOUBLE,
+    out DOUBLE, n BIGINT)``; estimate error ≤ ``width``.
+
+    One map-side-combined count shuffle of O(range/width) buckets per
+    group; the window + quantile probe run on the post-agg frame.
+    Null values are excluded (they have no grid cell).
+    """
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, bucket.alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = counts.select(
+        *group_cols,
+        "bucket",
+        F.sum("cnt").over(w).alias("cum"),
+        F.sum("cnt").over(wn).alias("n"),
+    )
+    probes = cum.withColumn(
+        "q", F.explode(F.array(*[F.lit(float(q)) for q in qs]))
+    ).filter(F.col("cum") >= F.ceil(F.col("q") * F.col("n")))
+    return probes.groupBy(*group_cols, "q").agg(
+        (F.min("bucket") * F.lit(float(width))).alias(out),
+        F.max("n").alias("n"),
+    )

@@ -129,16 +129,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_decontaminate",             # benchmark decontamination
     "embedding_kmeans_cells",        # distributed Lloyd k-means
     "doc_repetition_stats",          # text analysis
-    "doc_pii_scrub",                 # PII redaction
     "doc_bm25_topk",                 # keyword retrieval
     "corpus_prep_manifest_v2",       # full corpus chain, one query
     "corpus_bpe_encode",             # NEW r6: BPE merge application
     # (doc_dup_span_coverage ceded its anchor slot to the new BPE
     # encoder: it stays a bench headliner with an r5 green row, and
     # the dup-span family is adjacent to the in-window manifest)
+    # --- NEW r6: engine-exact sketches (operators/sketches.py) —
+    # they take the slots of doc_pii_scrub and the resize/av
+    # multimodal rows (all r5-green; text keeps repetition+bm25 and
+    # multimodal keeps image_stats as family anchors)
+    "approx_distinct_customers_hll",
+    "hll_merge_monthly_sketches",
+    "approx_value_percentiles",
     "multimodal_image_stats",        # multimodal: image decode
-    "multimodal_resize_stats",       # multimodal: resize
-    "multimodal_av_features",        # multimodal: audio/video
     "asof_attribution",              # TemporalJoin core (bench headliner)
     # (rotated out this round, all with green rows on record:
     # doc_unigram_logprob/_capped, doc_quality_classifier,
@@ -167,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         streaming_q,
         events_q,
         media_q,
+        sketch_q,
         tpch,
         tpch_ext,
         corpus_mix_q,

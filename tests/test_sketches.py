@@ -1,0 +1,162 @@
+"""Sketch operators: engine-exact HLL + histogram percentiles.
+
+The correctness bar here is double-sided: the sketches must be close
+to the exact answer (approximation quality) AND bit-identical between
+Spark and DuckDB (the driver hash-gates the approximate values
+themselves)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from openmetrics_spark.operators.sketches import (
+    hist_percentiles,
+    hll_estimate,
+    hll_estimate_sql,
+    hll_merge_registers,
+    hll_registers,
+)
+from openmetrics_spark.tables import table
+
+
+def test_xxhash64_long_sql_matches_spark(spark):
+    """The DuckDB generator reproduces Spark's built-in xxhash64
+    (seed 42) on longs across the value range, including negatives
+    and the int64 extremes."""
+    from openmetrics_spark.functions.hashing_sql import xxhash64_long_sql
+
+    rng = random.Random(42)
+    vals = (
+        [0, 1, -1, 2**63 - 1, -(2**63), 42, -42]
+        + [rng.randint(-(2**63), 2**63 - 1) for _ in range(200)]
+    )
+    expect = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    inner = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"(CAST({v} AS BIGINT))" for v in vals)
+        + ") t(__v)"
+    )
+    got = duckdb.sql(
+        f"SELECT __v, __hash FROM {xxhash64_long_sql(inner)}"
+    ).fetchall()
+    assert len(got) == len(vals)
+    for v, h in got:
+        h = int(h)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == expect[v], v
+
+
+def test_hll_close_to_exact_and_bounded(spark, sf_dir):
+    orders = table(spark, sf_dir, "orders")
+    reg = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    est = hll_estimate(reg, ["o_orderpriority"], out="approx")
+    exact = orders.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("exact")
+    )
+    rows = est.join(exact, "o_orderpriority").collect()
+    assert rows
+    for r in rows:
+        # p=12 → 1.6% standard error; allow ~4σ. (At sf0.1 classic
+        # HLL sits in its known biased transition zone just above the
+        # linear-counting cutoff and runs ~3-5% high — the bias
+        # HLL++'s correction tables exist to remove; documented, and
+        # still far beyond what exact countDistinct could do at scale.)
+        assert abs(r["approx"] - r["exact"]) / r["exact"] < 0.065
+        assert r["registers_used"] <= 4096
+
+
+def test_hll_merge_is_exactly_direct(spark, sf_dir):
+    """max(rho) is associative: merging per-month sketches must give
+    the SAME registers — and therefore the same estimate, bit for bit
+    — as sketching the whole range directly."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "ym", F.year("o_orderdate") * 100 + F.month("o_orderdate")
+    )
+    monthly = hll_registers(orders, ["o_orderpriority", "ym"], "o_custkey")
+    merged = hll_merge_registers(monthly, ["o_orderpriority"])
+    direct = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
+def test_linear_counting_branch_cross_engine(spark):
+    """The one float op whose cross-engine determinism isn't
+    guaranteed by IEEE 754 is ln() (libm vs JVM may differ in the
+    last ulp). Enumerate EVERY reachable linear-counting input
+    (V in 1..4096) and assert the rounded estimates agree, pinning
+    the branch empirically for the shipped register count."""
+    expr = hll_estimate_sql(s="0", v="v")  # s unused in the LC branch
+    # force the LC branch: s=0 would divide-by-zero in the raw branch,
+    # so evaluate only the branch formula both engines actually share
+    lc = "CAST(floor(4096.0 * ln(4096.0 / CAST(v AS DOUBLE)) + 0.5) AS BIGINT)"
+    spark_vals = {
+        r["v"]: r["e"]
+        for r in spark.range(1, 4097)
+        .select(F.col("id").alias("v"))
+        .selectExpr("v", f"{lc} AS e")
+        .collect()
+    }
+    duck_vals = dict(
+        duckdb.sql(
+            f"SELECT v, {lc} AS e FROM (SELECT unnest(range(1, 4097)) AS v)"
+        ).fetchall()
+    )
+    assert spark_vals == duck_vals
+    assert expr  # the shared template builds
+
+
+def test_hist_percentiles_within_width(spark):
+    rng = random.Random(7)
+    rows = [("a", rng.gauss(50, 10)) for _ in range(4000)] + [
+        ("b", rng.expovariate(0.05)) for _ in range(4000)
+    ]
+    df = spark.createDataFrame(rows, "g string, value double")
+    width = 1.0
+    got = {
+        (r["g"], r["q"]): (r["approx_value"], r["n"])
+        for r in hist_percentiles(
+            df, ["g"], "value", width=width, qs=(0.5, 0.9, 0.99)
+        ).collect()
+    }
+    by_g = {"a": sorted(v for g, v in rows if g == "a"),
+            "b": sorted(v for g, v in rows if g == "b")}
+    for (g, q), (approx, n) in got.items():
+        assert n == 4000
+        exact = by_g[g][math.ceil(q * n) - 1]
+        # the estimate is the containing bucket's left edge
+        assert approx <= exact < approx + 2 * width
+    assert len(got) == 6
+
+
+def test_hist_percentiles_null_and_single_bucket(spark):
+    df = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.2), ("a", None), ("a", 5.9)],
+        "g string, value double",
+    )
+    rows = hist_percentiles(df, ["g"], "value", width=1.0, qs=(0.5,)).collect()
+    assert len(rows) == 1
+    assert rows[0]["n"] == 3  # null excluded
+    assert rows[0]["approx_value"] == 5.0
+
+
+def test_hll_registers_shuffle_is_post_agg(spark, sf_dir):
+    """The scale claim: raw rows reduce map-side; the exchange carries
+    (group, bucket, rho) partials, bounded by groups × 4096 — assert a
+    partial max aggregate sits below the shuffle."""
+    orders = table(spark, sf_dir, "orders")
+    reg = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    plan = reg._jdf.queryExecution().executedPlan().toString()
+    first_exchange = plan.find("Exchange")
+    assert first_exchange != -1
+    below = plan[first_exchange:]
+    assert "partial_max" in below or "partial" in below

@@ -823,6 +823,82 @@ def doc_unigram_logprob_capped(
 
 
 # ---------------------------------------------------------------------------
+# doc_bigram_logprob — the bigram upgrade of the perplexity proxy: a
+# real conditional LM p(w_i | w_{i-1}) instead of marginal token
+# frequency, so repeated-but-coherent text and word-salad separate
+# (the unigram score can't tell them apart).
+# ---------------------------------------------------------------------------
+
+_BIGRAM_LOGPROB_ORACLE = """
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), u AS (
+  SELECT doc_id, tok[i] AS prev, tok[i + 1] AS cur
+  FROM t, unnest(range(1, len(tok))) r(i)
+), v2 AS (
+  SELECT prev, cur, count(*) AS c2 FROM u GROUP BY 1, 2
+), v1 AS (
+  SELECT prev, sum(c2) AS c1 FROM v2 GROUP BY 1
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(sum(-ln(c2 / CAST(c1 AS DOUBLE))) / count(*), 4)
+         AS avg_neg_logprob
+FROM u JOIN v2 USING (prev, cur) JOIN v1 USING (prev)
+GROUP BY doc_id
+"""
+
+
+@register(
+    "doc_bigram_logprob", oracle=_BIGRAM_LOGPROB_ORACLE, tags=("llm", "text")
+)
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-probability of each document under the
+    corpus's own MLE bigram model, p(w_i | w_{i-1}) =
+    c(prev,cur)/c(prev,·) — the conditional-LM perplexity signal the
+    unigram proxy approximates. Docs with < 2 tokens have no bigrams
+    and drop out.
+
+    Scale shape: the bigram stream is built WITHOUT a self-join or a
+    per-doc window sort — posexplode keeps the token array in the map
+    stage and reads the successor with element_at, so nothing wide
+    ever shuffles. The denominator c(prev,·) is derived from the
+    bigram counts themselves (one extra agg over the distinct-bigram
+    frame, not a second pass over the corpus), and per-bigram scores
+    are computed once on the distinct-bigram table before re-joining
+    the Zipf-skewed occurrence stream (AQE skew-split territory, like
+    the full unigram variant; rounded to 4 dp for engine agreement)."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    u = (
+        t.select("doc_id", "tok", F.posexplode("tok").alias("pos", "prev"))
+        .filter(F.col("pos") < F.size("tok") - 1)
+        .select(
+            "doc_id",
+            "prev",
+            F.element_at("tok", F.col("pos") + 2).alias("cur"),
+        )
+    )
+    v2 = u.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c2"))
+    v1 = v2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    scored_bigrams = v2.join(v1, "prev").select(
+        "prev",
+        "cur",
+        (-F.log(F.col("c2") / F.col("c1").cast("double"))).alias("nlp"),
+    )
+    return (
+        u.join(scored_bigrams, ["prev", "cur"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum("nlp") / F.count(F.lit(1)), 4).alias(
+                "avg_neg_logprob"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # doc_quality_classifier — hash-trick linear model inference (the
 # fastText-style quality classifier pass of CCNet/GPT-3 curation;
 # weights here are a fixed deterministic function of the bucket so the

@@ -68,6 +68,24 @@ def hll_estimate_sql(s: str, v: str, p: int = HLL_P) -> str:
     return f"CAST(floor({est} + 0.5) AS BIGINT)"
 
 
+def hll_register_cols(value_col: str, p: int = HLL_P):
+    """The narrow register projection as two Columns ``(bucket, rho)``
+    over a non-null BIGINT ``value_col`` — pure codegen (xxhash64 +
+    bit ops + ``length(bin())``; exact integer semantics, no float
+    log2), so it drops into batch AND streaming plans unchanged."""
+    m = 1 << p
+    rho_max = 64 - p + 1
+    h = F.xxhash64(F.col(value_col))
+    w = F.expr(f"shiftrightunsigned(xxhash64({value_col}), {p})")
+    bucket = (h.bitwiseAND(F.lit(m - 1))).alias("bucket")
+    rho = (
+        F.when(w == 0, F.lit(rho_max))
+        .otherwise(F.lit(rho_max) - F.length(F.bin(w)))
+        .alias("rho")
+    )
+    return bucket, rho
+
+
 def hll_registers(
     df: DataFrame,
     group_cols: Sequence[str],
@@ -78,27 +96,15 @@ def hll_registers(
     non-empty register. ``value_col`` must be a non-null BIGINT.
 
     bucket = low ``p`` bits of xxhash64(value); rho = 1 + leading
-    zeros of the remaining ``64-p`` bits (``length(bin())`` — exact
-    integer semantics, no float log2). One shuffle of ≤ 2^p rows per
-    group (map-side ``max`` partial).
+    zeros of the remaining ``64-p`` bits. One shuffle of ≤ 2^p rows
+    per group (map-side ``max`` partial).
     """
-    m = 1 << p
-    rho_max = 64 - p + 1
-    h = df.select(
-        *group_cols, F.xxhash64(F.col(value_col)).alias("__h")
-    ).withColumn("__w", F.expr(f"shiftrightunsigned(__h, {p})"))
-    reg = (
-        h.select(
-            *group_cols,
-            F.expr(f"__h & {m - 1}").alias("bucket"),
-            F.when(F.col("__w") == 0, F.lit(rho_max))
-            .otherwise(F.lit(rho_max) - F.length(F.bin("__w")))
-            .alias("rho"),
-        )
+    bucket, rho = hll_register_cols(value_col, p)
+    return (
+        df.select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
-    return reg
 
 
 def hll_merge_registers(

@@ -153,11 +153,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # bfj_join_side_outputs and the green TPC-H rows q1-q21 — their
     # families stay covered by the in-window anchors and the 9 TPC-H
     # priority/modified rows.)
-    # r7 window priorities, in order: counter_backfill_gate and
-    # doc_bigram_logprob (both added after this round's window filled
-    # — local-green at sf0.001/0.01/0.1 so far), anything modified in
-    # r7, then rotate green anchors toward whichever families r6's
-    # rows leave longest-unwatched.
+    # r7 window priorities, in order: counter_backfill_gate,
+    # doc_bigram_logprob and streaming_approx_distinct (all added
+    # after this round's window filled — local-green at
+    # sf0.001/0.01/0.1 so far), anything modified in r7, then rotate
+    # green anchors toward whichever families r6's rows leave
+    # longest-unwatched.
 )
 
 

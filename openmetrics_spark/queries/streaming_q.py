@@ -1056,3 +1056,76 @@ def streaming_latest_impressions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") >= 0)
         .select("action_id", "rank", "impression_id", "content", "gap_ms")
     )
+
+
+def _streaming_hll_oracle() -> str:
+    from openmetrics_spark.operators.sketches import (
+        hll_estimate_from_registers_sql,
+        hll_registers_sql,
+    )
+
+    reg = hll_registers_sql(
+        "SELECT event_type,"
+        " (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,"
+        " event_id FROM events",
+        "event_type, window_start_ms",
+        "event_id",
+    )
+    est = hll_estimate_from_registers_sql(
+        reg, "event_type, window_start_ms", out="approx_ids"
+    )
+    return (
+        "SELECT event_type, window_start_ms, approx_ids, registers_used "
+        f"FROM {est}"
+    )
+
+
+@register(
+    "streaming_approx_distinct",
+    oracle=_streaming_hll_oracle(),
+    tags=("streaming", "sketch"),
+)
+def streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL sketch running INSIDE Structured Streaming: distinct
+    event ids per (type, day) via a watermarked tumbling-window
+    ``max(rho)`` register aggregate — because the register update is
+    an associative max, the sketch needs no custom state machine at
+    all; Spark's built-in streaming aggregation IS the sketch
+    maintainer, and its state is bounded by groups × 2^p registers
+    regardless of throughput. The staged multi-batch replay proves
+    registers survive micro-batch boundaries; the estimate runs
+    batch-side on the drained register sink, and the oracle recomputes
+    sketch AND estimate relationally — hash-exact, like every other
+    sketch row."""
+    from openmetrics_spark.operators.sketches import (
+        hll_estimate,
+        hll_register_cols,
+    )
+
+    work = _workdir("hllstream")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", F.unix_millis("ts").alias("ms")
+    )
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+    bucket, rho = hll_register_cols("event_id")
+    reg_stream = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .select("event_type", "ts", bucket, rho)
+        .groupBy(F.window("ts", "1 day"), "event_type", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "bucket",
+            "rho",
+        )
+    )
+    out = os.path.join(work, "registers")
+    with _stream_shuffle_partitions(spark):
+        _drain(reg_stream, out, os.path.join(work, "_chk", "registers"))
+    reg = spark.read.parquet(out).filter(F.col("event_type") != "zz")
+    return hll_estimate(
+        reg, ["event_type", "window_start_ms"], out="approx_ids"
+    ).select("event_type", "window_start_ms", "approx_ids", "registers_used")

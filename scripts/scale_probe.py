@@ -48,7 +48,7 @@ def replicated_events(ev, copies: int):
             "ts",
             "event_type",
             "value",
-            "event_id",
+            (F.col("event_id") + F.lit(i * 100_000_000)).alias("event_id"),
             "props",
         )
         out = c if out is None else out.unionByName(c)
@@ -74,6 +74,12 @@ def main() -> int:
     ev1 = table(spark, sf_dir, "events")
     evN = replicated_events(ev1, copies)
 
+    from openmetrics_spark.operators.sketches import (
+        hist_percentiles,
+        hll_estimate,
+        hll_registers,
+    )
+
     probes = {
         "ngram_jaccard": lambda d: ngram_jaccard_pairs(
             d, "doc_id", "text", n=3, threshold=0.5, max_df=50
@@ -83,12 +89,24 @@ def main() -> int:
         "sliding_counter": lambda e: sliding_counter(
             e, ["user_id"], "ts", 86_400_000, 14_400_000
         ),
+        # sketches: wall time should grow ~linearly (scan-bound) while
+        # OUTPUT stays fixed at groups x sketch rows — the shape that
+        # makes them the 100 TB path for distinct counts/percentiles
+        "hll_distinct": lambda e: hll_estimate(
+            hll_registers(e, ["event_type"], "event_id"),
+            ["event_type"],
+        ),
+        "hist_percentiles": lambda e: hist_percentiles(
+            e, ["event_type"], "value", width=1.0, qs=(0.5, 0.9, 0.99)
+        ),
     }
     inputs = {
         "ngram_jaccard": (docs1, docsN),
         "minhash_lsh": (docs1, docsN),
         "simhash": (docs1, docsN),
         "sliding_counter": (ev1, evN),
+        "hll_distinct": (ev1, evN),
+        "hist_percentiles": (ev1, evN),
     }
 
     def run(df) -> tuple[float, int]:

@@ -138,6 +138,26 @@ def test_hist_percentiles_within_width(spark):
     assert len(got) == 6
 
 
+def test_hist_counts_merge_is_exactly_direct(spark, sf_dir):
+    """Histogram sketches merge by SUM: per-month bucket counts
+    re-aggregated must equal the whole-range counts exactly, so
+    persisted daily histograms answer range-percentile queries without
+    re-reading history (the same incremental story as HLL's max)."""
+    ev = table(spark, sf_dir, "events").withColumn(
+        "ym", F.year("ts") * 100 + F.month("ts")
+    )
+    bucket = F.floor(F.col("value") / F.lit(1.0)).cast("long").alias("bucket")
+    monthly = ev.groupBy("event_type", "ym", bucket).agg(
+        F.count("*").alias("cnt")
+    )
+    merged = monthly.groupBy("event_type", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    direct = ev.groupBy("event_type", bucket).agg(F.count("*").alias("cnt"))
+    assert merged.exceptAll(direct).count() == 0
+    assert direct.exceptAll(merged).count() == 0
+
+
 def test_hist_percentiles_null_and_single_bucket(spark):
     df = spark.createDataFrame(
         [("a", 5.0), ("a", 5.2), ("a", None), ("a", 5.9)],

@@ -49,11 +49,15 @@ def _xor(a: str, b: str) -> str:
     return f"xor(({a})::UBIGINT, ({b})::UBIGINT)::HUGEINT"
 
 
-def xxhash64_sql(inner_sql: str, s: str = "__q", out: str = "__hash") -> str:
+def xxhash64_sql(
+    inner_sql: str, s: str = "__q", out: str = "__hash", seed: int = 0
+) -> str:
     """Wrap subquery ``inner_sql`` (producing string column ``s`` plus
     any passthrough columns) in nested projections that add ``out`` =
-    xxhash64(seed=0) of ``s`` as HUGEINT in [0, 2^64). ASCII-only,
-    strlen(s) <= 31 (no 32-byte stripe loop)."""
+    xxhash64(``seed``) of ``s`` as HUGEINT in [0, 2^64). ASCII-only,
+    strlen(s) <= 31 (no 32-byte stripe loop). seed=0 matches the
+    reference's cespare Sum64String; seed=42 matches Spark's built-in
+    ``xxhash64(string_col)`` (UTF8String bytes, same straight line)."""
 
     def chunk(off: str, nbytes: int) -> str:
         # little-endian integer of `nbytes` bytes at 1-based offset
@@ -67,7 +71,10 @@ def xxhash64_sql(inner_sql: str, s: str = "__q", out: str = "__hash") -> str:
         )
 
     L = f"strlen({s})"
-    q = f"(SELECT *, ({PRIME5} + {L}) % {M} AS __h0 FROM ({inner_sql}))"
+    q = (
+        f"(SELECT *, ({(seed + PRIME5) % M} + {L}) % {M} AS __h0"
+        f" FROM ({inner_sql}))"
+    )
     h = "__h0"
     for j in range(3):  # up to 3 full 8-byte chunks
         k = _mul(_rotl(_mul(chunk(str(8 * j + 1), 8), PRIME2), 31), PRIME1)

@@ -150,18 +150,31 @@ def hll_registers_sql(
     group_exprs: str,
     value_col: str,
     p: int = HLL_P,
+    value_is_string: bool = False,
 ) -> str:
     """DuckDB twin of :func:`hll_registers`: a subquery producing
     ``group_exprs..., bucket, rho`` from ``inner_sql`` (which must
-    expose ``value_col`` as BIGINT). Mirrors the Spark path op-for-op
-    via ``xxhash64_long_sql``."""
-    from openmetrics_spark.functions.hashing_sql import xxhash64_long_sql
+    expose ``value_col``). BIGINT values hash via
+    ``xxhash64_long_sql``; with ``value_is_string`` the seed-42 string
+    generator is used instead (oracle-side only constraint: ASCII,
+    length <= 31 — the Spark side has no limit)."""
+    from openmetrics_spark.functions.hashing_sql import (
+        xxhash64_long_sql,
+        xxhash64_sql,
+    )
 
     m = 1 << p
     rho_max = 64 - p + 1
-    hashed = xxhash64_long_sql(
-        f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})"
-    )
+    if value_is_string:
+        hashed = xxhash64_sql(
+            f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})",
+            s="__v",
+            seed=42,
+        )
+    else:
+        hashed = xxhash64_long_sql(
+            f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})"
+        )
     return f"""(
   SELECT {group_exprs}, bucket, max(rho) AS rho
   FROM (

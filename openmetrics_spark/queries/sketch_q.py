@@ -154,3 +154,44 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_percentiles(
         ev, ["event_type"], "value", width=1.0, qs=(0.5, 0.9, 0.99)
     )
+
+
+def _hll_string_oracle() -> str:
+    reg = hll_registers_sql(
+        "SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,"
+        " c.c_name"
+        " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey",
+        "ym",
+        "c_name",
+        value_is_string=True,
+    )
+    est = hll_estimate_from_registers_sql(reg, "ym", out="approx_buyers")
+    return (
+        f"SELECT CAST(ym AS INT) AS ym, approx_buyers, registers_used FROM {est}"
+    )
+
+
+@register(
+    "approx_distinct_buyers_hll",
+    oracle=_hll_string_oracle(),
+    tags=("sketch", "agg", "join"),
+)
+def approx_distinct_buyers_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate distinct buyers (by customer NAME — a string key)
+    per order month: broadcast-join orders to the customer dim, then
+    sketch. Spark's built-in ``xxhash64`` hashes strings JVM-side with
+    zero Python in the path; the oracle twin hashes the same UTF-8
+    bytes with the seed-42 string generator. The string path matters
+    because real distinct-count keys (log_user_id, query strings,
+    session ids) are strings — no cast-to-long escape hatch exists at
+    100 TB."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("ym"),
+        "c_name",
+    )
+    reg = hll_registers(joined, ["ym"], "c_name")
+    return hll_estimate(reg, ["ym"], out="approx_buyers")

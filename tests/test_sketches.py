@@ -56,6 +56,38 @@ def test_xxhash64_long_sql_matches_spark(spark):
         assert signed == expect[v], v
 
 
+def test_xxhash64_string_seed42_matches_spark(spark):
+    """The seed-parameterized string generator reproduces Spark's
+    built-in xxhash64 on strings (UTF8String bytes, seed 42) across
+    lengths 0..31 — the string-key sketch path's oracle twin."""
+    from openmetrics_spark.functions.hashing_sql import xxhash64_sql
+
+    rng = random.Random(9)
+    alpha = "abcdefghijklmnopqrstuvwxyz0123456789#_-"
+    vals = [
+        "".join(rng.choice(alpha) for _ in range(ln)) for ln in range(32)
+    ] + ["Customer#000000001", "Q12345"]
+    expect = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    inner = (
+        "SELECT * FROM (VALUES "
+        + ",".join(f"('{v}')" for v in vals)
+        + ") t(__q)"
+    )
+    got = duckdb.sql(
+        f"SELECT __q, __hash FROM {xxhash64_sql(inner, seed=42)}"
+    ).fetchall()
+    assert len(got) == len(vals)
+    for v, h in got:
+        h = int(h)
+        signed = h - (1 << 64) if h >= (1 << 63) else h
+        assert signed == expect[v], v
+
+
 def test_hll_close_to_exact_and_bounded(spark, sf_dir):
     orders = table(spark, sf_dir, "orders")
     reg = hll_registers(orders, ["o_orderpriority"], "o_custkey")

@@ -214,11 +214,18 @@ def hist_percentiles(
     width: float,
     qs: Sequence[float],
     out: str = "approx_value",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Fixed-grid histogram percentiles per group: for each q in
     ``qs`` the smallest grid point ``bucket*width`` whose cumulative
     count reaches ``ceil(q*n)``. Output: ``group_cols + (q DOUBLE,
     out DOUBLE, n BIGINT)``; estimate error ≤ ``width``.
+
+    With ``weight_col`` (a non-negative BIGINT — integer weights keep
+    every cumulative sum exact) the result is the weighted quantile:
+    e.g. value = tokens-per-doc weighted by tokens gives "the doc
+    length a median TOKEN sits in", the number that actually governs
+    training-batch composition.
 
     One map-side-combined count shuffle of O(range/width) buckets per
     group; the window + quantile probe run on the post-agg frame.
@@ -227,10 +234,13 @@ def hist_percentiles(
     from pyspark.sql import Window
 
     bucket = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
+    w_expr = (
+        F.count("*") if weight_col is None else F.sum(weight_col)
+    ).alias("cnt")
     counts = (
         df.filter(F.col(value_col).isNotNull())
         .groupBy(*group_cols, bucket.alias("bucket"))
-        .agg(F.count("*").alias("cnt"))
+        .agg(w_expr)
     )
     w = (
         Window.partitionBy(*group_cols)

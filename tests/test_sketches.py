@@ -190,6 +190,43 @@ def test_hist_counts_merge_is_exactly_direct(spark, sf_dir):
     assert direct.exceptAll(merged).count() == 0
 
 
+def test_hll_registers_duplication_invariant(spark, sf_dir):
+    """The multiset property that makes HLL a DISTINCT counter:
+    feeding every row twice must produce byte-identical registers."""
+    orders = table(spark, sf_dir, "orders")
+    once = hll_registers(orders, ["o_orderpriority"], "o_custkey")
+    twice = hll_registers(
+        orders.unionByName(orders), ["o_orderpriority"], "o_custkey"
+    )
+    assert once.exceptAll(twice).count() == 0
+    assert twice.exceptAll(once).count() == 0
+
+
+def test_hist_percentiles_weighted(spark):
+    """Integer-weighted quantiles: value v with weight w must behave
+    exactly as v repeated w times."""
+    rows = [("a", 1.0, 3), ("a", 5.0, 1), ("a", 9.0, 2)]
+    df = spark.createDataFrame(rows, "g string, v double, w long")
+    expanded = spark.createDataFrame(
+        [("a", v) for g, v, w in rows for _ in range(w)], "g string, v double"
+    )
+    got_w = {
+        r["q"]: (r["approx_value"], r["n"])
+        for r in hist_percentiles(
+            df, ["g"], "v", width=1.0, qs=(0.5, 0.99), weight_col="w"
+        ).collect()
+    }
+    got_e = {
+        r["q"]: (r["approx_value"], r["n"])
+        for r in hist_percentiles(
+            expanded, ["g"], "v", width=1.0, qs=(0.5, 0.99)
+        ).collect()
+    }
+    assert got_w == got_e
+    assert got_w[0.5] == (1.0, 6)  # median of {1,1,1,5,9,9} -> bucket 1
+    assert got_w[0.99] == (9.0, 6)
+
+
 def test_hist_percentiles_null_and_single_bucket(spark):
     df = spark.createDataFrame(
         [("a", 5.0), ("a", 5.2), ("a", None), ("a", 5.9)],

@@ -211,8 +211,8 @@ def _join_tuple(cols: list, sep: str = JOIN_CHAR) -> F.Column:
     return F.concat_ws(sep, *[c.cast("string") for c in cols])
 
 
-def _key_col(fam) -> F.Column:
-    parts: list = [F.col(c) for c in fam.key_cols]
+def _key_parts(fam) -> list:
+    parts: list = [F.col(c).cast("string") for c in fam.key_cols]
     # positions are FINAL tuple indices; ascending insertion keeps each
     # later index valid once earlier markers are in place (needed for
     # the two-marker Last*Query keys: (pid, \x1du, user, \x1dq, hex)).
@@ -222,7 +222,11 @@ def _key_col(fam) -> F.Column:
         # USER_TYPE = "\x1d"+"u" (Constants.java:4-6) — so RedisSink's
         # \x1f join yields "…\x1f\x1du\x1f…"; the \x1d prefix is kept.
         parts.insert(pos, F.lit(lit))
-    return _join_tuple(parts)
+    return parts
+
+
+def _key_col(fam) -> F.Column:
+    return F.concat_ws(JOIN_CHAR, *_key_parts(fam))
 
 
 def family_counts(
@@ -252,49 +256,6 @@ def family_counts(
     )
 
 
-def family_counts_multi(
-    flat: DataFrame,
-    fam: KeyFamily,
-    window_configs: tuple = WINDOW_CONFIGS,
-    ts_col: str = "ts",
-    metric_col: str = "agg_metric",
-) -> DataFrame:
-    """All window configs of one family off a SINGLE raw-event shuffle
-    (multi_window_counter), encoded as redis commands — the batch twin
-    of the reference serving every bucket size from one keyed state
-    pass (SlidingCounter.java:215-283). The window-enum tag rides the
-    aggregate and lands directly in the packed feature id (the tag IS
-    the CountWindow bit field); the per-config TTL decodes from the
-    same tag with one chained CASE."""
-    counted = multi_window_counter(
-        flat,
-        [*fam.key_cols, *fam.field_cols, metric_col],
-        ts_col,
-        [(int(enum), window_ms, slide_ms) for window_ms, slide_ms, enum, _ in window_configs],
-    )
-    fid = (
-        F.lit(int(fam.count_type))
-        .cast("long")
-        .bitwiseOR(F.col(metric_col).cast("long"))
-        .bitwiseOR(F.col("window_tag"))
-    )
-    ttl = None
-    for _, _, enum, ttl_s in window_configs:
-        branch = F.when(F.col("window_tag") == int(enum), F.lit(ttl_s).cast("long"))
-        ttl = branch if ttl is None else ttl.when(
-            F.col("window_tag") == int(enum), F.lit(ttl_s).cast("long")
-        )
-    field = _join_tuple([*[F.col(c) for c in fam.field_cols], fid])
-    return counted.select(
-        F.when(F.col("n") != 0, F.lit("HSET")).otherwise(F.lit("HDEL")).alias("command"),
-        _key_col(fam).alias("key"),
-        field.alias("field"),
-        F.col("n").cast("string").alias("value"),
-        ttl.alias("ttl_s"),
-        F.col("emit_ms"),
-    )
-
-
 def unified_sliding_commands(
     flat: DataFrame,
     families: tuple[KeyFamily, ...] = FAMILIES,
@@ -307,7 +268,7 @@ def unified_sliding_commands(
     operator per family and serving all windows from its state
     (CounterJob.java:388-500 + SlidingCounter.java:215-283).
 
-    Each event explodes into one (count_type, key, field_prefix)
+    Each event explodes into one (fidx, key-parts, field-parts)
     struct per family BEFORE the bucket shuffle (an Expand, exactly
     what GROUPING SETS plans), so all families ride ONE raw shuffle
     per slide instead of one per family×config. Shuffled bytes are
@@ -317,30 +278,26 @@ def unified_sliding_commands(
     is one AQE skew/coalesce domain instead of 24 small ones.
 
     The family markers (``USER_TYPE``/``QUERY_TYPE``), key layout and
-    field encoding are byte-identical to ``family_counts`` — the
-    struct carries the already-encoded key string and the field
-    PREFIX (field cols + trailing join char, empty when the family
-    has no field cols), and the packed feature id appends after the
-    aggregate: fid = count_type | metric | window_tag."""
-    by_slide: dict[int, list[tuple[int, int, int]]] = {}
-    for window_ms, slide_ms, enum, ttl_s in window_configs:
-        assert window_ms % slide_ms == 0
-        by_slide.setdefault(slide_ms, []).append(
-            (int(enum), window_ms // slide_ms, ttl_s)
-        )
+    field encoding are byte-identical to ``family_counts``: the struct
+    carries the RAW key/field parts as string ARRAYS — arrays preserve
+    NULL elements, so distinct raw tuples stay distinct through the
+    aggregate exactly as family_counts' raw-column grouping does
+    (encoding the ``concat_ws`` strings before the groupBy collapsed
+    (os=NULL, ua='X') with (os='X', ua=NULL), and a NULL content_id
+    made the content-device struct identical to platform-device's) —
+    plus the family index, which both disambiguates families whose
+    raw parts could coincide and decodes to the count_type (and, with
+    window_tag, the TTL) after the aggregate. The packed feature id
+    appends post-agg: fid = count_type | metric | window_tag."""
     fam_structs = []
-    for fam in families:
-        if fam.field_cols:
-            prefix = F.concat(
-                _join_tuple([F.col(c) for c in fam.field_cols]), F.lit(JOIN_CHAR)
-            )
-        else:
-            prefix = F.lit("")
+    for i, fam in enumerate(families):
         fam_structs.append(
             F.struct(
-                F.lit(int(fam.count_type)).cast("long").alias("ctype"),
-                _key_col(fam).alias("key"),
-                prefix.alias("fprefix"),
+                F.lit(i).alias("fidx"),
+                F.array(*_key_parts(fam)).alias("karr"),
+                F.array(
+                    *[F.col(c).cast("string") for c in fam.field_cols]
+                ).alias("farr"),
             )
         )
     base = flat.select(
@@ -348,75 +305,48 @@ def unified_sliding_commands(
         F.col(metric_col).alias("__metric"),
         F.col(ts_col).alias("__ts"),
     )
-    out: DataFrame | None = None
-    for slide_ms, cfgs in sorted(by_slide.items()):
-        bucket = (
-            (F.unix_millis(F.col("__ts")) / F.lit(slide_ms)).cast("long")
-            * F.lit(slide_ms)
-        ).alias("bucket_ms")
-        b = (
-            base.select("__f", "__metric", bucket)
-            .groupBy("__f", "__metric", "bucket_ms")
-            .agg(F.count(F.lit(1)).alias("bn"))
-        )
-        # flat emit index 1..Σk, decoded by codegen'd CASEs (see
-        # operators/counters.multi_window_counter for the A/B against
-        # the interpreted transform()-struct shape)
-        total_k = sum(k for _, k, _ in cfgs)
-        j = F.col("__j")
-        tag_expr = off_expr = None
-        cum = 0
-        for tag, k, _ttl in cfgs:
-            cond = j <= F.lit(cum + k)
-            t, o = F.lit(tag).cast("long"), (j - F.lit(cum)).cast("long")
-            if tag_expr is None:
-                tag_expr, off_expr = F.when(cond, t), F.when(cond, o)
-            else:
-                tag_expr, off_expr = tag_expr.when(cond, t), off_expr.when(cond, o)
-            cum += k
-        counted = (
-            b.select(
-                "__f",
-                "__metric",
-                "bn",
-                "bucket_ms",
-                F.explode(F.sequence(F.lit(1), F.lit(total_k))).alias("__j"),
-            )
-            .select(
-                "__f",
-                "__metric",
-                "bn",
-                tag_expr.alias("window_tag"),
-                (F.col("bucket_ms") + off_expr * F.lit(slide_ms).cast("long")).alias(
-                    "emit_ms"
-                ),
-            )
-            .groupBy("__f", "__metric", "window_tag", "emit_ms")
-            .agg(F.sum("bn").alias("n"))
-        )
-        fid = (
-            F.col("__f.ctype")
-            .bitwiseOR(F.col("__metric").cast("long"))
-            .bitwiseOR(F.col("window_tag"))
-        )
-        # the per-config TTL decodes from the tag AFTER the aggregate —
-        # decoding before it would only widen the shuffled rows
-        ttl_expr = None
-        for tag, _, ttl_s in cfgs:
-            br = F.when(F.col("window_tag") == tag, F.lit(ttl_s).cast("long"))
-            ttl_expr = br if ttl_expr is None else ttl_expr.when(
-                F.col("window_tag") == tag, F.lit(ttl_s).cast("long")
-            )
-        cmds = counted.select(
-            F.when(F.col("n") != 0, F.lit("HSET")).otherwise(F.lit("HDEL")).alias("command"),
-            F.col("__f.key").alias("key"),
-            F.concat(F.col("__f.fprefix"), fid.cast("string")).alias("field"),
-            F.col("n").cast("string").alias("value"),
-            ttl_expr.alias("ttl_s"),
-            F.col("emit_ms"),
-        )
-        out = cmds if out is None else out.unionByName(cmds)
-    return out
+    # one bucket shuffle per distinct slide + one flat-index expansion
+    # aggregate — the shared operator (see its docstring for the A/Bs
+    # against the transform()-struct and gcd-fine-bucket shapes)
+    counted = multi_window_counter(
+        base,
+        ["__f", "__metric"],
+        "__ts",
+        [
+            (int(enum), window_ms, slide_ms)
+            for window_ms, slide_ms, enum, _ in window_configs
+        ],
+    )
+    # family constants + per-config TTL decode from (fidx, window_tag)
+    # AFTER the aggregate — decoding before it would only widen the
+    # shuffled rows
+    ctype = None
+    for i, fam in enumerate(families):
+        c = F.lit(int(fam.count_type)).cast("long")
+        cond = F.col("__f.fidx") == i
+        ctype = F.when(cond, c) if ctype is None else ctype.when(cond, c)
+    ttl_expr = None
+    for _, _, enum, ttl_s in window_configs:
+        cond = F.col("window_tag") == int(enum)
+        t = F.lit(ttl_s).cast("long")
+        ttl_expr = F.when(cond, t) if ttl_expr is None else ttl_expr.when(cond, t)
+    fid = ctype.bitwiseOR(F.col("__metric").cast("long")).bitwiseOR(
+        F.col("window_tag")
+    )
+    # concat_ws over an array skips NULL elements — the same rule the
+    # spec twin's concat_ws over raw columns applies, just deferred to
+    # after the aggregate
+    field = F.concat_ws(
+        JOIN_CHAR, F.concat(F.col("__f.farr"), F.array(fid.cast("string")))
+    )
+    return counted.select(
+        F.when(F.col("n") != 0, F.lit("HSET")).otherwise(F.lit("HDEL")).alias("command"),
+        F.concat_ws(JOIN_CHAR, F.col("__f.karr")).alias("key"),
+        field.alias("field"),
+        F.col("n").cast("string").alias("value"),
+        ttl_expr.alias("ttl_s"),
+        F.col("emit_ms"),
+    )
 
 
 def counter_commands(
@@ -484,24 +414,36 @@ def unified_last_commands(
     metric_col: str = "agg_metric",
 ) -> DataFrame:
     """All 4 Last* families in ONE window+aggregate pass: each event
-    explodes into one (fid-types, key, ttls) struct per family before
-    the key shuffle, the per-key anchor/last/count aggregate runs once
+    explodes into one (fidx, key-parts) struct per family before the
+    key shuffle, the per-key anchor/last/count aggregate runs once
     over (family-struct, metric), and each result row inlines into its
     TWO commands (timestamp + trailing-count hash fields,
     CounterJob.java:832-834,882-884) via a codegen'd 2-struct array —
-    no union branch per family, no double-computed aggregate."""
+    no union branch per family, no double-computed aggregate.
+
+    The struct carries the RAW key parts as a string ARRAY (NULL
+    elements preserved, so (pid, uid, NULL) and (pid, NULL, uid) stay
+    distinct groups — encoding the concat_ws key before the groupBy
+    collapsed them) plus the family index; the per-family fid types
+    and TTLs are constants, decoded from fidx after the aggregate,
+    which also narrows the shuffled rows."""
     from pyspark.sql import Window
 
     structs = [
         F.struct(
-            F.lit(int(f.ts_fid_type)).cast("long").alias("tstype"),
-            F.lit(int(f.count_fid_type)).cast("long").alias("ctype"),
-            _key_col(f).alias("key"),
-            F.lit(f.ts_ttl_s).cast("long").alias("ts_ttl"),
-            F.lit(f.count_ttl_s).cast("long").alias("count_ttl"),
+            F.lit(i).alias("fidx"),
+            F.array(*_key_parts(f)).alias("karr"),
         )
-        for f in last_families
+        for i, f in enumerate(last_families)
     ]
+
+    def _by_fidx(vals: list[int]) -> F.Column:
+        expr = None
+        for i, v in enumerate(vals):
+            cond = F.col("__f.fidx") == i
+            c = F.lit(v).cast("long")
+            expr = F.when(cond, c) if expr is None else expr.when(cond, c)
+        return expr
     base = flat.select(
         F.explode(F.array(*structs)).alias("__f"),
         F.col(metric_col).alias("__metric"),
@@ -517,27 +459,28 @@ def unified_last_commands(
         F.sum(F.when(in_h, 1).otherwise(0)).alias("n_horizon"),
     )
     cmd = F.when(F.col("n_horizon") != 0, F.lit("HSET")).otherwise(F.lit("HDEL"))
-    ts_fid = F.col("__f.tstype").bitwiseOR(F.col("__metric").cast("long")).bitwiseOR(
-        F.lit(int(CountWindow.NONE)).cast("long")
-    )
-    count_fid = F.col("__f.ctype").bitwiseOR(F.col("__metric").cast("long")).bitwiseOR(
-        F.lit(int(CountWindow.DAY_90)).cast("long")
-    )
+    key = F.concat_ws(JOIN_CHAR, F.col("__f.karr"))
+    ts_fid = _by_fidx([int(f.ts_fid_type) for f in last_families]).bitwiseOR(
+        F.col("__metric").cast("long")
+    ).bitwiseOR(F.lit(int(CountWindow.NONE)).cast("long"))
+    count_fid = _by_fidx([int(f.count_fid_type) for f in last_families]).bitwiseOR(
+        F.col("__metric").cast("long")
+    ).bitwiseOR(F.lit(int(CountWindow.DAY_90)).cast("long"))
     pairs = F.array(
         F.struct(
             cmd.alias("command"),
-            F.col("__f.key").alias("key"),
+            key.alias("key"),
             ts_fid.cast("string").alias("field"),
             F.col("last_ms").cast("string").alias("value"),
-            F.col("__f.ts_ttl").alias("ttl_s"),
+            _by_fidx([f.ts_ttl_s for f in last_families]).alias("ttl_s"),
             F.col("last_ms").alias("emit_ms"),
         ),
         F.struct(
             cmd.alias("command"),
-            F.col("__f.key").alias("key"),
+            key.alias("key"),
             count_fid.cast("string").alias("field"),
             F.col("n_horizon").cast("string").alias("value"),
-            F.col("__f.count_ttl").alias("ttl_s"),
+            _by_fidx([f.count_ttl_s for f in last_families]).alias("ttl_s"),
             F.col("last_ms").alias("emit_ms"),
         ),
     )

@@ -459,7 +459,7 @@ def connected_components(
     src: str,
     dst: str,
     max_iter: int = 25,
-    driver_max_edges: int = 2_000_000,
+    driver_max_edges: int = 500_000,
 ) -> DataFrame:
     """Connected components over an undirected pair list — the step
     that turns near-duplicate PAIRS into dedup CLUSTERS (each doc
@@ -481,24 +481,38 @@ def connected_components(
     Small-graph fast path: near-dup edge lists are usually MUCH
     smaller than the corpus (pairs ≈ true duplicates, not documents),
     and the iterative loop pays 2 driver actions per round of pure
-    scheduling. Below ``driver_max_edges`` symmetrized edges (2M
-    (long,long) rows ≈ 32 MB — the same bounded-driver-state budget
-    as the k-means centroids) a union-find on the driver computes the
-    identical min-label result in one collect. Honest accounting at
-    sf0.1 (cache-isolated A/B): the manifest graph converges in 1-2
-    rounds, so the saving there is only ~0.3-0.5 s — the edge-list
-    materialization dominates either way; the path pays off on
-    graphs needing more rounds (longer chains), and the distributed
-    loop remains for graphs that outgrow the budget. Parity between
-    the two paths is pinned in tests/test_corpus_mix.py.
+    scheduling. Below ``driver_max_edges`` symmetrized edges a
+    union-find on the driver computes the identical min-label result
+    in one Arrow fetch. Driver-memory accounting is for the PYTHON
+    materialization, not the raw payload: 500k edges is ~8 MB of
+    Arrow/numpy plus ~100 MB of Python ints + union-find dicts —
+    bounded, but ~20× the (long,long) bytes, which is why the default
+    budget is conservative; the pure-Python pass itself costs ~0.5 s
+    at the budget, on par with one distributed round's scheduling.
+    Honest accounting at sf0.1 (cache-isolated A/B): the manifest
+    graph converges in 1-2 rounds, so the saving there is only
+    ~0.3-0.5 s — the edge-list materialization dominates either way;
+    the path pays off on graphs needing more rounds (longer chains),
+    and the distributed loop remains for graphs that outgrow the
+    budget. Parity between the two paths is pinned in
+    tests/test_corpus_mix.py.
+
+    NULL ids (a nullable join key upstream) are dropped from the edge
+    list: a null node is no node, and both paths must agree on that
+    (the driver union-find would otherwise crash on int(None) while
+    the distributed joins silently dropped the rows).
     """
     # materialize the symmetrized edge list ONCE: every iteration's
     # neighbor join references `edges`, and without the checkpoint each
     # round re-evaluates the (potentially expensive) pair-generation
     # plan upstream — measured ~1.5 s/round on the manifest chain
     edges = (
-        pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .union(pairs.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+        .select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(
+            pairs.filter(F.col(src).isNotNull() & F.col(dst).isNotNull())
+            .select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
         .distinct()
         .localCheckpoint()
     )
@@ -513,12 +527,12 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        # one collect, not toLocalIterator: the latter runs a fetch
-        # job per partition (32 round trips for a tiny frame); the
-        # frame is count-gated ≤ driver_max_edges so one collect is
-        # bounded by construction
-        for row in edges.collect():
-            a, b = int(row[0]), int(row[1])
+        # one Arrow toPandas + tolist, not collect(): Row objects cost
+        # ~100 B each where the Arrow path moves two numpy columns and
+        # materializes plain ints; the frame is count-gated
+        # ≤ driver_max_edges so the fetch is bounded by construction
+        pdf = edges.toPandas()
+        for a, b in zip(pdf["a"].tolist(), pdf["b"].tolist()):
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)

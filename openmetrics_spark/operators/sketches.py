@@ -12,7 +12,7 @@ they could never be oracle-gated. These twins are:
   DuckDB twin is ``functions.hashing_sql.xxhash64_long_sql``). Every
   intermediate that could depend on aggregation order is an exact
   integer: the register is ``max(rho)`` (associative/commutative), the
-  harmonic-mean denominator is summed as ``2^(53-rho)`` scaled
+  harmonic-mean denominator is summed as ``2^(rho_max-rho)`` scaled
   integers (DECIMAL(38,0) in Spark, HUGEINT in DuckDB), and the only
   float math is a straight-line expression over those exact integers,
   generated from ONE shared SQL template for both engines
@@ -45,11 +45,12 @@ HLL_P = 12  # 2^12 = 4096 registers → ~1.6% standard error
 # expression and the DuckDB oracle so both engines execute the same
 # IEEE ops in the same order on the same exact-integer inputs.
 # Placeholders: {m} = register count, {s} = scaled harmonic-sum column
-# (exact integer, cast to DOUBLE inside), {v} = zero-register count.
-# 9007199254740992.0 = 2^53, the harmonic-sum scale.
+# (exact integer, cast to DOUBLE inside), {v} = zero-register count,
+# {scale} = 2^rho_max, the harmonic-sum scale (a power of two, so the
+# ``.0`` float literal is exact).
 _RAW_EST = (
     "((0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * "
-    "9007199254740992.0 / CAST({s} AS DOUBLE))"
+    "{scale}.0 / CAST({s} AS DOUBLE))"
 )
 _EST = (
     "(CASE WHEN {raw} <= 2.5 * {m}.0 AND {v} > 0 "
@@ -58,12 +59,24 @@ _EST = (
 )
 
 
+def _rho_max(p: int) -> int:
+    """Largest rho a register can hold; also fixes the harmonic-sum
+    scale 2^rho_max (the rho=0 empty-register contribution). p is
+    bounded so every ``2^(rho_max - rho)`` term stays a non-negative
+    BIGINT shift: an unchecked p < 4 once produced a negative shift
+    that Spark's 6-bit shiftleft mask and DuckDB's power() evaluated
+    DIFFERENTLY — garbage estimates that also broke the engine-exact
+    contract."""
+    assert 4 <= p <= 16, f"HLL precision p={p} outside supported [4, 16]"
+    return 64 - p + 1
+
+
 def hll_estimate_sql(s: str, v: str, p: int = HLL_P) -> str:
     """The estimate as one SQL expression (BIGINT) — valid in both
     Spark SQL and DuckDB. ``s`` = scaled harmonic sum column/expr,
     ``v`` = zero-register count column/expr."""
     m = 1 << p
-    raw = _RAW_EST.format(m=m, s=s)
+    raw = _RAW_EST.format(m=m, s=s, scale=1 << _rho_max(p))
     est = _EST.format(raw=raw, m=m, v=v)
     return f"CAST(floor({est} + 0.5) AS BIGINT)"
 
@@ -74,7 +87,7 @@ def hll_register_cols(value_col: str, p: int = HLL_P):
     bit ops + ``length(bin())``; exact integer semantics, no float
     log2), so it drops into batch AND streaming plans unchanged."""
     m = 1 << p
-    rho_max = 64 - p + 1
+    rho_max = _rho_max(p)
     h = F.xxhash64(F.col(value_col))
     w = F.expr(f"shiftrightunsigned(xxhash64({value_col}), {p})")
     bucket = (h.bitwiseAND(F.lit(m - 1))).alias("bucket")
@@ -126,15 +139,19 @@ def hll_estimate(
     """Collapse a register table to per-group estimates:
     ``group_cols + (out BIGINT, registers_used BIGINT)``."""
     m = 1 << p
+    rho_max = _rho_max(p)
     agg = reg.groupBy(*group_cols).agg(
         F.count("*").alias("registers_used"),
         F.sum(
-            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - rho) AS DECIMAL(38,0))")
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), {rho_max} - rho)"
+                " AS DECIMAL(38,0))"
+            )
         ).alias("__ssum"),
     )
-    # exact-integer harmonic sum: empty registers contribute 2^53 each
+    # exact-integer harmonic sum: empty registers contribute 2^rho_max
     s = (
-        f"(CAST({m} - registers_used AS DECIMAL(38,0)) * 9007199254740992"
+        f"(CAST({m} - registers_used AS DECIMAL(38,0)) * {1 << rho_max}"
         " + __ssum)"
     )
     v = f"({m} - registers_used)"
@@ -164,7 +181,7 @@ def hll_registers_sql(
     )
 
     m = 1 << p
-    rho_max = 64 - p + 1
+    rho_max = _rho_max(p)
     if value_is_string:
         hashed = xxhash64_sql(
             f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})",
@@ -192,8 +209,9 @@ def hll_estimate_from_registers_sql(
 ) -> str:
     """DuckDB twin of :func:`hll_estimate` over a register subquery."""
     m = 1 << p
+    rho_max = _rho_max(p)
     s = (
-        f"(({m} - registers_used)::HUGEINT * 9007199254740992 + __ssum)"
+        f"(({m} - registers_used)::HUGEINT * {1 << rho_max} + __ssum)"
     )
     v = f"({m} - registers_used)"
     return f"""(
@@ -201,7 +219,7 @@ def hll_estimate_from_registers_sql(
          registers_used
   FROM (
     SELECT {group_exprs}, count(*) AS registers_used,
-           SUM(CAST(power(2, 53 - rho) AS HUGEINT)) AS __ssum
+           SUM(CAST(power(2, {rho_max} - rho) AS HUGEINT)) AS __ssum
     FROM {registers_sql} GROUP BY ALL
   )
 )"""

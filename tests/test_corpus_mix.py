@@ -124,6 +124,10 @@ def test_connected_components_driver_and_distributed_parity(spark):
         (21, 20),
         # clique 30-33 (min 30)
         (30, 31), (30, 32), (30, 33), (31, 32), (31, 33), (32, 33),
+        # NULL-id rows (nullable upstream join key): no node, ignored
+        # identically by BOTH paths (the driver path once crashed on
+        # int(None) here)
+        (None, 40), (41, None), (None, None),
     ]
     pairs = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
 

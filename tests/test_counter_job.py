@@ -101,6 +101,21 @@ def flat_events(spark):
                 base + i * 60_000,
             )
         )
+    # NULL-bearing rows: a flat feed with missing UA/content/query
+    # fields must flow through the fused fan-out with the SAME group
+    # identity as the per-family spec twins — concat_ws skips NULLs,
+    # so encoding keys/fields BEFORE the groupBy collapsed (os=NULL,
+    # ua=X) with (os=X, ua=NULL) and made a NULL-content content-device
+    # struct identical to platform-device's (double count). These rows
+    # pin that regression (test_unified_builders_match_per_family_spec).
+    imp = int(AggMetric.COUNT_IMPRESSION)
+    rows += [
+        (1, None, "u0", "lu0", "0", "Linux", "Chrome", imp, base + 1_000),
+        (1, "c0", "u0", "lu0", "0", None, "Chrome", imp, base + 2_000),
+        (1, "c0", "u0", "lu0", "0", "Chrome", None, imp, base + 2_000),
+        (1, "c1", None, "lu1", None, None, None, imp, base + 3_000),
+        (1, None, "u1", None, "1", "Linux", None, imp, base + 4_000),
+    ]
     df = spark.createDataFrame(
         rows,
         "platform_id LONG, content_id STRING, user_id STRING, log_user_id STRING,"

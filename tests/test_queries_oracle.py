@@ -52,6 +52,7 @@ def test_no_order_dependent_float_sums_in_oracles():
         # the same doubles and the 4 dp round absorbs the tail
         "doc_unigram_logprob": ["sum(-ln("],
         "doc_unigram_logprob_capped": ["sum(-ln("],
+        "doc_bigram_logprob": ["sum(-ln("],
         # every CASE branch is an exact BIGINT (CAST(floor …) / 0)
         "q8_market_share": ["SUM(CASE WHEN nation"],
         # c / rev_c are integral counts / exact cents — any-order exact

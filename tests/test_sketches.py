@@ -121,6 +121,44 @@ def test_hll_merge_is_exactly_direct(spark, sf_dir):
     assert direct.exceptAll(merged).count() == 0
 
 
+def test_hll_non_default_p_cross_engine(spark):
+    """p is a real parameter, not an alias of 12: at p=10 the
+    harmonic-sum scale must follow rho_max (a hardcoded 2^53 scale
+    once made ``53 - rho`` negative here, which Spark's shiftleft and
+    DuckDB's power() evaluate DIFFERENTLY — garbage that also broke
+    cross-engine agreement). Build registers + estimate in BOTH
+    engines on the same values and require identical BIGINTs."""
+    from openmetrics_spark.operators.sketches import (
+        hll_estimate_from_registers_sql,
+        hll_registers_sql,
+    )
+
+    p = 10
+    vals = [i * 2_654_435_761 % 1_000_003 for i in range(5_000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v LONG").withColumn(
+        "g", F.lit(1)
+    )
+    est = hll_estimate(hll_registers(df, ["g"], "v", p=p), ["g"], p=p).collect()
+    assert len(est) == 1
+    spark_est = est[0]["approx_distinct"]
+    exact = len(set(vals))
+    assert abs(spark_est - exact) / exact < 0.15  # ~4σ at p=10
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t AS SELECT unnest(?::BIGINT[]) AS v", [vals])
+    regs = hll_registers_sql("SELECT 1 AS g, v FROM t", "g", "v", p=p)
+    duck_est = duck.execute(
+        f"SELECT approx_distinct FROM {hll_estimate_from_registers_sql(regs, 'g', p=p)}"
+    ).fetchone()[0]
+    assert int(duck_est) == int(spark_est)
+
+
+def test_hll_p_out_of_range_rejected():
+    with pytest.raises(AssertionError):
+        hll_estimate_sql("0", "v", p=3)
+    with pytest.raises(AssertionError):
+        hll_estimate_sql("0", "v", p=17)
+
+
 def test_linear_counting_branch_cross_engine(spark):
     """The one float op whose cross-engine determinism isn't
     guaranteed by IEEE 754 is ln() (libm vs JVM may differ in the

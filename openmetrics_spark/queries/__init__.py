@@ -154,8 +154,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # families stay covered by the in-window anchors and the 9 TPC-H
     # priority/modified rows.)
     # r7 window priorities, in order: counter_backfill_gate,
-    # doc_bigram_logprob, streaming_approx_distinct and
-    # approx_distinct_buyers_hll (all added
+    # doc_bigram_logprob, streaming_approx_distinct,
+    # approx_distinct_buyers_hll and hll_segment_overlap (all added
     # after this round's window filled — local-green at
     # sf0.001/0.01/0.1 so far), anything modified in r7, then rotate
     # green anchors toward whichever families r6's rows leave

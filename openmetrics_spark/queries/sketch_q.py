@@ -156,6 +156,90 @@ def approx_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _hll_overlap_oracle() -> str:
+    reg = hll_registers_sql(
+        "SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'A' ELSE 'B' END"
+        " AS seg, o_custkey FROM orders"
+        " WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')",
+        "seg",
+        "o_custkey",
+    )
+    per_seg = hll_estimate_from_registers_sql(reg, "seg", out="d")
+    merged = (
+        f"(SELECT 'ALL' AS seg, bucket, max(rho) AS rho FROM {reg}"
+        " GROUP BY ALL)"
+    )
+    union_est = hll_estimate_from_registers_sql(merged, "seg", out="u")
+    return f"""
+WITH seg AS (SELECT seg, d FROM {per_seg}),
+     uni AS (SELECT u FROM {union_est})
+SELECT a_distinct, b_distinct, union_distinct,
+       a_distinct + b_distinct - union_distinct AS overlap_est,
+       CAST(floor((a_distinct + b_distinct - union_distinct) * 10000.0
+                  / union_distinct + 0.5) AS BIGINT) AS jaccard_e4
+FROM (
+  SELECT max(CASE WHEN seg = 'A' THEN d END) AS a_distinct,
+         max(CASE WHEN seg = 'B' THEN d END) AS b_distinct,
+         (SELECT u FROM uni) AS union_distinct
+  FROM seg
+)
+"""
+
+
+@register(
+    "hll_segment_overlap",
+    oracle=_hll_overlap_oracle(),
+    tags=("sketch", "agg"),
+)
+def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL set algebra, driver-gated: distinct-customer OVERLAP between
+    the URGENT and HIGH order segments by inclusion–exclusion —
+    |A∩B| = |A| + |B| − |A∪B| — where |A∪B| comes from MERGING the two
+    segments' register tables (``max(rho)``), never re-reading events.
+    This is the audience-overlap / cross-segment-reach query at 100 TB:
+    the raw data is touched once to build per-segment sketches; every
+    pairwise overlap after that is O(4096) register arithmetic. The
+    overlap inherits ~3× the single-sketch error (three estimates);
+    the Jaccard lands as exact 1e-4 units so the driver hash-gates the
+    approximate values themselves."""
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    segs = orders.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("seg"),
+        "o_custkey",
+    )
+    reg = hll_registers(segs, ["seg"], "o_custkey")
+    per_seg = hll_estimate(reg, ["seg"], out="d")
+    merged = hll_merge_registers(
+        reg.withColumn("seg", F.lit("ALL")), ["seg"]
+    )
+    union_est = hll_estimate(merged, ["seg"], out="u").select("u")
+    wide = per_seg.groupBy().agg(
+        F.max(F.when(F.col("seg") == "A", F.col("d"))).alias("a_distinct"),
+        F.max(F.when(F.col("seg") == "B", F.col("d"))).alias("b_distinct"),
+    )
+    overlap = (
+        F.col("a_distinct") + F.col("b_distinct") - F.col("union_distinct")
+    )
+    return (
+        wide.crossJoin(F.broadcast(union_est.withColumnRenamed("u", "union_distinct")))
+        .select(
+            "a_distinct",
+            "b_distinct",
+            "union_distinct",
+            overlap.alias("overlap_est"),
+            F.floor(
+                overlap * F.lit(10000.0) / F.col("union_distinct") + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("jaccard_e4"),
+        )
+    )
+
+
 def _hll_string_oracle() -> str:
     reg = hll_registers_sql(
         "SELECT year(o.o_orderdate) * 100 + month(o.o_orderdate) AS ym,"

@@ -152,6 +152,37 @@ def test_hll_non_default_p_cross_engine(spark):
     assert int(duck_est) == int(spark_est)
 
 
+def test_hll_overlap_close_to_exact(spark, sf_dir):
+    """Inclusion–exclusion overlap (|A|+|B|−|A∪B| on merged registers)
+    must land near the exact intersection — the error budget is ~3
+    sketch errors wide, so allow a loose absolute band scaled by the
+    union size."""
+    from openmetrics_spark.queries.sketch_q import hll_segment_overlap
+
+    got = hll_segment_overlap(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    orders = table(spark, sf_dir, "orders")
+    a = {
+        x[0]
+        for x in orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    b = {
+        x[0]
+        for x in orders.filter(F.col("o_orderpriority") == "2-HIGH")
+        .select("o_custkey")
+        .distinct()
+        .collect()
+    }
+    exact = len(a & b)
+    union = len(a | b)
+    assert abs(r["overlap_est"] - exact) <= max(0.10 * union, 20)
+    assert r["union_distinct"] <= r["a_distinct"] + r["b_distinct"]
+
+
 def test_hll_p_out_of_range_rejected():
     with pytest.raises(AssertionError):
         hll_estimate_sql("0", "v", p=3)

@@ -249,8 +249,6 @@ def hist_percentiles(
     group; the window + quantile probe run on the post-agg frame.
     Null values are excluded (they have no grid cell).
     """
-    from pyspark.sql import Window
-
     bucket = F.floor(F.col(value_col) / F.lit(float(width))).cast("long")
     w_expr = (
         F.count("*") if weight_col is None else F.sum(weight_col)
@@ -260,6 +258,24 @@ def hist_percentiles(
         .groupBy(*group_cols, bucket.alias("bucket"))
         .agg(w_expr)
     )
+    return hist_percentiles_from_counts(counts, group_cols, width, qs, out)
+
+
+def hist_percentiles_from_counts(
+    counts: DataFrame,
+    group_cols: Sequence[str],
+    width: float,
+    qs: Sequence[float],
+    out: str = "approx_value",
+) -> DataFrame:
+    """The probe half of :func:`hist_percentiles`, over an ALREADY
+    AGGREGATED bucket-count frame (``group_cols + (bucket, cnt)``).
+    Split out because the count half is what a persisted or STREAMING
+    histogram maintains (count is associative — a watermarked window
+    aggregate IS the sketch maintainer, like the HLL register max);
+    the probe then runs batch-side on the drained sink."""
+    from pyspark.sql import Window
+
     w = (
         Window.partitionBy(*group_cols)
         .orderBy("bucket")

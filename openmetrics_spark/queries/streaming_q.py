@@ -1129,3 +1129,83 @@ def streaming_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hll_estimate(
         reg, ["event_type", "window_start_ms"], out="approx_ids"
     ).select("event_type", "window_start_ms", "approx_ids", "registers_used")
+
+
+def _streaming_pctl_oracle() -> str:
+    return """
+WITH counts AS (
+  SELECT event_type,
+         (epoch_ms(ts) // 86400000) * 86400000 AS window_start_ms,
+         CAST(floor(value / 1.0) AS BIGINT) AS bucket, count(*) AS cnt
+  FROM events WHERE value IS NOT NULL GROUP BY ALL
+), cum AS (
+  SELECT event_type, window_start_ms, bucket,
+         SUM(cnt) OVER (PARTITION BY event_type, window_start_ms
+                        ORDER BY bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum,
+         SUM(cnt) OVER (PARTITION BY event_type, window_start_ms) AS n
+  FROM counts
+), probe AS (
+  SELECT event_type, window_start_ms, q, bucket, n
+  FROM cum, (SELECT unnest([0.5, 0.9, 0.99]) AS q) qs
+  WHERE cum >= ceil(q * n)
+)
+SELECT event_type, window_start_ms, q, min(bucket) * 1.0 AS approx_value,
+       CAST(max(n) AS BIGINT) AS n
+FROM probe GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "streaming_value_percentiles",
+    oracle=_streaming_pctl_oracle(),
+    tags=("streaming", "sketch"),
+)
+def streaming_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The histogram-percentile sketch running INSIDE Structured
+    Streaming: per (type, day) bucket counts via a watermarked
+    tumbling-window COUNT aggregate — count is associative, so like
+    the streaming HLL the sketch needs no custom state machine;
+    Spark's built-in streaming aggregation maintains the histogram
+    with state bounded by groups × range/width buckets regardless of
+    throughput. The staged multi-batch replay proves counts survive
+    micro-batch boundaries; the cumulative scan + p50/p90/p99 probe
+    run batch-side on the drained bucket sink
+    (``hist_percentiles_from_counts``), and the oracle recomputes
+    histogram AND probe relationally — hash-exact."""
+    from openmetrics_spark.operators.sketches import (
+        hist_percentiles_from_counts,
+    )
+
+    work = _workdir("pctlstream")
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value", F.unix_millis("ts").alias("ms")
+    )
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+    hist_stream = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "ts",
+            F.floor(F.col("value") / F.lit(1.0)).cast("long").alias("bucket"),
+        )
+        .groupBy(F.window("ts", "1 day"), "event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "event_type",
+            "bucket",
+            "cnt",
+        )
+    )
+    out = os.path.join(work, "buckets")
+    with _stream_shuffle_partitions(spark):
+        _drain(hist_stream, out, os.path.join(work, "_chk", "buckets"))
+    counts = spark.read.parquet(out).filter(F.col("event_type") != "zz")
+    return hist_percentiles_from_counts(
+        counts, ["event_type", "window_start_ms"], width=1.0, qs=(0.5, 0.9, 0.99)
+    ).select("event_type", "window_start_ms", "q", "approx_value", "n")

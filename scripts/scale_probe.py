@@ -61,9 +61,37 @@ def main() -> int:
         ngram_jaccard_pairs,
         simhash_neardup_pairs,
     )
+    from openmetrics_spark.jobs.counter import counter_commands
     from openmetrics_spark.operators.counters import sliding_counter
     from openmetrics_spark.session import get_spark
     from openmetrics_spark.tables import release_caches, table
+
+    def _flatify(ev):
+        """Counter-job flat-event shape off the events table — key
+        cardinality rides user_id/event_id, so replicas add keys."""
+        return ev.select(
+            (F.col("user_id") % 4).alias("platform_id"),
+            F.concat(
+                F.lit("c"), (F.col("event_id") % 50).cast("string")
+            ).alias("content_id"),
+            F.concat(F.lit("u"), F.col("user_id").cast("string")).alias(
+                "user_id"
+            ),
+            F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias(
+                "log_user_id"
+            ),
+            F.lower(F.hex(F.col("event_id") % 256)).alias("query_hex"),
+            F.element_at(
+                F.array(F.lit("Linux"), F.lit("iOS"), F.lit("Mac OS X")),
+                (F.col("event_id") % 3 + 1).cast("int"),
+            ).alias("os"),
+            F.element_at(
+                F.array(F.lit("Chrome"), F.lit("Mobile Safari")),
+                (F.col("event_id") % 2 + 1).cast("int"),
+            ).alias("user_agent_family"),
+            F.lit(32).cast("long").alias("agg_metric"),
+            "ts",
+        )
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     copies = int(os.environ.get("SCALE_PROBE_COPIES", "8"))
@@ -99,6 +127,12 @@ def main() -> int:
         "hist_percentiles": lambda e: hist_percentiles(
             e, ["event_type"], "value", width=1.0, qs=(0.5, 0.9, 0.99)
         ),
+        # the WHOLE fused counter fan-out (6 families x 4 windows off
+        # one struct-array explode + one bucket shuffle per slide):
+        # replicated users mean 8x distinct keys, so both the shuffled
+        # bucket rows and the output grow ~linearly — the ratio checks
+        # that no family x window branch re-scans raw events
+        "counter_fanout": lambda e: counter_commands(_flatify(e)),
     }
     inputs = {
         "ngram_jaccard": (docs1, docsN),
@@ -107,6 +141,7 @@ def main() -> int:
         "sliding_counter": (ev1, evN),
         "hll_distinct": (ev1, evN),
         "hist_percentiles": (ev1, evN),
+        "counter_fanout": (ev1, evN),
     }
 
     def run(df) -> tuple[float, int]:

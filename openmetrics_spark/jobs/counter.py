@@ -289,19 +289,8 @@ def unified_sliding_commands(
     raw parts could coincide and decodes to the count_type (and, with
     window_tag, the TTL) after the aggregate. The packed feature id
     appends post-agg: fid = count_type | metric | window_tag."""
-    fam_structs = []
-    for i, fam in enumerate(families):
-        fam_structs.append(
-            F.struct(
-                F.lit(i).alias("fidx"),
-                F.array(*_key_parts(fam)).alias("karr"),
-                F.array(
-                    *[F.col(c).cast("string") for c in fam.field_cols]
-                ).alias("farr"),
-            )
-        )
     base = flat.select(
-        F.explode(F.array(*fam_structs)).alias("__f"),
+        F.explode(F.array(*fam_explode_structs(families))).alias("__f"),
         F.col(metric_col).alias("__metric"),
         F.col(ts_col).alias("__ts"),
     )
@@ -317,9 +306,35 @@ def unified_sliding_commands(
             for window_ms, slide_ms, enum, _ in window_configs
         ],
     )
-    # family constants + per-config TTL decode from (fidx, window_tag)
-    # AFTER the aggregate — decoding before it would only widen the
-    # shuffled rows
+    return encode_sliding_commands(counted, families, window_configs)
+
+
+def fam_explode_structs(families: tuple[KeyFamily, ...]) -> list:
+    """One (fidx, key-parts, field-parts) struct per family — the
+    pre-shuffle explode payload of the fused fan-out; also the group
+    key its STREAMING twin's tumbling-window aggregate maintains."""
+    return [
+        F.struct(
+            F.lit(i).alias("fidx"),
+            F.array(*_key_parts(fam)).alias("karr"),
+            F.array(
+                *[F.col(c).cast("string") for c in fam.field_cols]
+            ).alias("farr"),
+        )
+        for i, fam in enumerate(families)
+    ]
+
+
+def encode_sliding_commands(
+    counted: DataFrame,
+    families: tuple[KeyFamily, ...],
+    window_configs: tuple,
+) -> DataFrame:
+    """Encode a counted fan-out frame (``__f`` struct + ``__metric`` +
+    ``window_tag`` + ``emit_ms`` + ``n``) into redis commands. Family
+    constants + per-config TTL decode from (fidx, window_tag) AFTER
+    the aggregate — decoding before it would only widen the shuffled
+    rows."""
     ctype = None
     for i, fam in enumerate(families):
         c = F.lit(int(fam.count_type)).cast("long")

@@ -142,51 +142,65 @@ def multi_window_counter(
         if value_col is not None:
             base_cols.append(F.col(value_col))
         b = df.select(*base_cols).groupBy(*key_cols, "bucket_ms").agg(agg)
-        # ONE explode of a flat index 1..Σk_c, decoded to (tag, offset)
-        # by chained CASEs — everything stays in whole-stage codegen.
-        # (A transform()-built array of (tag, emit) structs was tried
-        # first: higher-order-function lambda bodies evaluate
-        # interpreted per element, and the A/B at sf0.1 measured the
-        # struct-array build 33% slower than the old per-config path;
-        # this shape beat it.)
         ks = [(tag, window_ms // slide_ms) for tag, window_ms in cfgs]
-        total_k = sum(k for _, k in ks)
-        j = F.col("__j")
-        tag_expr: Column | None = None
-        off_expr: Column | None = None
-        cum = 0
-        for tag, k in ks:
-            cond = j <= F.lit(cum + k)
-            t = F.lit(tag).cast("long")
-            o = (j - F.lit(cum)).cast("long")
-            if tag_expr is None:
-                tag_expr, off_expr = F.when(cond, t), F.when(cond, o)
-            else:
-                tag_expr, off_expr = tag_expr.when(cond, t), off_expr.when(cond, o)
-            cum += k
-        exp = b.select(
-            *key_cols,
-            "bn",
-            "bucket_ms",
-            F.explode(F.sequence(F.lit(1), F.lit(total_k))).alias("__j"),
-        ).select(
-            *key_cols,
-            "bn",
-            tag_expr.alias("window_tag"),
-            (
-                F.col("bucket_ms")
-                + off_expr * F.lit(slide_ms).cast("long")
-            ).alias("emit_ms"),
-        )
-        outs.append(
-            exp.groupBy(*key_cols, "window_tag", "emit_ms").agg(
-                F.sum("bn").alias("n")
-            )
-        )
+        outs.append(expand_bucket_counts(b, key_cols, ks, slide_ms))
     out = outs[0]
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def expand_bucket_counts(
+    b: DataFrame,
+    key_cols: Sequence[str],
+    ks: Sequence[tuple[int, int]],
+    slide_ms: int,
+) -> DataFrame:
+    """The expansion half of :func:`multi_window_counter`, over an
+    ALREADY AGGREGATED slide-bucket frame (``key_cols + (bucket_ms,
+    bn)``) — split out because the bucket count is what a persisted or
+    STREAMING tumbling-window aggregate maintains; the k-fold window
+    expansion is stateless and runs batch-side on the drained sink.
+    ``ks``: (tag, k) pairs sharing this slide. Output: key cols +
+    ``window_tag`` + ``emit_ms`` + ``n``.
+
+    ONE explode of a flat index 1..Σk_c, decoded to (tag, offset) by
+    chained CASEs — everything stays in whole-stage codegen. (A
+    transform()-built array of (tag, emit) structs was tried first:
+    higher-order-function lambda bodies evaluate interpreted per
+    element, and the A/B at sf0.1 measured the struct-array build 33%
+    slower than the old per-config path; this shape beat it.)"""
+    total_k = sum(k for _, k in ks)
+    j = F.col("__j")
+    tag_expr: Column | None = None
+    off_expr: Column | None = None
+    cum = 0
+    for tag, k in ks:
+        cond = j <= F.lit(cum + k)
+        t = F.lit(tag).cast("long")
+        o = (j - F.lit(cum)).cast("long")
+        if tag_expr is None:
+            tag_expr, off_expr = F.when(cond, t), F.when(cond, o)
+        else:
+            tag_expr, off_expr = tag_expr.when(cond, t), off_expr.when(cond, o)
+        cum += k
+    exp = b.select(
+        *key_cols,
+        "bn",
+        "bucket_ms",
+        F.explode(F.sequence(F.lit(1), F.lit(total_k))).alias("__j"),
+    ).select(
+        *key_cols,
+        "bn",
+        tag_expr.alias("window_tag"),
+        (
+            F.col("bucket_ms")
+            + off_expr * F.lit(slide_ms).cast("long")
+        ).alias("emit_ms"),
+    )
+    return exp.groupBy(*key_cols, "window_tag", "emit_ms").agg(
+        F.sum("bn").alias("n")
+    )
 
 
 def last_time_and_count(

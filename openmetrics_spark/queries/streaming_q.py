@@ -1187,6 +1187,11 @@ def streaming_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist_stream = (
         _stream(spark, staged)
         .withWatermark("ts", "2 seconds")
+        # safe even though Catalyst pushes this below the watermark
+        # node: the sentinel's value is 0.0 (non-null), so it still
+        # reaches the watermark stats and flushes the final window —
+        # a filter that DROPPED the sentinel pre-watermark would lose
+        # the last window (see streaming_counter_commands)
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
@@ -1209,3 +1214,140 @@ def streaming_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hist_percentiles_from_counts(
         counts, ["event_type", "window_start_ms"], width=1.0, qs=(0.5, 0.9, 0.99)
     ).select("event_type", "window_start_ms", "q", "approx_value", "n")
+
+
+def _streaming_counter_oracle() -> str:
+    from openmetrics_spark.jobs.counter import DAY_MS, FAMILIES, HOUR_MS
+    from openmetrics_spark.queries.counter_q import _UA_FIXTURE, _sliding_sql
+
+    from openmetrics_spark.functions.feature_ids import CountWindow
+
+    streams = [
+        _sliding_sql(fam, DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400)
+        for fam in (FAMILIES[0], FAMILIES[1], FAMILIES[3])
+    ]
+    body = "\nUNION ALL\n".join(streams)
+    n_ua = len(_UA_FIXTURE)
+    os_cases = " ".join(
+        f"WHEN {i} THEN '{os}'" for i, (_, os, _) in enumerate(_UA_FIXTURE)
+    )
+    fam_cases = " ".join(
+        f"WHEN {i} THEN '{fam}'" for i, (_, _, fam) in enumerate(_UA_FIXTURE)
+    )
+    return f"""
+WITH flat AS (
+  SELECT user_id % 4 AS platform_id,
+         'lu' || CAST(user_id AS VARCHAR) AS log_user_id,
+         'c' || CAST(CAST(json_extract(props, '$.k') AS INT) % 10 AS VARCHAR)
+           AS content_id,
+         epoch_ms(ts) AS ms,
+         CASE user_id % {n_ua} {os_cases} END AS os,
+         CASE user_id % {n_ua} {fam_cases} END AS user_agent_family,
+         CAST(CASE event_type WHEN 'view' THEN 32 WHEN 'click' THEN 64
+              ELSE 96 END AS BIGINT) AS agg_metric
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+)
+{body}
+"""
+
+
+@register(
+    "streaming_counter_commands",
+    oracle=_streaming_counter_oracle(),
+    tags=("streaming", "counter"),
+)
+def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fused multi-family counter fan-out running INSIDE
+    Structured Streaming — the reference CounterJob's actual
+    deployment shape (a Flink streaming job feeding Redis,
+    CounterJob.java:388-500). Each event explodes into one
+    (fidx, key-parts, field-parts) struct per family BEFORE the
+    watermarked tumbling-window aggregate, so the stream maintains ONE
+    keyed count state across all families (the same grouping-sets
+    shape as the batch plan, state bounded by keys × open windows, no
+    custom state machine); the stateless k-fold window expansion and
+    the redis key/field/FeatureId encoding run batch-side on the
+    drained bucket sink (``expand_bucket_counts`` +
+    ``encode_sliding_commands`` — the exact halves the batch job
+    uses). Three families (platform-device, content-device, log-user)
+    × the DAY config (4 h slide, k=6, 2 d TTL); the staged multi-batch
+    replay proves bucket counts survive micro-batch boundaries, and
+    the oracle reconstructs the full command stream relationally."""
+    from openmetrics_spark.functions.feature_ids import CountWindow
+    from openmetrics_spark.functions.ua import agent_family, os_family
+    from openmetrics_spark.jobs.counter import (
+        DAY_MS,
+        FAMILIES,
+        HOUR_MS,
+        encode_sliding_commands,
+        fam_explode_structs,
+    )
+    from openmetrics_spark.operators.counters import expand_bucket_counts
+    from openmetrics_spark.queries.counter_q import _UA_FIXTURE
+
+    fams = (FAMILIES[0], FAMILIES[1], FAMILIES[3])
+    cfg = (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400)
+    work = _workdir("counterstream")
+    ev = table(spark, sf_dir, "events")
+    ua = F.element_at(
+        F.array(*[F.lit(s) for s, _, _ in _UA_FIXTURE]),
+        (F.col("user_id") % len(_UA_FIXTURE) + 1).cast("int"),
+    )
+    flat = ev.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select(
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias(
+            "log_user_id"
+        ),
+        F.concat(
+            F.lit("c"),
+            (F.get_json_object("props", "$.k").cast("int") % 10).cast("string"),
+        ).alias("content_id"),
+        os_family(ua).alias("os"),
+        agent_family(ua).alias("user_agent_family"),
+        F.when(F.col("event_type") == "view", 32)
+        .when(F.col("event_type") == "click", 64)
+        .otherwise(96)
+        .cast("long")
+        .alias("agg_metric"),
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    staged = os.path.join(work, "flat")
+    _restage(spark, flat, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+    # the far-future sentinel row must flow INTO the aggregate: a
+    # pre-agg filter on a non-event-time column gets pushed BELOW the
+    # EventTimeWatermark node by Catalyst, so the sentinel would never
+    # reach the watermark stats and the final window would never
+    # finalize (observed: last 4 h bucket missing). Its groups are
+    # dropped post-drain instead — platform_id is -1 only on the
+    # sentinel (real platforms are user_id % 4 >= 0).
+    bucket_stream = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .select(
+            F.explode(F.array(*fam_explode_structs(fams))).alias("__f"),
+            F.col("agg_metric").alias("__metric"),
+            "ts",
+        )
+        .groupBy(F.window("ts", "4 hours"), "__f", "__metric")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "__f",
+            "__metric",
+            "bn",
+        )
+    )
+    out = os.path.join(work, "buckets")
+    with _stream_shuffle_partitions(spark):
+        _drain(bucket_stream, out, os.path.join(work, "_chk", "buckets"))
+    b = spark.read.parquet(out).filter(
+        F.element_at(F.col("__f.karr"), 1) != F.lit("-1")
+    )
+    counted = expand_bucket_counts(
+        b, ["__f", "__metric"], [(int(CountWindow.DAY), DAY_MS // (4 * HOUR_MS))],
+        4 * HOUR_MS,
+    )
+    return encode_sliding_commands(counted, fams, (cfg,))

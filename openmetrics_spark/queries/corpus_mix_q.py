@@ -1170,3 +1170,133 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.filter(bucket < rate).select(
         "doc_id", "n_tokens", "quality"
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_dedup_spans_rewrite — the REWRITE half of Lee et al. span dedup:
+# not just measuring cross-document repeated substrings
+# (doc_dup_span_coverage) but REMOVING them, emitting the cleaned
+# canonical token stream per document.
+# ---------------------------------------------------------------------------
+
+_SPAN_REWRITE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), p AS (
+  SELECT doc_id, i + 1 AS i, {_SPAN_SQL_HASH} AS w
+  FROM t, unnest(range(len(tok) - {_SPAN_N - 1})) r(i)
+  WHERE len(tok) >= {_SPAN_N}
+), d AS (
+  SELECT w FROM (SELECT DISTINCT doc_id, w FROM p)
+  GROUP BY w HAVING count(*) >= 2
+), cover AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, i FROM p JOIN d USING (w)),
+       unnest(range(i, i + {_SPAN_N})) r2(pos)
+), toks AS (
+  SELECT doc_id, pos, tok[pos] AS token
+  FROM t, unnest(range(1, len(tok) + 1)) r(pos)
+), kept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY pos) AS cleaned
+  FROM toks ANTI JOIN cover USING (doc_id, pos)
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.tok) AS BIGINT) AS n_tokens,
+       CAST(len(t.tok) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       coalesce(k.cleaned, '') AS cleaned_text
+FROM t LEFT JOIN kept k USING (doc_id)
+"""
+
+
+@register(
+    "doc_dedup_spans_rewrite",
+    oracle=_SPAN_REWRITE_ORACLE,
+    tags=("llm", "dedup"),
+)
+def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Remove every token covered by a cross-document repeated
+    20-token window (hash df >= 2 distinct docs) and emit the
+    cleaned canonical token stream — the rewrite Lee et al. perform
+    with a suffix array, as three hash-partitioned aggregates plus one
+    position anti-join. Output: doc_id, n_tokens, n_removed,
+    cleaned_text ('' when the whole doc is duplicated text).
+
+    Scale shape: detection is identical to doc_dup_span_coverage —
+    posting rows are (doc, pos, long-hash), never window strings; the
+    dup-hash set is the HAVING>=2 aggregate of the posting list. The
+    rewrite side is the honest cost of producing output: covered
+    positions explode only off DUP windows (small in a real corpus),
+    and the kept token stream shuffles once on doc_id for the ordered
+    reassembly — O(corpus tokens), the same order as writing the
+    cleaned corpus back out, which is the job. The per-doc reassembly
+    sorts a bounded struct array (array_sort + transform) rather than
+    windowing raw rows."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    tok = tokens("text")
+    t = pin(docs.select("doc_id", tok.alias("tok")))
+    idx = F.when(
+        F.size("tok") >= _SPAN_N,
+        F.sequence(F.lit(1), F.size("tok") - (_SPAN_N - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(F.col("tok"), i, _SPAN_N), " ")
+    )
+    p = pin(
+        t.select("doc_id", F.posexplode(grams).alias("p0", "g")).select(
+            "doc_id",
+            (F.col("p0") + 1).alias("i"),
+            F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("w"),
+        )
+    )
+    dup_w = (
+        p.select("doc_id", "w")
+        .distinct()
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .filter(F.col("d") >= 2)
+        .select("w")
+    )
+    cover = (
+        p.join(dup_w, "w")
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    toks = t.select("doc_id", F.posexplode("tok").alias("p0", "token")).select(
+        "doc_id", (F.col("p0") + 1).alias("pos"), "token"
+    )
+    kept = (
+        toks.join(cover, ["doc_id", "pos"], "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("token")))
+                    ),
+                    lambda s: s["token"],
+                ),
+                " ",
+            ).alias("cleaned"),
+        )
+    )
+    return t.select("doc_id", F.size("tok").cast("long").alias("n_tokens")).join(
+        kept, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+    )

@@ -222,3 +222,41 @@ def test_simhash_base_matches_column_simhash(spark):
     }
     assert spec == fast
     assert fast[4] == 0 and fast[5] == 0
+
+
+def test_dedup_spans_rewrite_semantics(spark):
+    """A 20-token span shared by two docs must vanish from BOTH, text
+    unique to each doc must survive, and short docs (< 20 tokens) are
+    untouched — including when their text appears inside another doc's
+    removed span."""
+    from openmetrics_spark.queries import corpus_mix_q as m
+
+    shared = " ".join(f"w{i}" for i in range(20))
+    rows = [
+        (1, shared + " alpha beta gamma"),
+        (2, "delta " + shared),
+        (3, "w0 w1 w2"),  # < 20 tokens: no windows, kept verbatim
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    import openmetrics_spark.tables as tables
+
+    orig = tables.table
+    tables.table = lambda sp, sf, name: docs
+    m.table = tables.table
+    try:
+        got = {
+            r["doc_id"]: r
+            for r in m.doc_dedup_spans_rewrite(spark, "unused").collect()
+        }
+    finally:
+        tables.table = orig
+        m.table = orig
+    assert got[1]["cleaned_text"] == "alpha beta gamma"
+    assert got[1]["n_removed"] == 20 and got[1]["n_tokens"] == 23
+    assert got[2]["cleaned_text"] == "delta"
+    assert got[2]["n_removed"] == 20
+    assert got[3]["cleaned_text"] == "w0 w1 w2"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["cleaned_text"] == "" and got[4]["n_tokens"] == 0

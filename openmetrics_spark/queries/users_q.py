@@ -139,3 +139,146 @@ def user_versioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ignore_usage").cast("string").alias("ignore_usage"),
         "properties_json",
     )
+
+
+# ---------------------------------------------------------------------------
+# user_scd2_intervals — the warehouse-facing shape of the versioned
+# user state: a slowly-changing-dimension type-2 table. Consecutive
+# folded versions with identical merged attributes COLLAPSE into one
+# row carrying [valid_from_ms, valid_to_ms) — the dimension a batch
+# join at any point in time probes with BETWEEN instead of re-running
+# the as-of machinery.
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH upd AS (
+  SELECT user_id % 4 AS platform_id,
+         'lu' || CAST(user_id AS VARCHAR) AS log_user_id,
+         epoch_ms(ts) AS ms, event_id,
+         CASE WHEN event_id % 2 = 0
+              THEN 'u' || CAST(user_id AS VARCHAR) || '.' || CAST(event_id AS VARCHAR)
+         END AS uid_val,
+         (event_id % 5 = 0) AS is_int,
+         (event_id % 7 = 0) AS ign,
+         CASE WHEN event_id % 3 = 0
+              THEN '{"v":' || CAST(event_id AS VARCHAR) || '}'
+         END AS props
+  FROM events WHERE event_type = 'signup'
+),
+eff AS (
+  SELECT platform_id, log_user_id, ms, event_id,
+         last_value(CASE WHEN uid_val IS NOT NULL AND uid_val != ''
+                         THEN uid_val END IGNORE NULLS) OVER w AS user_id,
+         (MAX(CASE WHEN is_int THEN 1 ELSE 0 END) OVER w = 1) AS is_internal_user,
+         ign AS ignore_usage,
+         last_value(props IGNORE NULLS) OVER w AS properties_json
+  FROM upd
+  WINDOW w AS (PARTITION BY platform_id, log_user_id
+               ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)
+),
+vers AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY platform_id, log_user_id, ms ORDER BY event_id DESC
+    ) AS rn FROM eff
+  ) WHERE rn = 1
+),
+flagged AS (
+  SELECT *,
+         CASE WHEN struct_pack(u := user_id, i := is_internal_user,
+                               g := ignore_usage, p := properties_json)
+              IS DISTINCT FROM lag(struct_pack(u := user_id,
+                               i := is_internal_user, g := ignore_usage,
+                               p := properties_json)) OVER wk
+              THEN 1 ELSE 0 END AS chg
+  FROM vers
+  WINDOW wk AS (PARTITION BY platform_id, log_user_id ORDER BY ms, event_id)
+),
+grp AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY platform_id, log_user_id
+                           ORDER BY ms, event_id
+                           ROWS UNBOUNDED PRECEDING) AS g
+  FROM flagged
+),
+iv AS (
+  SELECT platform_id, log_user_id, g,
+         MIN(ms) AS valid_from_ms,
+         CAST(count(*) AS BIGINT) AS n_versions,
+         user_id,
+         CAST(is_internal_user AS VARCHAR) AS is_internal_user,
+         CAST(ignore_usage AS VARCHAR) AS ignore_usage,
+         properties_json
+  FROM grp
+  GROUP BY platform_id, log_user_id, g, user_id, is_internal_user,
+           ignore_usage, properties_json
+)
+SELECT platform_id, log_user_id, valid_from_ms,
+       lead(valid_from_ms) OVER (PARTITION BY platform_id, log_user_id
+                                 ORDER BY valid_from_ms) AS valid_to_ms,
+       n_versions, user_id, is_internal_user, ignore_usage, properties_json
+FROM iv
+"""
+
+
+@register("user_scd2_intervals", oracle=_SCD2_ORACLE, tags=("join", "user"))
+def user_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 build over the folded user versions: consecutive
+    versions whose merged attributes are null-safe-identical collapse
+    into one half-open validity interval [valid_from_ms, valid_to_ms)
+    (valid_to_ms NULL = current row), with n_versions counting the
+    collapsed updates. This is the materialized-dimension alternative
+    to the as-of UserJoin: build once, probe with BETWEEN.
+
+    Scale shape: one shuffle on the user key serves the fold window,
+    the per-ms dedup, the change-flag lag, the running-group sum, the
+    interval aggregate AND the valid_to lead — every step is
+    partitioned by the same key, so Catalyst reuses the exchange; no
+    raw-event shuffle, state bounded per key by its update count."""
+    from pyspark.sql import Window
+
+    from openmetrics_spark.operators.joins import effective_users
+
+    ev = table(spark, sf_dir, "events")
+    upd = derive_user_updates(ev)
+    eff = effective_users(
+        upd,
+        ("platform_id", "log_user_id"),
+        ts_col="log_timestamp",
+        order_col="event_id",
+    )
+    attrs = ["user_id", "is_internal_user", "ignore_usage", "properties_json"]
+    wv = Window.partitionBy(
+        "platform_id", "log_user_id", "log_timestamp"
+    ).orderBy(F.col("event_id").desc())
+    vers = (
+        eff.withColumn("__rn", F.row_number().over(wv))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    wk = Window.partitionBy("platform_id", "log_user_id").orderBy(
+        "log_timestamp", "event_id"
+    )
+    cur = F.struct(*[F.col(c) for c in attrs])
+    changed = ~F.lag(cur).over(wk).eqNullSafe(cur)
+    grp = vers.withColumn("__chg", changed.cast("int")).withColumn(
+        "__g",
+        F.sum("__chg").over(wk.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = grp.groupBy("platform_id", "log_user_id", "__g", *attrs).agg(
+        F.min("log_timestamp").alias("valid_from_ms"),
+        F.count(F.lit(1)).alias("n_versions"),
+    )
+    wl = Window.partitionBy("platform_id", "log_user_id").orderBy(
+        "valid_from_ms"
+    )
+    return iv.select(
+        "platform_id",
+        "log_user_id",
+        "valid_from_ms",
+        F.lead("valid_from_ms").over(wl).alias("valid_to_ms"),
+        "n_versions",
+        "user_id",
+        F.col("is_internal_user").cast("string").alias("is_internal_user"),
+        F.col("ignore_usage").cast("string").alias("ignore_usage"),
+        "properties_json",
+    )

@@ -156,3 +156,21 @@ def test_counter_fanout_exchange_budget(spark, sf_dir):
     plan = _plan(spark, sf_dir, "counter_commands_full")
     n_exchanges = plan.count("Exchange hashpartitioning")
     assert n_exchanges < 12, f"{n_exchanges} exchanges\n{plan[:2000]}"
+
+
+def test_scd2_intervals_single_exchange(spark, sf_dir):
+    """The SCD2 build's fold window, per-ms dedup, change-flag lag,
+    running-group sum, interval aggregate and valid_to lead all ride
+    ONE hash exchange on the user key — the docstring's scale claim,
+    pinned on the executed plan."""
+    import re
+
+    from openmetrics_spark.queries.users_q import user_scd2_intervals
+
+    plan = (
+        user_scd2_intervals(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1

@@ -80,16 +80,19 @@ def brute_topk(
     vec_col: str,
     query_ids: DataFrame,
     k: int = 5,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors (excluding self) for every id in
     ``query_ids`` (a one-column DF of ids). Queries are broadcast —
     the big side streams through unshuffled; the only shuffle is the
-    per-query top-k (tiny)."""
+    per-query top-k (tiny). ``candidates`` restricts the searched side
+    (filtered vector search — e.g. a metadata predicate pre-applied);
+    queries always resolve against the full ``embeddings`` frame."""
     q = (
         embeddings.join(query_ids, on=id_col, how="left_semi")
         .select(F.col(id_col).alias("query_id"), _dvec(F.col(vec_col)).alias("qv"))
     )
-    c = embeddings.select(
+    c = (embeddings if candidates is None else candidates).select(
         F.col(id_col).alias("neighbor_id"), _dvec(F.col(vec_col)).alias("cv")
     )
     scored = (

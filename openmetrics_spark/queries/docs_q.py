@@ -1239,3 +1239,53 @@ def minhash_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=4,
         threshold=0.5,
     )
+
+
+_ANN_FILTERED_ORACLE = """
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), s AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, v) AS raw_cos
+  FROM q, e WHERE e.vec_id != query_id AND e.label <= 2
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+
+
+@register(
+    "ann_filtered_topk", oracle=_ANN_FILTERED_ORACLE, tags=("llm", "similarity")
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — top-5 cosine neighbors restricted to
+    candidates passing a metadata predicate (label <= 2), the
+    "search within a collection/tenant/language" shape every real
+    retrieval deployment needs. The predicate prunes candidates
+    BEFORE any distance math: it is a plain comparison on a scan
+    column, so it reaches the parquet reader as a pushed filter
+    (asserted in tests/test_plans.py) and the distance pass streams
+    only the surviving fraction — at 100 TB the filter, not the ANN
+    index, is the first-order cost lever. Composes unchanged with the
+    IVF/LSH candidate generators (filter the candidate side before
+    the bucket join)."""
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    q_ids = emb.select("vec_id").filter(F.col("vec_id") < 10)
+    out = brute_topk(
+        emb,
+        "vec_id",
+        "embedding",
+        q_ids,
+        k=5,
+        candidates=emb.filter(F.col("label") <= 2),
+    )
+    return out.withColumn("rank", F.col("rank").cast("long"))

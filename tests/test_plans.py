@@ -174,3 +174,18 @@ def test_scd2_intervals_single_exchange(spark, sf_dir):
         .toString()
     )
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
+    """Filtered vector search's metadata predicate must reach the
+    parquet reader — the candidate scan carries a PushedFilters entry
+    for label, so the distance pass streams only the surviving rows."""
+    from openmetrics_spark.queries.docs_q import ann_filtered_topk
+
+    plan = (
+        ann_filtered_topk(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LessThanOrEqual(label,2)" in plan, plan[:2000]

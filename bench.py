@@ -31,8 +31,11 @@ counter_commands_full r6 vs r5 is a real plan change (~2x).
 r6 additionally adds 4 headliners for the round's new/optimized ops
 (minhash_lsh_neardup after its codegen-signature rewrite,
 counter_commands_weekly, corpus_bpe_encode, and the new
-approx_distinct_customers_hll sketch) — the r6 total is again
-NOT comparable to r5's; per-query times are.
+approx_distinct_customers_hll sketch), then 4 more for the late-r6
+additions (streaming_counter_commands — the fused fan-out as a real
+streaming replay, user_scd2_intervals, doc_dedup_spans_rewrite,
+hll_segment_overlap) — the r6 total is again NOT comparable to r5's;
+per-query times are.
 """
 
 from __future__ import annotations

@@ -1214,6 +1214,7 @@ FROM t LEFT JOIN kept k USING (doc_id)
 @register(
     "doc_dedup_spans_rewrite",
     oracle=_SPAN_REWRITE_ORACLE,
+    headline=True,
     tags=("llm", "dedup"),
 )
 def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -189,6 +189,7 @@ FROM (
 @register(
     "hll_segment_overlap",
     oracle=_hll_overlap_oracle(),
+    headline=True,
     tags=("sketch", "agg"),
 )
 def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:

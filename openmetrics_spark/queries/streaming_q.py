@@ -1254,6 +1254,7 @@ WITH flat AS (
 @register(
     "streaming_counter_commands",
     oracle=_streaming_counter_oracle(),
+    headline=True,
     tags=("streaming", "counter"),
 )
 def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -220,7 +220,9 @@ FROM iv
 """
 
 
-@register("user_scd2_intervals", oracle=_SCD2_ORACLE, tags=("join", "user"))
+@register(
+    "user_scd2_intervals", oracle=_SCD2_ORACLE, headline=True, tags=("join", "user")
+)
 def user_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 build over the folded user versions: consecutive
     versions whose merged attributes are null-safe-identical collapse

@@ -39,7 +39,10 @@ from pyspark.sql import functions as F
 
 
 def _bucket_ms(ts_col: str, slide_ms: int) -> Column:
-    return (F.unix_millis(F.col(ts_col)) / F.lit(slide_ms)).cast("long") * F.lit(
+    # floor, not a truncating cast: pre-1970 (negative) millis must
+    # bucket like SQL `//` and the streaming twins' window() do —
+    # cast-toward-zero diverges on negatives
+    return F.floor(F.unix_millis(F.col(ts_col)) / F.lit(slide_ms)) * F.lit(
         slide_ms
     )
 

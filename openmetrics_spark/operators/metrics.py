@@ -43,9 +43,12 @@ def tumbling_metrics(
 ) -> DataFrame:
     """Tumbling-window GROUP BY: one row per (window_start, keys) with
     the given aggregate columns. Epoch-aligned integer bucketing so
-    any SQL oracle reproduces boundaries exactly."""
+    any SQL oracle reproduces boundaries exactly — ``floor``, not a
+    truncating cast, so pre-1970 timestamps bucket like SQL ``//``
+    and Spark's ``window()`` do (cast truncates toward zero, which
+    diverges on negative millis)."""
     bucket = (
-        (F.unix_millis(F.col(ts_col)) / F.lit(tumble_ms)).cast("long")
+        F.floor(F.unix_millis(F.col(ts_col)) / F.lit(tumble_ms))
         * F.lit(tumble_ms)
     ).alias("window_ms")
     return (
@@ -69,7 +72,7 @@ def cumulate_metrics(
     assert period_ms % step_ms == 0
     stepped = tumbling_metrics(df, key_cols, ts_col, step_ms, metric_aggs)
     period = (
-        (F.col("window_ms") / F.lit(period_ms)).cast("long") * F.lit(period_ms)
+        F.floor(F.col("window_ms") / F.lit(period_ms)) * F.lit(period_ms)
     ).alias("period_ms")
     stepped = stepped.select(period, *stepped.columns)
     w = (

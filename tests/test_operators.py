@@ -407,3 +407,19 @@ def test_repetition_stats_flags_degenerate_docs(spark):
     assert out[1]["dup2"] == 0.8  # 5 bigrams, 1 distinct
     assert out[1]["mlen"] == 4.0
     assert out[2]["dup2"] == 0.0
+
+
+def test_bucket_floor_semantics_on_negative_millis(spark):
+    """Epoch bucketing must FLOOR, like SQL `//` and window(): a
+    truncating cast rounds negative millis toward zero, putting a
+    pre-1970 event in the bucket AFTER its own timestamp."""
+    from openmetrics_spark.operators.counters import sliding_counter
+
+    df = spark.createDataFrame(
+        [(-1,), (-3_600_001,)], "ms LONG"
+    ).select(F.timestamp_millis("ms").alias("ts"), F.lit("k").alias("k"))
+    out = sliding_counter(df, ["k"], "ts", 3_600_000, 3_600_000)
+    emits = sorted(r["emit_ms"] for r in out.collect())
+    # event at -1ms is in bucket [-3600000, 0) -> emitted at 0;
+    # event at -3600001ms is in bucket [-7200000, -3600000) -> -3600000
+    assert emits == [-3_600_000, 0]

@@ -308,7 +308,7 @@ def pick_best_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     bucketed = ev.select(
         "user_id",
-        ((F.unix_millis("ts") / MIN15).cast("long") * MIN15).alias("bucket_ms"),
+        (F.floor(F.unix_millis("ts") / MIN15) * MIN15).alias("bucket_ms"),
         "event_id",
         "value",
     )

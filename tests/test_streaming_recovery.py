@@ -198,3 +198,108 @@ def test_custom_state_machine_checkpoint_restart(spark, sf_dir, tmp_path):
     g = sorted(tuple(r[c] for c in cols) for r in got.collect())
     x = sorted(tuple(r[c] for c in cols) for r in want.collect())
     assert g == x
+
+
+def test_fused_counter_stream_checkpoint_restart(spark, sf_dir, tmp_path):
+    """Exactly-once for the fused counter fan-out stream
+    (streaming_counter_commands' shape): stop the watermarked
+    multi-family bucket aggregate mid-stream, restart from the
+    checkpoint over the rest + sentinel, then expand + encode the
+    drained sink — the command multiset must EQUAL the batch
+    unified_sliding_commands over the full input. This pins that the
+    struct-of-arrays group keys (fidx, karr, farr) round-trip the
+    state store across a restart, not just within one run."""
+    from openmetrics_spark.functions.feature_ids import CountWindow
+    from openmetrics_spark.jobs.counter import (
+        DAY_MS,
+        FAMILIES,
+        HOUR_MS,
+        encode_sliding_commands,
+        fam_explode_structs,
+        unified_sliding_commands,
+    )
+    from openmetrics_spark.operators.counters import expand_bucket_counts
+
+    fams = (FAMILIES[0], FAMILIES[3])  # platform-device + log-user
+    cfg = (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400)
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    flat = ev.select(
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias(
+            "log_user_id"
+        ),
+        F.lit("Linux").alias("os"),
+        F.lit("Chrome").alias("user_agent_family"),
+        F.when(F.col("event_type") == "view", 32)
+        .otherwise(64)
+        .cast("long")
+        .alias("agg_metric"),
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    lo, hi = flat.agg(F.min("ms"), F.max("ms")).first()
+    mid = (lo + hi) // 2
+    stage = str(tmp_path / "flat")
+    out = str(tmp_path / "buckets")
+    chk = str(tmp_path / "chk")
+
+    def run():
+        bs = (
+            _stream(spark, stage)
+            .withWatermark("ts", "2 seconds")
+            .select(
+                F.explode(F.array(*fam_explode_structs(fams))).alias("__f"),
+                F.col("agg_metric").alias("__metric"),
+                "ts",
+            )
+            .groupBy(F.window("ts", "4 hours"), "__f", "__metric")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .select(
+                F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+                "__f",
+                "__metric",
+                "bn",
+            )
+        )
+        _drain(bs, out, chk)
+
+    _restage(
+        spark,
+        flat.filter(F.col("ms") < mid),
+        stage,
+        "ms",
+        [lo + (mid - lo) // 2],
+        sentinel=False,
+    )
+    run()
+    n_before = spark.read.parquet(out).count()
+
+    _restage(
+        spark,
+        flat.filter(F.col("ms") >= mid),
+        stage,
+        "ms",
+        [mid + (hi - mid) // 2],
+        sentinel=True,
+    )
+    run()
+
+    b = spark.read.parquet(out).filter(
+        F.element_at(F.col("__f.karr"), 1) != F.lit("-1")
+    )
+    got = encode_sliding_commands(
+        expand_bucket_counts(
+            b,
+            ["__f", "__metric"],
+            [(int(CountWindow.DAY), DAY_MS // (4 * HOUR_MS))],
+            4 * HOUR_MS,
+        ),
+        fams,
+        (cfg,),
+    )
+    want = unified_sliding_commands(flat, fams, (cfg,))
+    assert 0 < n_before < spark.read.parquet(out).count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0

@@ -153,6 +153,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # bfj_join_side_outputs and the green TPC-H rows q1-q21 — their
     # families stay covered by the in-window anchors and the 9 TPC-H
     # priority/modified rows.)
+    # NB the late-r6 trunc->floor bucket fix touches many OUT-of-window
+    # queries (sliding_*, pick_best_15m, the sql_surface metrics set,
+    # cumulate/daily metrics). They deliberately do NOT jump the window:
+    # the change is provably inert on non-negative epoch millis (all
+    # driver data; pinned by test_bucket_floor_semantics_on_negative_
+    # millis), and every affected query was locally re-verified at
+    # sf0.01 under the driver-strict comparator on the day of the
+    # change — evicting the nine never-verified rows for a no-op would
+    # invert the rotation's priority.
     # r7 window priorities, in order: counter_backfill_gate,
     # doc_bigram_logprob, streaming_approx_distinct,
     # approx_distinct_buyers_hll, hll_segment_overlap,

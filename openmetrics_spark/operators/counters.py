@@ -38,13 +38,20 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def _bucket_ms(ts_col: str, slide_ms: int) -> Column:
-    # floor, not a truncating cast: pre-1970 (negative) millis must
-    # bucket like SQL `//` and the streaming twins' window() do —
-    # cast-toward-zero diverges on negatives
-    return F.floor(F.unix_millis(F.col(ts_col)) / F.lit(slide_ms)) * F.lit(
-        slide_ms
+def epoch_bucket_ms(ts_col: str, width_ms: int) -> Column:
+    """Epoch-aligned bucket start for a timestamp column — THE bucket
+    expression, shared by every query that mirrors a SQL ``//`` oracle.
+    floor, not a truncating cast: pre-1970 (negative) millis must
+    bucket like SQL ``//`` and the streaming twins' window() do —
+    cast-toward-zero diverges on negatives (and the trunc bug had to
+    be chased through seven files when each site inlined its own
+    copy)."""
+    return F.floor(F.unix_millis(F.col(ts_col)) / F.lit(width_ms)) * F.lit(
+        width_ms
     )
+
+
+_bucket_ms = epoch_bucket_ms
 
 
 def sliding_counter(

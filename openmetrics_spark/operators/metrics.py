@@ -47,10 +47,9 @@ def tumbling_metrics(
     truncating cast, so pre-1970 timestamps bucket like SQL ``//``
     and Spark's ``window()`` do (cast truncates toward zero, which
     diverges on negative millis)."""
-    bucket = (
-        F.floor(F.unix_millis(F.col(ts_col)) / F.lit(tumble_ms))
-        * F.lit(tumble_ms)
-    ).alias("window_ms")
+    from openmetrics_spark.operators.counters import epoch_bucket_ms
+
+    bucket = epoch_bucket_ms(ts_col, tumble_ms).alias("window_ms")
     return (
         df.select(bucket, *df.columns)
         .groupBy("window_ms", *key_cols)

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmetrics_spark.operators.counters import (
+    epoch_bucket_ms,
     last_time_and_count,
     sliding_counter,
     top_n,
@@ -308,7 +309,7 @@ def pick_best_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     bucketed = ev.select(
         "user_id",
-        (F.floor(F.unix_millis("ts") / MIN15) * MIN15).alias("bucket_ms"),
+        epoch_bucket_ms("ts", MIN15).alias("bucket_ms"),
         "event_id",
         "value",
     )

@@ -24,7 +24,7 @@ from openmetrics_spark.operators.sketches import (
     hll_registers_sql,
 )
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import table
+from openmetrics_spark.tables import pin, table
 
 
 def _hll_direct_oracle() -> str:
@@ -212,7 +212,10 @@ def hll_segment_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("seg"),
         "o_custkey",
     )
-    reg = hll_registers(segs, ["seg"], "o_custkey")
+    # pin: the per-segment estimate and the merged-union estimate are
+    # separate plan branches; without it the orders scan + register
+    # aggregation run twice and the raw data is NOT touched once
+    reg = pin(hll_registers(segs, ["seg"], "o_custkey"))
     per_seg = hll_estimate(reg, ["seg"], out="d")
     merged = hll_merge_registers(
         reg.withColumn("seg", F.lit("ALL")), ["seg"]
@@ -331,16 +334,22 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("event_type", F.col("event_type")),
         ("props", F.col("props")),
     ]
-    pairs = ev.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(n).alias("c"), v.alias("v"))
-                    for n, v in profiled
-                ]
-            )
-        ).alias("p")
-    ).select("p.c", "p.v")
+    # pin: the stats aggregate AND the register aggregate both consume
+    # this frame, and Spark plans them as independent subtrees (no
+    # cross-branch exchange reuse) — without the pin the events scan +
+    # explode would run twice, breaking the one-scan claim above
+    pairs = pin(
+        ev.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(n).alias("c"), v.alias("v"))
+                        for n, v in profiled
+                    ]
+                )
+            ).alias("p")
+        ).select("p.c", "p.v")
+    )
     stats = pairs.groupBy("c").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_null"),

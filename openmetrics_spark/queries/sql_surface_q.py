@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from openmetrics_spark.functions.money import exact_sum, exact_units
+from openmetrics_spark.operators.counters import epoch_bucket_ms
 from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
@@ -78,7 +79,7 @@ def daily_rollup_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     input row, never two scans). The grand-total row is dropped so
     the output keys stay non-null for the hash compare."""
     ev = table(spark, sf_dir, "events")
-    day = (F.floor(F.unix_millis("ts") / _DAY_MS) * _DAY_MS).alias(
+    day = epoch_bucket_ms("ts", _DAY_MS).alias(
         "day_ms"
     )
     return (
@@ -118,7 +119,7 @@ def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     values are known) so the column set is static — on a cluster the
     unknown-values `pivot()` needs an extra distinct pass first."""
     ev = table(spark, sf_dir, "events")
-    day = (F.floor(F.unix_millis("ts") / _DAY_MS) * _DAY_MS).alias(
+    day = epoch_bucket_ms("ts", _DAY_MS).alias(
         "day_ms"
     )
     t = F.col("event_type")
@@ -194,7 +195,7 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     a = ev.select(
         "user_id",
-        (F.floor(F.unix_millis("ts") / _DAY_MS) * _DAY_MS).alias("day_ms"),
+        epoch_bucket_ms("ts", _DAY_MS).alias("day_ms"),
     ).distinct()
     first_seen = a.groupBy("user_id").agg(F.min("day_ms").alias("cohort_ms"))
     return (
@@ -326,7 +327,7 @@ def hourly_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = (
         ev.select(
             "event_type",
-            (F.floor(F.unix_millis("ts") / _HOUR_MS) * _HOUR_MS).alias(
+            epoch_bucket_ms("ts", _HOUR_MS).alias(
                 "hour_ms"
             ),
         )
@@ -399,7 +400,7 @@ def hourly_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select(
         "event_type",
-        F.floor(F.unix_millis("ts") / _HOUR_MS).alias("h"),
+        (epoch_bucket_ms("ts", _HOUR_MS) / _HOUR_MS).cast("long").alias("h"),
         "value",
     )
     hourly = ev.groupBy("event_type", "h").agg(

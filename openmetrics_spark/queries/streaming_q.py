@@ -1275,7 +1275,6 @@ def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
     replay proves bucket counts survive micro-batch boundaries, and
     the oracle reconstructs the full command stream relationally."""
     from openmetrics_spark.functions.feature_ids import CountWindow
-    from openmetrics_spark.functions.ua import agent_family, os_family
     from openmetrics_spark.jobs.counter import (
         DAY_MS,
         FAMILIES,
@@ -1284,34 +1283,23 @@ def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
         fam_explode_structs,
     )
     from openmetrics_spark.operators.counters import expand_bucket_counts
-    from openmetrics_spark.queries.counter_q import _UA_FIXTURE
+    from openmetrics_spark.queries.counter_q import _flat_and_luu
 
     fams = (FAMILIES[0], FAMILIES[1], FAMILIES[3])
     cfg = (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400)
     work = _workdir("counterstream")
-    ev = table(spark, sf_dir, "events")
-    ua = F.element_at(
-        F.array(*[F.lit(s) for s, _, _ in _UA_FIXTURE]),
-        (F.col("user_id") % len(_UA_FIXTURE) + 1).cast("int"),
-    )
-    flat = ev.filter(
-        F.col("event_type").isin("view", "click", "purchase")
-    ).select(
-        (F.col("user_id") % 4).alias("platform_id"),
-        F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias(
-            "log_user_id"
-        ),
-        F.concat(
-            F.lit("c"),
-            (F.get_json_object("props", "$.k").cast("int") % 10).cast("string"),
-        ).alias("content_id"),
-        os_family(ua).alias("os"),
-        agent_family(ua).alias("user_agent_family"),
-        F.when(F.col("event_type") == "view", 32)
-        .when(F.col("event_type") == "click", 64)
-        .otherwise(96)
-        .cast("long")
-        .alias("agg_metric"),
+    # the SAME flat derivation the batch job stages from (no parallel
+    # copy to drift) — the projection below drops query_hex, and
+    # Catalyst's column pruning removes its Arrow-UDF computation from
+    # the staged plan entirely
+    flat, _ = _flat_and_luu(spark, sf_dir)
+    flat = flat.select(
+        "platform_id",
+        "log_user_id",
+        "content_id",
+        "os",
+        "user_agent_family",
+        "agg_metric",
         "ts",
         F.unix_millis("ts").alias("ms"),
     )

@@ -1301,3 +1301,149 @@ def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_removed"),
         F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_train — TRAINING the hash-trick text classifier.
+# doc_quality_classifier is inference with fixed weights; this FITS a
+# Bernoulli Naive Bayes model over the same hash-trick feature space —
+# the classic distributed text-classifier fit (spam filtering at scale
+# IS distributed NB): training is two exact counting aggregates, so it
+# reads the corpus once, shuffles O(buckets) rows, and — unlike
+# gradient descent, whose full-batch dynamics on a near-duplicate
+# synthetic corpus oscillate without separating — provably recovers
+# any label that is a function of bucket presence.
+# ---------------------------------------------------------------------------
+
+_NB_BUCKETS = 256
+_NB_LABEL = "key"  # present in ~75% of fixture docs; y IS a function
+#                    of bucket presence, so the fit must separate it
+#                    (pinned by tests/test_corpus_mix.py)
+
+# Bernoulli NB with Laplace smoothing. Per bucket b and class c:
+# p_bc = (df_bc + 1) / (n_c + 2), df = docs of class c containing b.
+# Per-doc score = const + sum over PRESENT buckets of w_b, where
+#   w_b     = ln(p_b1/p_b0) - ln((1-p_b1)/(1-p_b0))
+#   const   = ln((n1+1)/(n0+1)) + sum_b ln((1-p_b1)/(1-p_b0))
+# Every ln() input is a ratio of small exact integers and every term
+# is QUANTIZED to 1e-6 units BEFORE any summation, so the only float
+# risk is a last-ulp ln() landing exactly on a .5 boundary — the same
+# accepted class as doc_quality_classifier's exp() (round 4) and far
+# from the order-dependent-sum class the exact-sum rules exist for.
+
+_NB_W_SQL = (
+    "CAST(floor((ln((df_pos + 1.0) / (n_pos + 2.0))"
+    " - ln((df_neg + 1.0) / (n_neg + 2.0))"
+    " - ln(1.0 - (df_pos + 1.0) / (n_pos + 2.0))"
+    " + ln(1.0 - (df_neg + 1.0) / (n_neg + 2.0))) * 1000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+_NB_ABSENT_SQL = (
+    "CAST(floor((ln(1.0 - (df_pos + 1.0) / (n_pos + 2.0))"
+    " - ln(1.0 - (df_neg + 1.0) / (n_neg + 2.0))) * 1000000.0 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+def _nb_train_oracle() -> str:
+    from openmetrics_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("tk")
+    return f"""
+WITH t AS (
+  SELECT doc_id AS d, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), labels AS (
+  SELECT d, CASE WHEN list_contains(tok, '{_NB_LABEL}') THEN 1 ELSE 0 END AS y
+  FROM t
+), nn AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM labels
+), present AS (
+  SELECT DISTINCT d, {h} % {_NB_BUCKETS} AS b
+  FROM (SELECT d, unnest(tok) AS tk FROM t)
+), df AS (
+  SELECT b, CAST(sum(y) AS BIGINT) AS df_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS df_neg
+  FROM present JOIN labels USING (d) GROUP BY b
+), w AS (
+  SELECT b AS bucket, df_pos, df_neg, {_NB_W_SQL} AS w_e6
+  FROM df, nn
+), const AS (
+  SELECT CAST(-1 AS BIGINT) AS bucket, n_pos AS df_pos, n_neg AS df_neg,
+         CAST(floor(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1000000.0 + 0.5)
+              AS BIGINT)
+         + (SELECT CAST(coalesce(sum({_NB_ABSENT_SQL}), 0) AS BIGINT)
+            FROM df, nn) AS w_e6
+  FROM nn
+)
+SELECT * FROM w UNION ALL SELECT * FROM const
+"""
+
+
+@register(
+    "doc_quality_train", oracle=_nb_train_oracle(), tags=("llm", "train")
+)
+def doc_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Bernoulli-NB fit over hash-trick buckets (label =
+    contains-'key'): one pass builds per-bucket per-class document
+    frequencies (map-side-combined, O(buckets) shuffle rows), the
+    per-bucket presence weights and the absent-term constant follow as
+    projections, and the model ships as exact integers — (bucket,
+    df_pos, df_neg, w_e6), with bucket -1 carrying the class prior +
+    absent-sum constant. Scoring is const + sum of w_e6 over PRESENT
+    buckets > 0 (tests pin that it separates the label). At 100 TB
+    training cost = one corpus scan + a 256-row aggregate; per-term
+    1e-6 quantization happens BEFORE the constant's sum, so no
+    order-dependent float aggregation exists."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select(F.col("doc_id").alias("d"), tokens("text").alias("tok"))
+    labels = t.select(
+        "d", F.array_contains("tok", _NB_LABEL).cast("int").alias("y")
+    )
+    present = (
+        t.select("d", F.explode("tok").alias("tk"))
+        .select("d", (portable_hash60(F.col("tk")) % _NB_BUCKETS).alias("b"))
+        .distinct()
+    )
+    nn = labels.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    )
+    df_ = (
+        present.join(labels, "d")
+        .groupBy("b")
+        .agg(
+            F.sum("y").cast("long").alias("df_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("df_neg"),
+        )
+        .crossJoin(F.broadcast(nn))
+    )
+    w = df_.select(
+        F.col("b").alias("bucket"),
+        "df_pos",
+        "df_neg",
+        F.expr(_NB_W_SQL).alias("w_e6"),
+    )
+    absent_sum = df_.select(F.expr(_NB_ABSENT_SQL).alias("a")).agg(
+        F.coalesce(F.sum("a"), F.lit(0)).cast("long").alias("s")
+    )
+    const = (
+        nn.crossJoin(F.broadcast(absent_sum))
+        .select(
+            F.lit(-1).cast("long").alias("bucket"),
+            F.col("n_pos").alias("df_pos"),
+            F.col("n_neg").alias("df_neg"),
+            (
+                F.floor(
+                    F.log((F.col("n_pos") + 1.0) / (F.col("n_neg") + 1.0))
+                    * 1000000.0
+                    + 0.5
+                ).cast("long")
+                + F.col("s")
+            ).alias("w_e6"),
+        )
+    )
+    return w.unionByName(const)

@@ -260,3 +260,58 @@ def test_dedup_spans_rewrite_semantics(spark):
     assert got[3]["cleaned_text"] == "w0 w1 w2"
     assert got[3]["n_removed"] == 0
     assert got[4]["cleaned_text"] == "" and got[4]["n_tokens"] == 0
+
+def test_nb_trainer_separates_its_label(spark, sf_dir):
+    """The fitted Bernoulli-NB model must actually LEARN: the label
+    (doc contains 'key') is a function of bucket presence, so scoring
+    const + sum of present-bucket weights must beat the majority-class
+    baseline decisively on the training set."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.functions.hashing import portable_hash60
+    from openmetrics_spark.llm.text import tokens
+    from openmetrics_spark.queries.corpus_mix_q import (
+        _NB_BUCKETS,
+        _NB_LABEL,
+        doc_quality_train,
+    )
+
+    model = doc_quality_train(spark, sf_dir)
+    const = model.filter(F.col("bucket") == -1).first()["w_e6"]
+    wdf = model.filter(F.col("bucket") >= 0).select(
+        F.col("bucket").alias("b"), "w_e6"
+    )
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(F.col("doc_id").alias("d"), tokens("text").alias("tok"))
+    present = (
+        t.select("d", F.explode("tok").alias("tk"))
+        .select("d", (portable_hash60(F.col("tk")) % _NB_BUCKETS).alias("b"))
+        .distinct()
+    )
+    scored = (
+        t.select(
+            "d", F.array_contains("tok", _NB_LABEL).cast("int").alias("y")
+        )
+        .join(
+            present.join(F.broadcast(wdf), "b")
+            .groupBy("d")
+            .agg(F.sum("w_e6").alias("s")),
+            "d",
+            "left",
+        )
+        .select(
+            "y",
+            (
+                (F.coalesce(F.col("s"), F.lit(0)) + F.lit(int(const))) > 0
+            ).cast("int").alias("p"),
+        )
+    )
+    n = scored.count()
+    acc = scored.filter(F.col("y") == F.col("p")).count() / n
+    base_rate = scored.agg(F.avg("y")).first()[0]
+    majority = max(base_rate, 1 - base_rate)
+    assert acc > majority + 0.1, (acc, majority)
+    # not exactly 1.0: the label token can share its hash bucket with
+    # other tokens (31 tokens in 256 buckets), so some negatives carry
+    # the 'key' bucket via a collider — inherent to hash-trick features
+    assert acc > 0.88, acc

@@ -1340,3 +1340,110 @@ def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
         4 * HOUR_MS,
     )
     return encode_sliding_commands(counted, fams, (cfg,))
+
+
+@register(
+    "streaming_minhash_ingest",
+    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    tags=("streaming", "llm", "dedup"),
+)
+def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingest as a NATIVE stream-static join — the
+    one streaming join flavor the other pipelines don't exercise
+    (stream-stream interval joins and stateful aggs are covered; this
+    is `streamingDF.join(staticDF)`, Spark's canonical enrich-against-
+    an-index pattern). The already-curated corpus (even doc_ids) is a
+    PINNED banded MinHash index; incoming docs (odd ids) arrive as a
+    multi-batch file stream, compute signatures as pure stateless
+    projections (the spec-twin shingle/signature/band expressions —
+    no aggregate, so no watermark or state store at all), probe the
+    index by band key, and verify candidates with exact Jaccard
+    in-stream. Band-collision duplicates dedupe batch-side on the
+    drained sink (a stream-side dropDuplicates would grow unbounded
+    state for no benefit). Same output — and the same ORACLE, verbatim
+    — as the batch twin minhash_incremental_neardup: only the
+    execution changes."""
+    from openmetrics_spark.llm.dedup import (
+        jaccard,
+        lsh_band_keys,
+        minhash_signature,
+        shingles,
+    )
+    from openmetrics_spark.tables import pin
+
+    n, num_hashes, bands, rows, threshold = 3, 16, 4, 4, 0.5
+    work = _workdir("mhingest")
+    docs = table(spark, sf_dir, "documents")
+
+    def banded_cols(out: str):
+        sh = shingles("text", n)
+        sig = minhash_signature(sh, num_hashes, seed=7)
+        return [
+            F.col("doc_id").alias(out),
+            sh.alias(f"sh_{out}"),
+            sig.alias("sig"),
+        ]
+
+    ex = pin(
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(*banded_cols("existing_id"))
+        .filter(F.size(f"sh_existing_id") > 0)
+        .select(
+            "existing_id",
+            "sh_existing_id",
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+        )
+    )
+    staged = os.path.join(work, "incoming")
+    inc_src = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", F.col("doc_id").alias("ms")
+    )
+    grid = [
+        int(
+            inc_src.agg(
+                (F.min("doc_id") + F.max("doc_id")) / 2
+            ).first()[0]
+        )
+    ]
+    _restage(spark, inc_src, staged, "ms", grid, sentinel=True)
+    inc_stream = (
+        _stream(spark, staged)
+        .filter(F.col("doc_id") >= 0)  # stateless: drops the sentinel;
+        # no watermark exists to interact with (projection-only stream)
+        .select(*banded_cols("incoming_id"))
+        .filter(F.size("sh_incoming_id") > 0)
+        .select(
+            "incoming_id",
+            "sh_incoming_id",
+            F.explode(lsh_band_keys(F.col("sig"), bands, rows)).alias("bk"),
+        )
+    )
+    matched = inc_stream.join(ex, "bk").select(
+        "incoming_id",
+        "existing_id",
+        F.round(
+            jaccard(F.col("sh_incoming_id"), F.col("sh_existing_id")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
+    out = os.path.join(work, "matches")
+    with _stream_shuffle_partitions(spark):
+        _drain(matched, out, os.path.join(work, "_chk", "matches"))
+    return spark.read.parquet(out).distinct()
+
+
+def _wire_minhash_ingest_oracle() -> None:
+    from openmetrics_spark.queries import REGISTRY, QuerySpec
+    from openmetrics_spark.queries import docs_q
+
+    spec = REGISTRY["streaming_minhash_ingest"]
+    REGISTRY["streaming_minhash_ingest"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=docs_q._MINHASH_INCR_ORACLE,
+        headline=spec.headline,
+        tags=spec.tags,
+        doc=spec.doc,
+    )
+
+
+_wire_minhash_ingest_oracle()

@@ -167,8 +167,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # approx_distinct_buyers_hll, hll_segment_overlap,
     # streaming_value_percentiles, streaming_counter_commands,
     # doc_dedup_spans_rewrite, user_scd2_intervals,
-    # ann_filtered_topk, events_profile, doc_quality_train and
-    # streaming_minhash_ingest (all added
+    # ann_filtered_topk, events_profile, doc_quality_train,
+    # streaming_minhash_ingest and embedding_pq_codes (all added
     # after this round's window filled — local-green at
     # sf0.001/0.01/0.1 so far), anything modified in r7, then rotate
     # green anchors toward whichever families r6's rows leave

@@ -179,49 +179,57 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
 
-def _kmeans_ctes() -> list[str]:
+def _kmeans_ctes_for(
+    pref: str, k: int, iters: int, dim: int, vec_expr: str = "embedding"
+) -> list[str]:
     """Unrolled Lloyd iterations as CTEs — they replay the exact
     integer/double op sequence of llm/cluster.py. The final assignment
-    is a{_KM_ITERS}; the centroids it was scored against are
-    c{_KM_ITERS - 1}."""
+    is {pref}a{iters}; the centroids it was scored against are
+    {pref}c{iters-1}. ``pref`` namespaces the chain so several
+    codebooks (e.g. PQ subspaces over ``embedding[lo:hi]`` slices) can
+    coexist in one oracle."""
     sums = ", ".join(
-        f"CAST(sum(qv[{i + 1}]) AS DOUBLE)" for i in range(_KM_DIM)
+        f"CAST(sum(qv[{i + 1}]) AS DOUBLE)" for i in range(dim)
     )
     parts = [
-        f"""e AS (
+        f"""{pref}e AS (
   SELECT vec_id,
-         list_transform(embedding,
+         list_transform({vec_expr},
            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
   FROM embeddings
-), d AS (
-  SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM e
-), c0 AS (
-  SELECT vec_id AS cid, v AS cv FROM d ORDER BY vec_id LIMIT {_KM_K}
+), {pref}d AS (
+  SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM {pref}e
+), {pref}c0 AS (
+  SELECT vec_id AS cid, v AS cv FROM {pref}d ORDER BY vec_id LIMIT {k}
 )"""
     ]
-    prev = "c0"
-    for it in range(1, _KM_ITERS + 1):
+    prev = f"{pref}c0"
+    for it in range(1, iters + 1):
         parts.append(
-            f"""a{it} AS (
+            f"""{pref}a{it} AS (
   SELECT vec_id, cid AS cell FROM (
     SELECT d.vec_id, c.cid,
            row_number() OVER (
              PARTITION BY d.vec_id
              ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid DESC
            ) AS rn
-    FROM d CROSS JOIN {prev} c
+    FROM {pref}d d CROSS JOIN {prev} c
   ) WHERE rn = 1
 )"""
         )
-        if it < _KM_ITERS:
+        if it < iters:
             parts.append(
-                f"""c{it} AS (
+                f"""{pref}c{it} AS (
   SELECT cell AS cid, list_value({sums}) AS cv
-  FROM a{it} JOIN e USING (vec_id) GROUP BY cell
+  FROM {pref}a{it} JOIN {pref}e USING (vec_id) GROUP BY cell
 )"""
             )
-            prev = f"c{it}"
+            prev = f"{pref}c{it}"
     return parts
+
+
+def _kmeans_ctes() -> list[str]:
+    return _kmeans_ctes_for("", _KM_K, _KM_ITERS, _KM_DIM, "embedding")
 
 
 _KMEANS_ORACLE = (
@@ -1289,3 +1297,68 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         candidates=emb.filter(F.col("label") <= 2),
     )
     return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_codes — product quantization: the 100 TB embedding
+# STORAGE op. Split each 64-dim vector into 4 subspaces of 16 dims,
+# train an independent 16-codeword spherical codebook per subspace
+# (the same integer-exact Lloyd as embedding_kmeans_cells), and emit
+# each vector as 4 codeword ids — 4 small codes instead of 64 floats
+# (~64x), the compression behind every billion-scale ANN store
+# (Jegou et al. 2011). Asymmetric-distance search then scores against
+# codebook entries, never raw vectors.
+# ---------------------------------------------------------------------------
+
+_PQ_M, _PQ_SUBDIM, _PQ_K, _PQ_ITERS = 4, 16, 16, 2
+
+
+def _pq_oracle() -> str:
+    ctes: list[str] = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        ctes += _kmeans_ctes_for(
+            f"s{m}_", _PQ_K, _PQ_ITERS, _PQ_SUBDIM, f"embedding[{lo}:{hi}]"
+        )
+    joins = " ".join(
+        f"JOIN s{m}_a{_PQ_ITERS} s{m} USING (vec_id)" for m in range(1, _PQ_M)
+    )
+    codes = ", ".join(
+        f"CAST(s{m}.cell AS BIGINT) AS code_{m}" for m in range(_PQ_M)
+    )
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f"\nSELECT vec_id, {codes} FROM s0_a{_PQ_ITERS} s0 {joins}"
+    )
+
+
+@register(
+    "embedding_pq_codes", oracle=_pq_oracle(), tags=("llm", "similarity")
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding: per 16-dim subspace an independent 16-codeword
+    spherical codebook (integer-quantized Lloyd, 2 iterations — the
+    embedding_kmeans_cells machinery applied to vector slices), each
+    vector emitted as 4 codeword ids. Training cost per subspace is
+    one narrow sliced projection + a 16×17-long aggregate per
+    iteration; encoding is a pure projection against driver-inlined
+    codebooks — at 100 TB the raw vectors are read once and what
+    persists is ~64× smaller. The oracle replays all four codebooks'
+    iterations as namespaced CTE chains."""
+    from openmetrics_spark.llm.cluster import kmeans_assign
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    out = None
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "sub"
+            ),
+        )
+        a = kmeans_assign(
+            sub, "vec_id", "sub", k=_PQ_K, iters=_PQ_ITERS, dim=_PQ_SUBDIM
+        ).select(F.col("vid").alias("vec_id"), F.col("cell").alias(f"code_{m}"))
+        out = a if out is None else out.join(a, "vec_id")
+    return out

@@ -87,3 +87,27 @@ def test_dot_fixed_matches_hof_dot(spark):
     for r in pairs.collect():
         assert r.hof == r.idx, (r.hof, r.idx)
         assert r.chof == r.cidx, (r.chof, r.cidx)
+
+
+def test_pq_codes_compress_and_cover(spark, sf_dir):
+    """PQ invariants: every vector gets exactly one code per subspace,
+    each subspace uses at most K distinct codewords (the codebook is
+    real — a degenerate fit collapsing to one codeword would also fail
+    the >1 check), and the representation is 4 small ids per 64-dim
+    vector."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.queries.docs_q import (
+        _PQ_K,
+        _PQ_M,
+        embedding_pq_codes,
+    )
+    from openmetrics_spark.tables import table
+
+    codes = embedding_pq_codes(spark, sf_dir)
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    assert codes.count() == n_vec
+    assert len(codes.columns) == 1 + _PQ_M
+    for m in range(_PQ_M):
+        k = codes.select(f"code_{m}").distinct().count()
+        assert 1 < k <= _PQ_K, (m, k)

@@ -1362,3 +1362,109 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.col("vid").alias("vec_id"), F.col("cell").alias(f"code_{m}"))
         out = a if out is None else out.join(a, "vec_id")
     return out
+
+
+def _pq_adc_oracle() -> str:
+    ctes: list[str] = []
+    for m in range(_PQ_M):
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        ctes += _kmeans_ctes_for(
+            f"s{m}_", _PQ_K, _PQ_ITERS, _PQ_SUBDIM, f"embedding[{lo}:{hi}]"
+        )
+    joins = " ".join(
+        f"JOIN s{m}_a{_PQ_ITERS} s{m} USING (vec_id)" for m in range(1, _PQ_M)
+    )
+    cjoins = " ".join(
+        f"JOIN s{m}_c{_PQ_ITERS - 1} c{m} ON codes.code_{m} = c{m}.cid"
+        for m in range(_PQ_M)
+    )
+    code_cols = ", ".join(f"s{m}.cell AS code_{m}" for m in range(_PQ_M))
+    recon = " || ".join(f"c{m}.cv" for m in range(_PQ_M))
+    return (
+        "WITH "
+        + ", ".join(ctes)
+        + f""", codes AS (
+  SELECT vec_id, {code_cols} FROM s0_a{_PQ_ITERS} s0 {joins}
+), recon AS (
+  SELECT codes.vec_id, {recon} AS rv FROM codes {cjoins}
+), q AS (
+  SELECT e.vec_id AS query_id,
+         list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS qv
+  FROM embeddings e WHERE e.vec_id < 10
+), s AS (
+  SELECT query_id, recon.vec_id AS neighbor_id,
+         list_cosine_similarity(qv, rv) AS raw_cos
+  FROM q, recon WHERE recon.vec_id != query_id
+)
+SELECT query_id, rank, neighbor_id, cos FROM (
+  SELECT query_id, neighbor_id, round(raw_cos, 6) AS cos,
+         CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY raw_cos DESC, neighbor_id
+         ) AS BIGINT) AS rank
+  FROM s
+)
+WHERE rank <= 5
+"""
+    )
+
+
+@register(
+    "ann_pq_adc_topk", oracle=_pq_adc_oracle(), tags=("llm", "similarity")
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance search over the PQ codes: each query's
+    top-5 by cosine against candidate RECONSTRUCTIONS (the 4 codeword
+    centroids concatenated) — candidates' raw vectors are never read
+    at query time, which is the whole point of PQ at 100 TB: the
+    store holds 4 ids per vector, scoring joins codes to the
+    driver-bounded codebook (4 broadcast joins) and runs one streaming
+    cosine pass. Queries use their raw vectors (the 'asymmetric' in
+    ADC), so accuracy degrades only by the candidate quantization;
+    tests pin recall@5 against the exact brute-force neighbors."""
+    from openmetrics_spark.llm.cluster import _lloyd
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    codes = None
+    spark_sess = spark
+    for m in range(_PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.slice(F.col("embedding"), m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias(
+                "sub"
+            ),
+        )
+        assigned, cents = _lloyd(
+            sub, "vec_id", "sub", _PQ_K, _PQ_ITERS, _PQ_SUBDIM
+        )
+        cdf = spark_sess.createDataFrame(
+            [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+            f"cid LONG, cv_{m} ARRAY<DOUBLE>",
+        )
+        a = (
+            assigned.select(
+                F.col("vid").alias("vec_id"), F.col("cell").alias("cid")
+            )
+            .join(F.broadcast(cdf), "cid")
+            .select("vec_id", f"cv_{m}")
+        )
+        codes = a if codes is None else codes.join(a, "vec_id")
+    recon = codes.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.concat(*[F.col(f"cv_{m}") for m in range(_PQ_M)]).alias("rv"),
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), _dvec(F.col("embedding")).alias("qv")
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("rv")).alias("raw"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("raw").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "rank", "neighbor_id", F.round("raw", 6).alias("cos"))
+    )

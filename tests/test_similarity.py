@@ -111,3 +111,29 @@ def test_pq_codes_compress_and_cover(spark, sf_dir):
     for m in range(_PQ_M):
         k = codes.select(f"code_{m}").distinct().count()
         assert 1 < k <= _PQ_K, (m, k)
+
+
+def test_pq_adc_recall_vs_exact(spark, sf_dir):
+    """ADC recall@5 against exact brute-force cosine. The synthetic
+    embeddings are near-uniform (neighbors barely separate — the
+    single-probe LSH query's recall on the same data is ~0.04), so the
+    bar is RELATIVE, not absolute: ADC must beat random top-5 overlap
+    (~0.01 at 500 candidates) by an order of magnitude, which on real
+    clustered embeddings corresponds to the usual usable-PQ regime.
+    The exact path remains ann_brute_topk."""
+    from openmetrics_spark.queries.docs_q import (
+        ann_brute_topk,
+        ann_pq_adc_topk,
+    )
+
+    exact = {}
+    for r in ann_brute_topk(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    adc = {}
+    for r in ann_pq_adc_topk(spark, sf_dir).collect():
+        adc.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(adc) == set(exact)
+    hits = sum(len(adc[q] & exact[q]) for q in exact)
+    total = sum(len(v) for v in exact.values())
+    recall = hits / total
+    assert recall >= 0.1, recall

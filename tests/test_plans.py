@@ -189,3 +189,37 @@ def test_filtered_ann_pushes_predicate_to_scan(spark, sf_dir):
         .toString()
     )
     assert "LessThanOrEqual(label,2)" in plan, plan[:2000]
+
+
+def test_zorder_buckets_are_tight_in_both_dimensions(spark, sf_dir):
+    """The claim behind Z-order: each layout bucket covers a SMALL
+    rectangle of (user, minute) space, so file min/max stats prune
+    range predicates on EITHER dimension. Quantified: the mean area
+    fraction (user-span x minute-span / global area) across Z-buckets
+    must be far below the time-only layout's, whose buckets span the
+    ENTIRE user range (user fraction ~1)."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.queries.sql_surface_q import events_zorder_layout
+
+    stats = events_zorder_layout(spark, sf_dir).collect()
+    assert len(stats) > 8  # the curve actually spreads buckets
+    gu = max(r["user_hi"] for r in stats) - min(r["user_lo"] for r in stats)
+    gm = max(r["minute_hi"] for r in stats) - min(
+        r["minute_lo"] for r in stats
+    )
+    fracs = [
+        ((r["user_hi"] - r["user_lo"]) / gu)
+        * ((r["minute_hi"] - r["minute_lo"]) / gm)
+        for r in stats
+    ]
+    z_mean_area = sum(fracs) / len(fracs)
+    assert z_mean_area < 0.10, z_mean_area
+    # the discriminating claim vs time-only layout (whose AREA fraction
+    # is also ~1/buckets!): EACH dimension must be tight per bucket —
+    # time-only buckets span the full user range (fraction 1.0), so a
+    # user-range predicate prunes nothing there.
+    user_fracs = [(r["user_hi"] - r["user_lo"]) / gu for r in stats]
+    minute_fracs = [(r["minute_hi"] - r["minute_lo"]) / gm for r in stats]
+    assert sum(user_fracs) / len(user_fracs) < 0.3, user_fracs
+    assert sum(minute_fracs) / len(minute_fracs) < 0.3, minute_fracs

@@ -223,3 +223,43 @@ def test_zorder_buckets_are_tight_in_both_dimensions(spark, sf_dir):
     minute_fracs = [(r["minute_hi"] - r["minute_lo"]) / gm for r in stats]
     assert sum(user_fracs) / len(user_fracs) < 0.3, user_fracs
     assert sum(minute_fracs) / len(minute_fracs) < 0.3, minute_fracs
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """At 100 TB the selective side of a big-big SHUFFLE join injects a
+    runtime bloom filter on the probe side's scan (Spark's runtime
+    row-level semi-join pruning) — with broadcast joins it is
+    pointless, which is why this pin forces a shuffle join and zeroes
+    the application-side size threshold (at real scale the 10 GB
+    default engages by itself). Asserts the might_contain() predicate
+    lands in the executed plan."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.tables import table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -456,3 +456,52 @@ def test_multi_window_counter_matches_sliding_counter(
         for r in sliding_counter(df, ["k"], "ts", w, s, value_col=vcol).collect():
             want.add((r.k, tag, r.emit_ms, r.n))
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+def test_z_interleave_bijective_and_engine_exact(spark, pairs):
+    """Morton interleave must be a bijection on the 16-bit grid (no
+    two (x, y) cells share a z-value) and the Spark expression must
+    equal the DuckDB spelling value-for-value — the property that lets
+    the layout decision itself be driver hash-gated."""
+    import duckdb
+
+    from openmetrics_spark.functions.zorder import (
+        z_interleave,
+        z_interleave_sql,
+    )
+
+    df = spark.createDataFrame(pairs, "x LONG, y LONG")
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select(
+            "x", "y", z_interleave(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    }
+    assert len(set(got.values())) == len(pairs)  # bijective on cells
+    duck = duckdb.connect()
+    duck.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    duck.executemany("INSERT INTO t VALUES (?, ?)", [list(p) for p in pairs])
+    want = {
+        (x, y): z
+        for x, y, z in duck.execute(
+            f"SELECT x, y, {z_interleave_sql('x', 'y')} FROM t"
+        ).fetchall()
+    }
+    assert got == want
+    # de-interleaving even/odd bits recovers the inputs (round trip)
+    for (x, y), z in got.items():
+        rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
+        ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (rx, ry) == (x, y)

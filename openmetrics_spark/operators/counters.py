@@ -51,7 +51,6 @@ def epoch_bucket_ms(ts_col: str, width_ms: int) -> Column:
     )
 
 
-_bucket_ms = epoch_bucket_ms
 
 
 def sliding_counter(
@@ -81,10 +80,10 @@ def sliding_counter(
         F.count(F.lit(1)) if value_col is None else F.sum(value_col)
     ).alias("bn")
     bucketed = (
-        df.select(*key_cols, _bucket_ms(ts_col, slide_ms).alias("bucket_ms"))
+        df.select(*key_cols, epoch_bucket_ms(ts_col, slide_ms).alias("bucket_ms"))
         if value_col is None
         else df.select(
-            *key_cols, _bucket_ms(ts_col, slide_ms).alias("bucket_ms"), value_col
+            *key_cols, epoch_bucket_ms(ts_col, slide_ms).alias("bucket_ms"), value_col
         )
     )
     bucketed = bucketed.groupBy(*key_cols, "bucket_ms").agg(agg)
@@ -148,7 +147,7 @@ def multi_window_counter(
     agg = (F.count(F.lit(1)) if value_col is None else F.sum(value_col)).alias("bn")
     outs: list[DataFrame] = []
     for slide_ms, cfgs in sorted(by_slide.items()):
-        base_cols = [*key_cols, _bucket_ms(ts_col, slide_ms).alias("bucket_ms")]
+        base_cols = [*key_cols, epoch_bucket_ms(ts_col, slide_ms).alias("bucket_ms")]
         if value_col is not None:
             base_cols.append(F.col(value_col))
         b = df.select(*base_cols).groupBy(*key_cols, "bucket_ms").agg(agg)

@@ -1408,11 +1408,17 @@ def doc_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("d", (portable_hash60(F.col("tk")) % _NB_BUCKETS).alias("b"))
         .distinct()
     )
-    nn = labels.agg(
-        F.sum("y").cast("long").alias("n_pos"),
-        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+    # pin both aggregates: the weight projection, the absent-sum and
+    # the const row are separate plan branches (no cross-branch
+    # exchange reuse) — without the pins the corpus tokenize/explode
+    # would run 3x, breaking the one-scan claim above
+    nn = pin(
+        labels.agg(
+            F.sum("y").cast("long").alias("n_pos"),
+            (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("n_neg"),
+        )
     )
-    df_ = (
+    df_ = pin(
         present.join(labels, "d")
         .groupBy("b")
         .agg(

@@ -1436,7 +1436,10 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned, cents = _lloyd(
             sub, "vec_id", "sub", _PQ_K, _PQ_ITERS, _PQ_SUBDIM
         )
-        cdf = spark_sess.createDataFrame(
+        from openmetrics_spark.tables import literal_df
+
+        cdf = literal_df(
+            spark_sess,
             [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
             f"cid LONG, cv_{m} ARRAY<DOUBLE>",
         )

@@ -400,7 +400,7 @@ def hourly_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = table(spark, sf_dir, "events").select(
         "event_type",
-        (epoch_bucket_ms("ts", _HOUR_MS) / _HOUR_MS).cast("long").alias("h"),
+        F.floor(F.unix_millis("ts") / F.lit(_HOUR_MS)).alias("h"),
         "value",
     )
     hourly = ev.groupBy("event_type", "h").agg(

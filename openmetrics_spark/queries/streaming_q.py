@@ -1342,9 +1342,12 @@ def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_sliding_commands(counted, fams, (cfg,))
 
 
+from openmetrics_spark.queries.docs_q import _MINHASH_INCR_ORACLE
+
+
 @register(
     "streaming_minhash_ingest",
-    oracle=None,  # set below — shares the batch twin's oracle verbatim
+    oracle=_MINHASH_INCR_ORACLE,  # the batch twin's oracle, verbatim
     tags=("streaming", "llm", "dedup"),
 )
 def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1430,20 +1433,3 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(matched, out, os.path.join(work, "_chk", "matches"))
     return spark.read.parquet(out).distinct()
 
-
-def _wire_minhash_ingest_oracle() -> None:
-    from openmetrics_spark.queries import REGISTRY, QuerySpec
-    from openmetrics_spark.queries import docs_q
-
-    spec = REGISTRY["streaming_minhash_ingest"]
-    REGISTRY["streaming_minhash_ingest"] = QuerySpec(
-        name=spec.name,
-        fn=spec.fn,
-        oracle=docs_q._MINHASH_INCR_ORACLE,
-        headline=spec.headline,
-        tags=spec.tags,
-        doc=spec.doc,
-    )
-
-
-_wire_minhash_ingest_oracle()

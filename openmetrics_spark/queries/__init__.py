@@ -173,7 +173,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # after this round's window filled — local-green at
     # sf0.001/0.01/0.1 so far), anything modified in r7, then rotate
     # green anchors toward whichever families r6's rows leave
-    # longest-unwatched.
+    # longest-unwatched. Also consider a corpus_prep_manifest_v3
+    # composing the r6 additions (span-rewrite cleaned text + NB
+    # quality score) into the chain — deferred from r6 because its
+    # oracle compounds three large CTE families and deserves a fresh
+    # session's attention, not an end-of-round rush.
 )
 
 

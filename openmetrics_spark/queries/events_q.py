@@ -891,3 +891,46 @@ def content_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_value"),
         )
     )
+
+
+_DECAYED_ORACLE = """
+WITH b AS (
+  SELECT user_id, (epoch_ms(ts) // 86400000) * 86400000 AS bucket_ms,
+         count(*) AS bn
+  FROM events GROUP BY 1, 2
+), a AS (
+  SELECT max(bucket_ms) AS anchor_ms FROM b
+), wtd AS (
+  SELECT user_id, bn,
+         CASE WHEN (anchor_ms - bucket_ms) // 86400000 <= 40
+              THEN CAST(1 AS BIGINT)
+                   << CAST(40 - (anchor_ms - bucket_ms) // 86400000 AS INT)
+              ELSE 0 END AS w
+  FROM b, a
+)
+SELECT user_id,
+       CAST(sum(bn) AS BIGINT) AS n_events,
+       CAST(sum(bn * w) AS BIGINT) AS decayed_scaled,
+       round(CAST(CAST(sum(bn * w) AS BIGINT) AS DOUBLE)
+             / 1099511627776.0, 6) AS decayed
+FROM wtd GROUP BY user_id
+"""
+
+
+@register(
+    "decayed_user_counts", oracle=_DECAYED_ORACLE, tags=("counter",)
+)
+def decayed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed per-user event counts (half-life =
+    1 day, anchored at the latest day bucket) — the feature-store
+    upgrade of a plain trailing window: an event k days old counts
+    2^-k. Engine-exact the bucketed way (operators/counters.
+    time_decayed_counts): the weight is an integer shift, never float
+    pow, so the driver hash-gates the decayed values themselves.
+    One O(users x active days) bucket shuffle + a broadcast anchor."""
+    from openmetrics_spark.operators.counters import time_decayed_counts
+
+    ev = table(spark, sf_dir, "events")
+    return time_decayed_counts(
+        ev, ["user_id"], "ts", halflife_ms=86_400_000, max_k=40
+    )

@@ -423,3 +423,31 @@ def test_bucket_floor_semantics_on_negative_millis(spark):
     # event at -1ms is in bucket [-3600000, 0) -> emitted at 0;
     # event at -3600001ms is in bucket [-7200000, -3600000) -> -3600000
     assert emits == [-3_600_000, 0]
+
+
+def test_time_decayed_counts_semantics(spark):
+    """Hand-checkable decay: with half-life buckets of 1000 ms and
+    events at buckets 0, 1, 2 (counts 4, 2, 1), the anchor is bucket
+    2 and decayed = 1*1 + 2*0.5 + 4*0.25 = 3.0 exactly; n_events = 7.
+    A key with only old events decays toward zero but keeps its raw
+    count."""
+    from openmetrics_spark.operators.counters import time_decayed_counts
+
+    rows = (
+        [("a", 2500)] + [("a", 1500)] * 2 + [("a", 500)] * 4 + [("b", 100)]
+    )
+    df = spark.createDataFrame(rows, "k STRING, ms LONG").select(
+        "k", F.timestamp_millis("ms").alias("ts")
+    )
+    got = {
+        r["k"]: r
+        for r in time_decayed_counts(
+            df, ["k"], "ts", halflife_ms=1000, max_k=40
+        ).collect()
+    }
+    assert got["a"]["n_events"] == 7
+    assert got["a"]["decayed"] == 3.0
+    assert got["a"]["decayed_scaled"] == 3 * (1 << 40)
+    # b's only event is 2 half-lives before the anchor: 1 * 2^-2
+    assert got["b"]["n_events"] == 1
+    assert got["b"]["decayed"] == 0.25

@@ -303,6 +303,22 @@ def time_decayed_counts(
         .groupBy(*key_cols, "bucket_ms")
         .agg(F.count(F.lit(1)).alias("bn"))
     )
+    return decayed_from_buckets(b, key_cols, halflife_ms, max_k)
+
+
+def decayed_from_buckets(
+    b: DataFrame,
+    key_cols: Sequence[str],
+    halflife_ms: int,
+    max_k: int = 40,
+) -> DataFrame:
+    """The weighting half of :func:`time_decayed_counts`, over an
+    ALREADY AGGREGATED bucket-count frame (``key_cols + (bucket_ms,
+    bn)``) — split out because the bucket count is what a persisted or
+    STREAMING tumbling-window aggregate maintains (decay re-weights at
+    read time, so the stored state never needs rewriting as the clock
+    advances — the property that makes decayed features incrementally
+    maintainable at all)."""
     anchor = b.agg(F.max("bucket_ms").alias("anchor_ms"))
     k = ((F.col("anchor_ms") - F.col("bucket_ms")) / F.lit(halflife_ms)).cast(
         "long"

@@ -169,8 +169,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # doc_dedup_spans_rewrite, user_scd2_intervals,
     # ann_filtered_topk, events_profile, doc_quality_train,
     # streaming_minhash_ingest, embedding_pq_codes,
-    # ann_pq_adc_topk, events_zorder_layout and
-    # decayed_user_counts (all added
+    # ann_pq_adc_topk, events_zorder_layout,
+    # decayed_user_counts and streaming_decayed_counts (all added
     # after this round's window filled — local-green at
     # sf0.001/0.01/0.1 so far), anything modified in r7, then rotate
     # green anchors toward whichever families r6's rows leave

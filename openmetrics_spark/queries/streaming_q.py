@@ -1433,3 +1433,53 @@ def streaming_minhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _drain(matched, out, os.path.join(work, "_chk", "matches"))
     return spark.read.parquet(out).distinct()
 
+
+
+from openmetrics_spark.queries.events_q import _DECAYED_ORACLE
+
+
+@register(
+    "streaming_decayed_counts",
+    oracle=_DECAYED_ORACLE,  # the batch twin's oracle, verbatim
+    tags=("streaming", "counter"),
+)
+def streaming_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed per-user counts maintained by a STREAM: the
+    half-life bucket counts are a plain watermarked tumbling-window
+    aggregate (associative, no custom state machine — the same split
+    as the streaming HLL/percentile/counter twins), and the decay
+    re-weights the drained bucket sink at read time
+    (``decayed_from_buckets``). That read-time weighting is the whole
+    point of the bucketed design: the stored state never needs
+    rewriting as the clock advances, so a feature store keeps ONE
+    bucket table current incrementally and derives fresh decayed
+    values on demand. Shares the batch twin's oracle verbatim."""
+    from openmetrics_spark.operators.counters import decayed_from_buckets
+
+    work = _workdir("decaystream")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+    bucket_stream = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "1 day"), "user_id")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("bucket_ms"),
+            "user_id",
+            "bn",
+        )
+    )
+    out = os.path.join(work, "buckets")
+    with _stream_shuffle_partitions(spark):
+        _drain(bucket_stream, out, os.path.join(work, "_chk", "buckets"))
+    # the sentinel (user_id = -1, far-future bucket) must not become
+    # the decay anchor; it flowed through the aggregate to flush the
+    # final window (see streaming_counter_commands) and drops here
+    b = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    return decayed_from_buckets(
+        b, ["user_id"], halflife_ms=86_400_000, max_k=40
+    )

@@ -48,6 +48,9 @@ def test_no_order_dependent_float_sums_in_oracles():
     allow = {
         # sums of an integral column — exact in any order
         "q1_pricing_summary": ["sum(l_quantity)"],
+        # bn and w are BIGINTs (bucket counts x power-of-two weights)
+        "decayed_user_counts": ["sum(bn * w)"],
+        "streaming_decayed_counts": ["sum(bn * w)"],
         # -ln() sums cannot be quantized faithfully; both engines fold
         # the same doubles and the 4 dp round absorbs the tail
         "doc_unigram_logprob": ["sum(-ln("],

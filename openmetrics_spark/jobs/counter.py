@@ -61,12 +61,18 @@ HOUR_MS = 3_600_000
 DAY_MS = 24 * HOUR_MS
 
 # (window, slide/emit, CountWindow, redis ttl seconds) — hourly emits
-# each 15 m, daily buckets each 4 h; the 30 d bucket gets a 60 d TTL
-# (SlidingHourlyCounter.java:20-41, SlidingDailyCounter.java:10-58)
+# each 15 m, daily buckets each 4 h. Redis EXPIRE is key-level and all
+# windows of a family share one key, so ONLY the longest-lived bucket
+# may set a TTL: the reference's SlidingCounter.expiry() returns 0
+# (no TTL modification) for every bucket except the 30 d one, which
+# gets 60 d (SlidingCounter.java:124-132, SlidingDailyCounter.java:
+# 52-56; SlidingHourlyCounter has no override). A shorter TTL on the
+# HOUR/DAY/DAY_7 commands would clamp the shared key below the 30 d
+# counts' lifetime — the sink skips EXPIRE when ttl_s <= 0.
 WINDOW_CONFIGS = (
-    (HOUR_MS, HOUR_MS // 4, CountWindow.HOUR, 4 * 3600),
-    (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400),
-    (7 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_7, 14 * 86400),
+    (HOUR_MS, HOUR_MS // 4, CountWindow.HOUR, 0),
+    (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 0),
+    (7 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_7, 0),
     (30 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_30, 60 * 86400),
 )
 

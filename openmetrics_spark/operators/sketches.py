@@ -83,7 +83,8 @@ def hll_estimate_sql(s: str, v: str, p: int = HLL_P) -> str:
 
 def hll_register_cols(value_col: str, p: int = HLL_P):
     """The narrow register projection as two Columns ``(bucket, rho)``
-    over a non-null BIGINT ``value_col`` — pure codegen (xxhash64 +
+    over a BIGINT or STRING ``value_col`` (caller must pre-filter
+    NULLs — :func:`hll_registers` does) — pure codegen (xxhash64 +
     bit ops + ``length(bin())``; exact integer semantics, no float
     log2), so it drops into batch AND streaming plans unchanged."""
     m = 1 << p
@@ -106,7 +107,14 @@ def hll_registers(
     p: int = HLL_P,
 ) -> DataFrame:
     """HLL register table: ``group_cols + (bucket, rho)``, one row per
-    non-empty register. ``value_col`` must be a non-null BIGINT.
+    non-empty register. ``value_col`` may be BIGINT or STRING (Spark
+    xxhash64 handles both; the DuckDB twin's string generator is
+    ASCII/len<=31, an oracle-side-only constraint). NULL values are
+    dropped HERE, by construction: Spark's xxhash64 would silently
+    skip a NULL input's contribution to the hash (emitting a register
+    for the remaining columns) while the SQL twin propagates NULL —
+    filtering inside the operator keeps both engines agreeing without
+    every caller remembering the null gate.
 
     bucket = low ``p`` bits of xxhash64(value); rho = 1 + leading
     zeros of the remaining ``64-p`` bits. One shuffle of ≤ 2^p rows
@@ -114,7 +122,8 @@ def hll_registers(
     """
     bucket, rho = hll_register_cols(value_col, p)
     return (
-        df.select(*group_cols, bucket, rho)
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, bucket, rho)
         .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
@@ -182,16 +191,17 @@ def hll_registers_sql(
 
     m = 1 << p
     rho_max = _rho_max(p)
+    # NULL gate mirrors hll_registers: both engines drop NULL values
+    # by construction (Spark xxhash64 ignores a NULL input; DuckDB
+    # propagates it — unguarded they build different registers).
+    gated = (
+        f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})"
+        f" WHERE {value_col} IS NOT NULL"
+    )
     if value_is_string:
-        hashed = xxhash64_sql(
-            f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})",
-            s="__v",
-            seed=42,
-        )
+        hashed = xxhash64_sql(gated, s="__v", seed=42)
     else:
-        hashed = xxhash64_long_sql(
-            f"SELECT {group_exprs}, {value_col} AS __v FROM ({inner_sql})"
-        )
+        hashed = xxhash64_long_sql(gated)
     return f"""(
   SELECT {group_exprs}, bucket, max(rho) AS rho
   FROM (

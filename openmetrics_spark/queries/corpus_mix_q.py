@@ -1138,7 +1138,11 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_drop = comp.filter(F.col("id") != F.col("component")).select(
         F.col("id").alias("doc_id")
     )
-    k3 = k2.join(F.broadcast(near_drop), "doc_id", "left_anti")
+    # NO broadcast hint: near_drop scales with corpus size (a few %
+    # of all docs at 100 TB is a multi-GB id set — a forced hint
+    # bypasses AQE's size check and dies at the broadcast ceiling).
+    # AQE still picks broadcast at any SF where it actually fits.
+    k3 = k2.join(near_drop, "doc_id", "left_anti")
     # decontamination against the ORIGINAL (ungated) benchmark docs;
     # hash post-explode (codegen), not inside the shingle array
     from openmetrics_spark.llm.dedup import exploded_shingles
@@ -1157,7 +1161,10 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
         .distinct()
     )
-    survivors = k3.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    # contaminated is corpus-proportional too — same rule as near_drop
+    # above: let AQE size it. (The `bench` 5-gram broadcast stays: an
+    # eval suite is MBs, genuinely bounded.)
+    survivors = k3.join(contaminated, "doc_id", "left_anti")
     bucket = (
         portable_hash60(
             F.concat(F.lit("smp_"), F.col("doc_id").cast("string"))

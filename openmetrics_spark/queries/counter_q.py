@@ -53,10 +53,12 @@ from openmetrics_spark.queries import register
 from openmetrics_spark.tables import table
 
 # HOUR emitted each 15 m, DAY each 4 h (SlidingHourlyCounter.java:20-41,
-# SlidingDailyCounter.java:10-58)
+# SlidingDailyCounter.java:10-58). TTL 0 on both: redis expiry is
+# key-level and shared with the 30 d bucket — only DAY_30 sets one
+# (SlidingCounter.java:124-132; see jobs/counter.py WINDOW_CONFIGS).
 DRIVER_WINDOWS = (
-    (HOUR_MS, HOUR_MS // 4, CountWindow.HOUR, 4 * 3600),
-    (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400),
+    (HOUR_MS, HOUR_MS // 4, CountWindow.HOUR, 0),
+    (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 0),
 )
 _90D_MS = 90 * 86400 * 1000
 
@@ -356,9 +358,12 @@ def counter_commands_full(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # the reference's 7 d and 30 d daily-counter configs at full fidelity
-# (4 h emit slide, 14 d / 60 d TTLs — SlidingDailyCounter.java:10-58)
+# (4 h emit slide; TTL only on the 30 d bucket — expiry() returns 0
+# for the 7 d one, SlidingDailyCounter.java:52-56: redis EXPIRE is
+# key-level and a 7 d-driven TTL would clamp the shared key below the
+# 30 d counts' 60 d lifetime)
 WEEKLY_WINDOWS = (
-    (7 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_7, 14 * 86400),
+    (7 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_7, 0),
     (30 * DAY_MS, 4 * HOUR_MS, CountWindow.DAY_30, 60 * 86400),
 )
 

@@ -164,6 +164,71 @@ def test_add_latest_impressions_output_cap_after_exclusion(spark):
     assert [r for r in got if r[0] == 801] == [(801, 1, 2), (801, 2, 1)]
 
 
+def test_add_latest_impressions_hot_user_brute_parity(spark):
+    """Adversarial hot user: one user owns ~all traffic (interleaved
+    impressions/actions, repeated contents, same-ms ties, lookback
+    expiries). The pair-free seq-join must reproduce a brute-force
+    replay of the reference semantics exactly — and its join work is
+    O(actions × max_state) by construction, so the fixture also
+    documents that a hot key costs 30×actions, not imps×actions."""
+    import random
+
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+
+    rng = random.Random(7)
+    n_imp, n_act, lookback = 400, 120, 500
+    imps = [
+        (1, 1000 + i, rng.randrange(0, 3000), rng.randrange(0, 40))
+        for i in range(n_imp)
+    ]
+    acts = [
+        (1, 9000 + i, rng.randrange(0, 3200), rng.randrange(0, 40))
+        for i in range(n_act)
+    ]
+    # a second, cold user proves per-user isolation
+    imps += [(2, 5000, 10, 1), (2, 5001, 20, 2)]
+    acts += [(2, 9900, 30, 3)]
+    imp = spark.createDataFrame(
+        imps, "user_id long, impression_id long, imp_ms long, content_id long"
+    )
+    act = spark.createDataFrame(
+        acts, "user_id long, action_id long, act_ms long, content_id long"
+    )
+    max_state, max_output = 7, 5
+    out = add_latest_impressions(
+        imp, act, max_state=max_state, max_output=max_output,
+        lookback_ms=lookback,
+    )
+    got = sorted(
+        (r.action_id, r.rank, r.impression_id, r.content, r.gap_ms)
+        for r in out.collect()
+    )
+
+    # brute-force replay of the reference order of operations
+    first_act: dict[tuple[int, int], int] = {}
+    for u, aid, ams, c in acts:
+        k = (u, c)
+        if k not in first_act or ams < first_act[k]:
+            first_act[k] = ams
+    want = []
+    for u, aid, ams, _c in acts:
+        cand = [
+            (i_ms, iid, c)
+            for (iu, iid, i_ms, c) in imps
+            if iu == u and i_ms < ams and i_ms >= ams - lookback
+        ]
+        cand.sort(key=lambda t: (-t[0], -t[1]))  # recency, id desc
+        state = cand[:max_state]
+        kept = [
+            (i_ms, iid, c)
+            for (i_ms, iid, c) in state
+            if (u, c) not in first_act or first_act[(u, c)] > ams
+        ][:max_output]
+        for rank, (i_ms, iid, c) in enumerate(kept, start=1):
+            want.append((aid, rank, iid, c, ams - i_ms))
+    assert got == sorted(want)
+
+
 def test_restructure_and_fix_delivery_log(spark):
     from openmetrics_spark.operators.flat import (
         fix_delivery_log,

@@ -36,6 +36,19 @@ additions (streaming_counter_commands — the fused fan-out as a real
 streaming replay, user_scd2_intervals, doc_dedup_spans_rewrite,
 hll_segment_overlap) — the r6 total is again NOT comparable to r5's;
 per-query times are.
+
+r6→r7 note: the protocol moved to MEDIAN-OF-3 (singles kept in
+"raw"); r6's apparent regressions (q1 +50%, ann_brute +33%,
+streaming_cumulate_hourly +32%, session_rollup_30m +27%, ngram +18% —
+none with plan-affecting diffs) were re-measured under it and all
+landed at or below their r5 levels (e.g. ngram 2.15 s vs r6's 3.41 s
+single shot; streaming_cumulate_hourly 6.37 s vs 8.24 s): confirmed
+noise, specifically the first warm shot carrying one-time JIT/stage-
+scheduling cost that the old single-shot numbers billed to whichever
+query ran it (the raw arrays show shot-1 routinely 30-60% above
+shots 2-3). Totals are sums of medians from r7 on — NOT comparable
+to earlier single-shot totals; steady-state per-query medians are
+the cross-round comparable quantity now.
 """
 
 from __future__ import annotations
@@ -182,15 +195,30 @@ def main() -> int:
         **{n: specs[n] for n in order if n in specs},
         **{n: s for n, s in specs.items() if n not in order},
     }
+    # r7 protocol change: median-of-N (default 3). Single shots of ~1 s
+    # queries swing ±40% on this box (the ×5 re-measure above), which
+    # had grown larger than the effects being tracked — r6's "+9.7%
+    # aggregate regression" was indistinguishable from noise. The
+    # median of 3 consecutive warm runs is what we publish per query;
+    # the individual shots stay in "raw" for transparency. Consecutive
+    # (not interleaved) repeats are deliberate: they share page-cache /
+    # JIT state, which is the steady-state regime the headline number
+    # claims to measure.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     times: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     for name, spec in specs.items():
-        t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
-        # cache cleanup runs OUTSIDE the timed window: unpersist cost
-        # belongs to the harness, and charging it to whichever query
-        # pinned intermediates would skew cross-round comparisons
-        release_caches()
+        shots: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            shots.append(round(time.perf_counter() - t0, 3))
+            # cache cleanup runs OUTSIDE the timed window: unpersist
+            # cost belongs to the harness, and charging it to whichever
+            # query pinned intermediates would skew comparisons
+            release_caches()
+        raw[name] = shots
+        times[name] = sorted(shots)[len(shots) // 2]
 
     total = round(sum(times.values()), 3)
     print(
@@ -200,6 +228,8 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": times,
+                "raw": raw,
+                "reps": reps,
                 "sf": sf,
             }
         )

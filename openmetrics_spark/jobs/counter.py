@@ -22,9 +22,16 @@ shape) and one window+aggregate pass for all Last* families; shuffle
 bytes match the per-family plans (family_counts / last_commands,
 kept as the readable spec twins and parity-pinned in
 tests/test_counter_job.py), but the exchange-chain count drops
-~28 → ~6 — measured 2x end-to-end at sf0.1 where stage scheduling
-dominates, and at 100 TB it concentrates AQE's skew/coalesce
-decisions into a few large stages. The final command stream is
+~28 → ~6, and at 100 TB it concentrates AQE's skew/coalesce
+decisions into a few large stages. Measured at sf0.1 under the
+median-of-3 protocol (scripts/bench_counter_breakdown.py, r7):
+the full job is ~3.7 s, split ~1.1 s enrichment+localCheckpoint
+materialization, ~1.2 s sliding fan-out, ~0.6 s Last* pass — the
+fan-out itself runs ~2x faster than the per-family chains it
+replaced, while the headline stopwatch also carries the as-of
+enrichment, which the rewrite never touched (r5/r6 single-shot
+totals of 7-8 s were dominated by one-time JIT/scheduling noise
+the median protocol now excludes). The final command stream is
 written by foreachBatch through a pipelined redis client.
 """
 

@@ -990,7 +990,11 @@ def _lang_sql_v2(lang: str) -> str:
     return "[" + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
 
 
-def _manifest_v2_oracle() -> str:
+def _manifest_core_sql() -> str:
+    """Shared CTE chain of the manifest oracles (v2/v3): tokenize →
+    quality/language gates → benchmark exclusion → exact dedup →
+    near-dup connected components → 5-gram decontamination, ending in
+    the ``surv`` CTE (chain survivors, pre-sample)."""
     return f"""
 WITH RECURSIVE t AS (
   SELECT doc_id, text, lang,
@@ -1068,31 +1072,37 @@ WITH RECURSIVE t AS (
   SELECT DISTINCT bg.doc_id
   FROM bg JOIN k3 USING (doc_id), unnest(bg.sh) u(s5)
   WHERE u.s5 IN (SELECT s5 FROM bench)
-)
-SELECT k3.doc_id, k3.n_tokens, k3.quality
-FROM k3
-WHERE k3.doc_id NOT IN (SELECT doc_id FROM contaminated)
-  AND {portable_hash60_sql("'smp_' || CAST(k3.doc_id AS VARCHAR)")} % 100
-      < (CASE WHEN k3.lang = 'en' THEN {_EN_PCT} ELSE {_OTHER_PCT} END)
+), surv AS (
+  SELECT k3.* FROM k3
+  WHERE k3.doc_id NOT IN (SELECT doc_id FROM contaminated)
+)"""
+
+
+def _manifest_sample_gate_sql() -> str:
+    return (
+        f"""{portable_hash60_sql("'smp_' || CAST(surv.doc_id AS VARCHAR)")}"""
+        f" % 100 < (CASE WHEN surv.lang = 'en'"
+        f" THEN {_EN_PCT} ELSE {_OTHER_PCT} END)"
+    )
+
+
+def _manifest_v2_oracle() -> str:
+    return (
+        _manifest_core_sql()
+        + f"""
+SELECT surv.doc_id, surv.n_tokens, surv.quality
+FROM surv
+WHERE {_manifest_sample_gate_sql()}
 """
+    )
 
 
-@register(
-    "corpus_prep_manifest_v2",
-    oracle=_manifest_v2_oracle(),
-    headline=True,
-    tags=("llm", "pipeline"),
-)
-def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full curation chain composed into ONE distributed query:
-    quality/language gating, benchmark exclusion, exact dedup,
-    near-dup cluster resolution, 5-gram decontamination, and the
-    deterministic stratified sample, ending in the training manifest.
-    Stage order mirrors a production run: cheap row-local gates first,
-    the (long,long)-pair dedup shuffles over gated survivors only, the
-    broadcast decontam semi-join over dedup survivors only, and the
-    final sample is a narrow hash filter — every expensive stage sees
-    the smallest possible input."""
+def _manifest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the oracle's ``surv`` CTE — stages 1-5 of the
+    curation chain (quality/language gating, benchmark exclusion,
+    exact dedup, near-dup cluster resolution, 5-gram decontamination),
+    shared by the v2/v3 manifests. Returns the chain survivors with
+    (doc_id, text, lang, tok, n_tokens, quality)."""
     from openmetrics_spark.llm.dedup import (
         connected_components,
         ngram_jaccard_pairs,
@@ -1111,6 +1121,7 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
         "lang",
+        "tok",
         token_count(tok).alias("n_tokens"),
         quality_score("text", tok).alias("quality"),
         marker_hits(tok, LANG_MARKERS["en"]).alias("en_hits"),
@@ -1164,7 +1175,14 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     # contaminated is corpus-proportional too — same rule as near_drop
     # above: let AQE size it. (The `bench` 5-gram broadcast stays: an
     # eval suite is MBs, genuinely bounded.)
-    survivors = k3.join(contaminated, "doc_id", "left_anti")
+    return k3.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "text", "lang", "tok", "n_tokens", "quality"
+    )
+
+
+def _manifest_sample_gate():
+    """Spark twin of the oracle's sample predicate (deterministic
+    lang-stratified hash sample over the survivor set)."""
     bucket = (
         portable_hash60(
             F.concat(F.lit("smp_"), F.col("doc_id").cast("string"))
@@ -1174,7 +1192,27 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate = F.when(F.col("lang") == "en", F.lit(_EN_PCT)).otherwise(
         F.lit(_OTHER_PCT)
     )
-    return survivors.filter(bucket < rate).select(
+    return bucket < rate
+
+
+@register(
+    "corpus_prep_manifest_v2",
+    oracle=_manifest_v2_oracle(),
+    headline=True,
+    tags=("llm", "pipeline"),
+)
+def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation chain composed into ONE distributed query:
+    quality/language gating, benchmark exclusion, exact dedup,
+    near-dup cluster resolution, 5-gram decontamination, and the
+    deterministic stratified sample, ending in the training manifest.
+    Stage order mirrors a production run: cheap row-local gates first,
+    the (long,long)-pair dedup shuffles over gated survivors only, the
+    broadcast decontam semi-join over dedup survivors only, and the
+    final sample is a narrow hash filter — every expensive stage sees
+    the smallest possible input."""
+    survivors = _manifest_survivors(spark, sf_dir)
+    return survivors.filter(_manifest_sample_gate()).select(
         "doc_id", "n_tokens", "quality"
     )
 
@@ -1245,6 +1283,25 @@ def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
     tok = tokens("text")
     t = pin(docs.select("doc_id", tok.alias("tok")))
+    kept = _span_kept(t)
+    return t.select("doc_id", F.size("tok").cast("long").alias("n_tokens")).join(
+        kept, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
+    )
+
+
+def _span_kept(t: DataFrame) -> DataFrame:
+    """Core of the span-dedup rewrite over ``t(doc_id, tok)`` (caller
+    pins ``t`` — it is read by three branches): tokens covered by a
+    cross-document repeated ``_SPAN_N``-window are removed; returns
+    (doc_id, n_kept, cleaned) with docs that kept ≥1 token. Shared by
+    doc_dedup_spans_rewrite and corpus_prep_manifest_v3."""
     idx = F.when(
         F.size("tok") >= _SPAN_N,
         F.sequence(F.lit(1), F.size("tok") - (_SPAN_N - 1)),
@@ -1282,7 +1339,7 @@ def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = t.select("doc_id", F.posexplode("tok").alias("p0", "token")).select(
         "doc_id", (F.col("p0") + 1).alias("pos"), "token"
     )
-    kept = (
+    return (
         toks.join(cover, ["doc_id", "pos"], "left_anti")
         .groupBy("doc_id")
         .agg(
@@ -1297,16 +1354,6 @@ def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("cleaned"),
         )
-    )
-    return t.select("doc_id", F.size("tok").cast("long").alias("n_tokens")).join(
-        kept, "doc_id", "left"
-    ).select(
-        "doc_id",
-        "n_tokens",
-        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
-        .cast("long")
-        .alias("n_removed"),
-        F.coalesce(F.col("cleaned"), F.lit("")).alias("cleaned_text"),
     )
 
 
@@ -1407,6 +1454,17 @@ def doc_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-dependent float aggregation exists."""
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
     t = docs.select(F.col("doc_id").alias("d"), tokens("text").alias("tok"))
+    _present, w, const = _nb_model(t)
+    return w.unionByName(const)
+
+
+def _nb_model(t: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Bernoulli-NB fit core over ``t(d, tok)``: returns ``(present,
+    w, const)`` — ``present`` = distinct (d, b) doc-bucket pairs,
+    ``w`` = (bucket, df_pos, df_neg, w_e6) presence weights,
+    ``const`` = the single bucket=-1 row carrying the class prior +
+    absent-term sum. Shared by doc_quality_train (emits the model)
+    and corpus_prep_manifest_v3 (scores survivors with it)."""
     labels = t.select(
         "d", F.array_contains("tok", _NB_LABEL).cast("int").alias("y")
     )
@@ -1459,4 +1517,145 @@ def doc_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w_e6"),
         )
     )
-    return w.unionByName(const)
+    return present, w, const
+
+
+# ---------------------------------------------------------------------------
+# corpus_prep_manifest_v3 — the v2 chain with the round-6 additions
+# composed in: the Lee-et-al span REWRITE applied across chain
+# survivors, and the Bernoulli-NB quality score (model fit on the
+# full corpus, survivors scored with it). Composition is where
+# stage-boundary bugs live — the reference's analog is the composed
+# FlatOutputJob (pipeline/.../job/join/FlatOutputJob.java:394-641).
+# ---------------------------------------------------------------------------
+
+
+def _manifest_v3_oracle() -> str:
+    from openmetrics_spark.functions.hashing import portable_hash60_sql
+
+    h = portable_hash60_sql("tk")
+    return (
+        _manifest_core_sql()
+        + f"""
+, sp AS (
+  SELECT doc_id, i + 1 AS i, {_SPAN_SQL_HASH} AS w
+  FROM surv, unnest(range(len(tok) - {_SPAN_N - 1})) r(i)
+  WHERE len(tok) >= {_SPAN_N}
+), spd AS (
+  SELECT w FROM (SELECT DISTINCT doc_id, w FROM sp)
+  GROUP BY w HAVING count(*) >= 2
+), spc AS (
+  SELECT DISTINCT doc_id, pos
+  FROM (SELECT doc_id, i FROM sp JOIN spd USING (w)),
+       unnest(range(i, i + {_SPAN_N})) r2(pos)
+), sptok AS (
+  SELECT doc_id, pos, tok[pos] AS token
+  FROM surv, unnest(range(1, len(tok) + 1)) r(pos)
+), spkept AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(token, ' ' ORDER BY pos) AS cleaned
+  FROM sptok ANTI JOIN spc USING (doc_id, pos)
+  GROUP BY doc_id
+), nbl AS (
+  SELECT doc_id AS d,
+         CASE WHEN list_contains(tok, '{_NB_LABEL}') THEN 1 ELSE 0 END AS y
+  FROM t
+), nbn AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM nbl
+), nbp AS (
+  SELECT DISTINCT d, {h} % {_NB_BUCKETS} AS b
+  FROM (SELECT doc_id AS d, unnest(tok) AS tk FROM t)
+), nbdf AS (
+  SELECT b, CAST(sum(y) AS BIGINT) AS df_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS df_neg
+  FROM nbp JOIN nbl USING (d) GROUP BY b
+), nbw AS (
+  SELECT b, {_NB_W_SQL} AS w_e6 FROM nbdf, nbn
+), nbc AS (
+  SELECT CAST(floor(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1000000.0 + 0.5)
+              AS BIGINT)
+         + (SELECT CAST(coalesce(sum({_NB_ABSENT_SQL}), 0) AS BIGINT)
+            FROM nbdf, nbn) AS c
+  FROM nbn
+), nbs AS (
+  SELECT d AS doc_id, CAST(sum(w_e6) AS BIGINT) AS s
+  FROM nbp JOIN nbw ON nbp.b = nbw.b GROUP BY d
+)
+SELECT surv.doc_id,
+       surv.n_tokens,
+       surv.quality,
+       CAST(surv.n_tokens - coalesce(spkept.n_kept, 0) AS BIGINT) AS n_removed,
+       CAST(coalesce(spkept.n_kept, 0) AS BIGINT) AS n_clean_tokens,
+       md5(coalesce(spkept.cleaned, '')) AS clean_md5,
+       CAST((SELECT c FROM nbc) + coalesce(nbs.s, 0) AS BIGINT) AS nb_score_e6
+FROM surv
+LEFT JOIN spkept USING (doc_id)
+LEFT JOIN nbs USING (doc_id)
+WHERE {_manifest_sample_gate_sql()}
+"""
+    )
+
+
+@register(
+    "corpus_prep_manifest_v3",
+    oracle=_manifest_v3_oracle(),
+    headline=True,
+    tags=("llm", "pipeline"),
+)
+def corpus_prep_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The v2 curation chain with the round-6 operators composed in:
+
+    - **span rewrite over survivors**: cross-document repeated
+      20-token windows are detected across the POST-dedup survivor
+      set (the production order — near-dup docs are already gone,
+      so the posting list is smallest) and every covered token
+      removed; the manifest carries the kept-token count and an md5
+      fingerprint of the cleaned text, proving the rewritten stream
+      itself flowed through the chain while keeping the manifest
+      narrow.
+    - **NB quality score**: the Bernoulli-NB model is FIT on the full
+      corpus (one scan, O(buckets) shuffle — `_nb_model`) and chain
+      survivors are scored with it (present-bucket join + integer
+      sum; exact 1e-6-unit arithmetic end to end).
+
+    Scale shape: the chain's stage order is v2's; the two new stages
+    add one (doc,pos) anti-join over survivor tokens and one
+    (doc,bucket)→weight join — both O(survivor tokens), no new
+    corpus-wide shuffle beyond what the standalone operators pay."""
+    surv = pin(_manifest_survivors(spark, sf_dir))
+    kept = _span_kept(surv.select("doc_id", "tok"))
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t_nb = docs.select(F.col("doc_id").alias("d"), tokens("text").alias("tok"))
+    present, w, const = _nb_model(t_nb)
+    score = (
+        present.join(w.select(F.col("bucket").alias("b"), "w_e6"), "b")
+        .groupBy("d")
+        .agg(F.sum("w_e6").cast("long").alias("s"))
+        .withColumnRenamed("d", "doc_id")
+    )
+    # the fitted prior+absent constant is ONE row — broadcast is bounded
+    const_c = const.select(F.col("w_e6").alias("c"))
+    return (
+        surv.filter(_manifest_sample_gate())
+        .join(kept, "doc_id", "left")
+        .join(score, "doc_id", "left")
+        .crossJoin(F.broadcast(const_c))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("n_kept"), F.lit(0))
+            .cast("long")
+            .alias("n_clean_tokens"),
+            F.md5(F.coalesce(F.col("cleaned"), F.lit(""))).alias("clean_md5"),
+            (F.col("c") + F.coalesce(F.col("s"), F.lit(0)))
+            .cast("long")
+            .alias("nb_score_e6"),
+        )
+    )

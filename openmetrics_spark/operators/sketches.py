@@ -305,3 +305,125 @@ def hist_percentiles_from_counts(
         (F.min("bucket") * F.lit(float(width))).alias(out),
         F.max("n").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (Cormode & Muthukrishnan 2005, the public paper) —
+# engine-exact like the HLL above: counters are plain integer counts,
+# the d hash rows come from Spark's built-in xxhash64 seed-chaining
+# (xxhash64(lit(j), key) == hashLong(key, hashLong(j, 42))), and the
+# DuckDB twin replays the identical straight-line hash via
+# xxhash64_long_sql with the per-row seed precomputed in Python.
+#
+# 100 TB posture: the counter table is O(groups × depth × width) rows
+# with a map-side count partial — never O(rows) — and counters are
+# ADDITIVE, so per-day (or per-micro-batch) counter tables merge by
+# SUM into global ones: incremental heavy-hitter tracking without
+# re-reading history, and the streaming twin needs no custom state
+# machine (Spark's windowed count IS the sketch maintainer).
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH_BITS = 10  # 1024 buckets per hash row
+
+
+def cms_seeds(depth: int = CMS_DEPTH) -> tuple[int, ...]:
+    """The chained seeds Spark's ``xxhash64(lit(j), key)`` uses: seed_j
+    = hashLong(j, 42), unsigned. Python-side so the SQL twin can embed
+    them as literals."""
+    import struct
+
+    from openmetrics_spark.functions.hashing import xxhash64_bytes
+
+    return tuple(
+        xxhash64_bytes(struct.pack("<q", j), 42) for j in range(depth)
+    )
+
+
+def cms_bucket_rows(
+    value_col: str, depth: int = CMS_DEPTH, wbits: int = CMS_WIDTH_BITS
+):
+    """Generator column producing one (j, b) row per hash row for a
+    BIGINT ``value_col`` — pure codegen (xxhash64 + AND), alias it
+    with ``.alias("j", "b")`` in a select."""
+    m = 1 << wbits
+    return F.posexplode(
+        F.array(
+            *[
+                F.xxhash64(F.lit(j).cast("long"), F.col(value_col)).bitwiseAND(
+                    F.lit(m - 1)
+                )
+                for j in range(depth)
+            ]
+        )
+    )
+
+
+def cms_counters(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    wbits: int = CMS_WIDTH_BITS,
+) -> DataFrame:
+    """Count-min counter table ``group_cols + (j, b, c)``. NULL values
+    are dropped here, by construction — same cross-engine rule as
+    :func:`hll_registers`. One shuffle of ≤ depth × 2^wbits rows per
+    group (map-side count partial)."""
+    rows = df.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, cms_bucket_rows(value_col, depth, wbits).alias("j", "b")
+    )
+    return rows.groupBy(*group_cols, "j", "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def cms_point_estimate(
+    counters: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    depth: int = CMS_DEPTH,
+    wbits: int = CMS_WIDTH_BITS,
+    out: str = "est_count",
+) -> DataFrame:
+    """Point estimates for candidate ``keys`` (group_cols + value_col
+    rows): est = min over the depth hash rows (missing counter row =
+    0). Never reads the raw stream — O(|keys| × depth) join rows."""
+    kb = keys.select(
+        *group_cols,
+        value_col,
+        cms_bucket_rows(value_col, depth, wbits).alias("j", "b"),
+    )
+    return (
+        kb.join(counters, [*group_cols, "j", "b"], "left")
+        .groupBy(*group_cols, value_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias(out))
+    )
+
+
+def cms_rows_sql(
+    inner_sql: str,
+    value_col: str,
+    select_exprs: str = "",
+    depth: int = CMS_DEPTH,
+    wbits: int = CMS_WIDTH_BITS,
+) -> str:
+    """DuckDB twin of :func:`cms_bucket_rows` over every row of
+    ``inner_sql``: a subquery producing ``select_exprs..., j, b``
+    (NULL values dropped, mirroring cms_counters)."""
+    from openmetrics_spark.functions.hashing_sql import xxhash64_long_sql
+
+    m = 1 << wbits
+    pre = f"{select_exprs}, " if select_exprs else ""
+    parts = []
+    for j, seed in enumerate(cms_seeds(depth)):
+        hashed = xxhash64_long_sql(
+            f"SELECT {pre}{value_col} AS __v FROM ({inner_sql})"
+            f" WHERE {value_col} IS NOT NULL",
+            seed=seed,
+        )
+        parts.append(
+            f"SELECT {pre}{j} AS j, __hash % {m} AS b FROM {hashed}"
+        )
+    return "(" + "\nUNION ALL\n".join(parts) + ")"

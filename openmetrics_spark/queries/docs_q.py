@@ -1471,3 +1471,96 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "rank", "neighbor_id", F.round("raw", 6).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_leakage_safe_split — cluster-aware train/val/test assignment:
+# a doc-level hash split leaks near-duplicates across the boundary
+# (train/test contamination, the classic eval bug); splitting on the
+# near-dup CLUSTER id keeps every duplicate family in one split.
+# ---------------------------------------------------------------------------
+
+from openmetrics_spark.functions.hashing import (  # noqa: E402
+    portable_hash60,
+    portable_hash60_sql,
+)
+
+_SPLIT_GATE = portable_hash60_sql("'split_' || CAST(cluster_id AS VARCHAR)")
+
+_LEAKAGE_SPLIT_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+), sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.d
+), lab AS (
+  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+), allc AS (
+  SELECT d.doc_id, coalesce(lab.canonical_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+)
+SELECT doc_id, cluster_id,
+       CASE WHEN g < 80 THEN 'train'
+            WHEN g < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (SELECT doc_id, cluster_id, {_SPLIT_GATE} % 100 AS g FROM allc)
+"""
+
+
+@register(
+    "corpus_leakage_safe_split",
+    oracle=_LEAKAGE_SPLIT_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split that cannot leak
+    near-duplicates across the boundary: docs are first resolved into
+    near-dup connected components (ngram-Jaccard >= 0.5, the same
+    pair generator as doc_dedup_clusters), then the split gate hashes
+    the CLUSTER id — every member of a duplicate family lands in the
+    same split by construction (pinned by
+    tests/test_corpus_mix.py::test_leakage_safe_split_no_cross_split_pairs).
+    Docs in no cluster are their own singleton cluster. 100 TB shape:
+    the pair generator's df-capped inverted index + pointer-jumping CC
+    dominate (both bucketed, no all-pairs); the split itself is a
+    narrow hash projection, and the assignment is stable under corpus
+    growth — new docs can't move an existing cluster to another split
+    unless dedup itself merges clusters (in which case min-id
+    canonicalization keeps the union in the OLDEST cluster's split)."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    lab = comp.select(
+        F.col("id").alias("doc_id"), F.col("component").alias("cid")
+    )
+    allc = (
+        docs.select("doc_id")
+        .join(lab, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cid"), F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    g = (
+        portable_hash60(
+            F.concat(F.lit("split_"), F.col("cluster_id").cast("string"))
+        )
+        % 100
+    )
+    return allc.select(
+        "doc_id",
+        "cluster_id",
+        F.when(g < 80, F.lit("train"))
+        .when(g < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )

@@ -364,3 +364,74 @@ def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.join(est, "c", "left").select(
         F.col("c").alias("col_name"), "n_rows", "n_null", "approx_distinct"
     )
+
+
+# ---------------------------------------------------------------------------
+# approx_heavy_hitters_cms — Count-Min point estimates + a heavy-
+# hitter gate, engine-exact (operators/sketches.py::cms_*).
+# ---------------------------------------------------------------------------
+
+
+def _cms_hh_oracle() -> str:
+    from openmetrics_spark.operators.sketches import cms_rows_sql
+
+    ev = "SELECT user_id FROM events"
+    counter_rows = cms_rows_sql(ev, "user_id")
+    key_rows = cms_rows_sql(
+        "SELECT DISTINCT user_id FROM events", "user_id", "user_id"
+    )
+    return f"""
+WITH counters AS (
+  SELECT j, b, count(*) AS c FROM {counter_rows} GROUP BY j, b
+), tot AS (
+  SELECT count(*) AS n, count(DISTINCT user_id) AS d
+  FROM events WHERE user_id IS NOT NULL
+), kb AS (
+  SELECT * FROM {key_rows}
+), est AS (
+  SELECT user_id, CAST(min(coalesce(c, 0)) AS BIGINT) AS est_count
+  FROM kb LEFT JOIN counters USING (j, b)
+  GROUP BY user_id
+)
+SELECT est.user_id, est.est_count
+FROM est, tot
+WHERE est.est_count * 5 * tot.d >= 6 * tot.n
+"""
+
+
+@register(
+    "approx_heavy_hitters_cms",
+    oracle=_cms_hh_oracle(),
+    tags=("sketch", "agg"),
+)
+def approx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via an engine-exact Count-Min sketch: one counter
+    table (4 hash rows × 1024 buckets — O(4096) shuffle rows with a
+    map-side count partial, never O(events)), point estimates for the
+    candidate keys as min-over-rows, and a relative gate est ≥
+    1.2·(N/D) evaluated in integer space (est·5·D ≥ 6·N). CMS
+    OVERestimates under collisions by design (the testdata's ~uniform
+    users at 1500 keys / 1024 buckets makes that visible honestly) —
+    the driver hash-gates the estimates themselves, so both engines
+    must reproduce every collision bit-exactly. The exact distinct D
+    in the gate keeps the oracle 1:1; at 100 TB the HLL estimate
+    (same module) replaces it and candidates come from a sampled or
+    sketched key stream rather than DISTINCT."""
+    from openmetrics_spark.operators.sketches import (
+        cms_counters,
+        cms_point_estimate,
+    )
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counters = cms_counters(ev, [], "user_id")
+    keys = ev.select("user_id").distinct()
+    tot = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("d"),
+    )
+    est = cms_point_estimate(counters, keys, "user_id")
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est_count") * 5 * F.col("d") >= 6 * F.col("n"))
+        .select("user_id", "est_count")
+    )

@@ -1483,3 +1483,82 @@ def streaming_decayed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decayed_from_buckets(
         b, ["user_id"], halflife_ms=86_400_000, max_k=40
     )
+
+
+def _streaming_cms_oracle() -> str:
+    # per-day counters summed to global ones equal the batch counters
+    # exactly (counts are additive), so the oracle reuses the batch
+    # CMS pipeline verbatim
+    from openmetrics_spark.queries.sketch_q import _cms_hh_oracle
+
+    return _cms_hh_oracle()
+
+
+@register(
+    "streaming_heavy_hitters",
+    oracle=_streaming_cms_oracle(),
+    tags=("streaming", "sketch"),
+)
+def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch running INSIDE Structured Streaming: the
+    counter table is maintained by a watermarked per-day windowed
+    count over the (j, b) bucket projection — counts are ADDITIVE, so
+    no custom state machine: Spark's windowed aggregation IS the
+    sketch maintainer with state bounded by days × depth × width
+    regardless of throughput, and finalized day windows flush to the
+    sink incrementally. The drained per-day counters merge by SUM
+    into the global table (bit-identical to batch counters), then
+    estimates + the heavy-hitter gate run batch-side — the oracle is
+    the batch CMS pipeline verbatim. Sentinel rows land in the
+    far-future sentinel window and are dropped post-drain by window
+    bound (never pre-aggregate: a pre-agg filter would be pushed
+    below EventTimeWatermark and lose the final window)."""
+    from openmetrics_spark.operators.sketches import (
+        cms_bucket_rows,
+        cms_point_estimate,
+    )
+
+    work = _workdir("cms_stream")
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    staged = os.path.join(work, "events")
+    _restage(spark, ev, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+    counter_stream = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .select("ts", cms_bucket_rows("user_id").alias("j", "b"))
+        .groupBy(F.window("ts", "1 day"), "j", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "j",
+            "b",
+            "c",
+        )
+    )
+    out = os.path.join(work, "counters")
+    with _stream_shuffle_partitions(spark):
+        _drain(counter_stream, out, os.path.join(work, "_chk", "counters"))
+    # drop the sentinel's far-future day window post-drain, then merge
+    # the per-day counters into the global table (additive)
+    from openmetrics_spark.jobs.streaming_flat_output import SENTINEL_MS
+
+    counters = (
+        spark.read.parquet(out)
+        .filter(F.col("window_start_ms") < SENTINEL_MS - 86_400_000)
+        .groupBy("j", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    evb = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    keys = evb.select("user_id").distinct()
+    tot = evb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("d"),
+    )
+    est = cms_point_estimate(counters, keys, "user_id")
+    return (
+        est.crossJoin(F.broadcast(tot))
+        .filter(F.col("est_count") * 5 * F.col("d") >= 6 * F.col("n"))
+        .select("user_id", "est_count")
+    )

@@ -315,3 +315,46 @@ def test_nb_trainer_separates_its_label(spark, sf_dir):
     # other tokens (31 tokens in 256 buckets), so some negatives carry
     # the 'key' bucket via a collider — inherent to hash-trick features
     assert acc > 0.88, acc
+
+
+def test_leakage_safe_split_no_cross_split_pairs(spark, sf_dir):
+    """The load-bearing property: no near-dup pair may straddle a
+    split boundary, and the three splits partition the corpus."""
+    from openmetrics_spark.llm.dedup import ngram_jaccard_pairs
+    from openmetrics_spark.queries.docs_q import corpus_leakage_safe_split
+    from openmetrics_spark.tables import table
+
+    out = corpus_leakage_safe_split(spark, sf_dir)
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert len(split_of) == n_docs
+    assert set(split_of.values()) <= {"train", "val", "test"}
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    ).collect()
+    assert pairs, "fixture must contain near-dup pairs for this test"
+    for p in pairs:
+        assert split_of[p.doc_a] == split_of[p.doc_b], (p.doc_a, p.doc_b)
+
+
+def test_manifest_v3_composes_standalone_results(spark, sf_dir):
+    """Stage-boundary check for the composed chain: every v3 row must
+    agree with the standalone operators — same survivor/sample set as
+    v2, span stats consistent (n_removed + n_clean_tokens ==
+    n_tokens can FAIL legitimately: v3 detects spans over survivors
+    only, so its n_removed <= the full-corpus rewrite's), and the NB
+    score must separate the label like the trained model does."""
+    from openmetrics_spark.queries.corpus_mix_q import (
+        corpus_prep_manifest_v2,
+        corpus_prep_manifest_v3,
+    )
+
+    v2 = {r.doc_id: r for r in corpus_prep_manifest_v2(spark, sf_dir).collect()}
+    v3 = {r.doc_id: r for r in corpus_prep_manifest_v3(spark, sf_dir).collect()}
+    assert set(v2) == set(v3)  # same manifest membership
+    for d, r in v3.items():
+        assert r.n_tokens == v2[d].n_tokens
+        assert r.quality == v2[d].quality
+        assert 0 <= r.n_removed <= r.n_tokens
+        assert r.n_clean_tokens == r.n_tokens - r.n_removed

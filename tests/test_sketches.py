@@ -318,3 +318,71 @@ def test_hll_registers_shuffle_is_post_agg(spark, sf_dir):
     assert first_exchange != -1
     below = plan[first_exchange:]
     assert "partial_max" in below or "partial" in below
+
+
+def test_cms_seed_chaining_matches_spark(spark):
+    """cms_seeds' claim: xxhash64(lit(j), v) == hashLong(v, seed_j).
+    Cross-checked via the DuckDB twin with the precomputed seed."""
+    import duckdb
+
+    from openmetrics_spark.functions.hashing_sql import xxhash64_long_sql
+    from openmetrics_spark.operators.sketches import cms_seeds
+
+    vals = [0, 1, -5, 123456789, -(2**62), 2**62 + 17]
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({v})" for v in vals)
+        + ") x(__v)"
+    )
+    for j, seed in enumerate(cms_seeds()):
+        got = [
+            r[0]
+            for r in df.select(
+                F.xxhash64(F.lit(j).cast("long"), F.col("v"))
+            ).collect()
+        ]
+        q = xxhash64_long_sql("SELECT __v FROM t", seed=seed)
+        want = [
+            int(u) - (1 << 64) if int(u) >= (1 << 63) else int(u)
+            for (u,) in con.execute(f"SELECT __hash FROM {q}").fetchall()
+        ]
+        assert got == want, f"hash row {j}"
+
+
+def test_cms_estimate_upper_bounds_exact_counts(spark, sf_dir):
+    """CMS guarantees est >= true count (one-sided error), and with
+    the additive merge, per-day counters summed == global counters."""
+    from openmetrics_spark.operators.sketches import (
+        cms_counters,
+        cms_point_estimate,
+    )
+    from openmetrics_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    counters = cms_counters(ev, [], "user_id")
+    keys = ev.select("user_id").distinct()
+    est = {
+        r.user_id: r.est_count
+        for r in cms_point_estimate(counters, keys, "user_id").collect()
+    }
+    exact = {
+        r.user_id: r.c
+        for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    # additive merge: day-keyed counters sum to the global table
+    day = ev.withColumn(
+        "day", (F.unix_millis("ts") / 86_400_000).cast("long")
+    )
+    daily = cms_counters(day, ["day"], "user_id")
+    merged = {
+        (r.j, r.b): r.c
+        for r in daily.groupBy("j", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    glob = {(r.j, r.b): r.c for r in counters.collect()}
+    assert merged == glob

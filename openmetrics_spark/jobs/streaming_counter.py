@@ -84,9 +84,12 @@ def run_streaming_counter(
     luu_dir: str,
     work_dir: str,
     families: tuple[KeyFamily, ...] = FAMILIES,
+    # TTL 0 on both: redis EXPIRE is key-level, shared with the 30 d
+    # bucket — only DAY_30 sets one (SlidingCounter.java:124-132; see
+    # jobs/counter.py WINDOW_CONFIGS)
     window_configs: tuple = (
-        (3_600_000, 900_000, CountWindow.HOUR, 4 * 3600),
-        (DAY_MS, 4 * 3_600_000, CountWindow.DAY, 2 * 86400),
+        (3_600_000, 900_000, CountWindow.HOUR, 0),
+        (DAY_MS, 4 * 3_600_000, CountWindow.DAY, 0),
     ),
     retention_ms: int = 30 * DAY_MS,
     delay_ms: int = 2000,

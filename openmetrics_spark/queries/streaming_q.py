@@ -1223,7 +1223,7 @@ def _streaming_counter_oracle() -> str:
     from openmetrics_spark.functions.feature_ids import CountWindow
 
     streams = [
-        _sliding_sql(fam, DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400)
+        _sliding_sql(fam, DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 0)
         for fam in (FAMILIES[0], FAMILIES[1], FAMILIES[3])
     ]
     body = "\nUNION ALL\n".join(streams)
@@ -1271,7 +1271,8 @@ def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
     drained bucket sink (``expand_bucket_counts`` +
     ``encode_sliding_commands`` — the exact halves the batch job
     uses). Three families (platform-device, content-device, log-user)
-    × the DAY config (4 h slide, k=6, 2 d TTL); the staged multi-batch
+    × the DAY config (4 h slide, k=6, TTL 0 — key-level EXPIRE is
+    reserved for the 30 d bucket); the staged multi-batch
     replay proves bucket counts survive micro-batch boundaries, and
     the oracle reconstructs the full command stream relationally."""
     from openmetrics_spark.functions.feature_ids import CountWindow
@@ -1286,7 +1287,9 @@ def streaming_counter_commands(spark: SparkSession, sf_dir: str) -> DataFrame:
     from openmetrics_spark.queries.counter_q import _flat_and_luu
 
     fams = (FAMILIES[0], FAMILIES[1], FAMILIES[3])
-    cfg = (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 2 * 86400)
+    # TTL 0: only the 30 d bucket may EXPIRE the shared key (see
+    # jobs/counter.py WINDOW_CONFIGS)
+    cfg = (DAY_MS, 4 * HOUR_MS, CountWindow.DAY, 0)
     work = _workdir("counterstream")
     # the SAME flat derivation the batch job stages from (no parallel
     # copy to drift) — the projection below drops query_hex, and

@@ -427,3 +427,30 @@ def test_counter_ua_fixture_extractions_match_oracle_pins(spark):
     ).collect()
     for row, (_, want_os, want_fam) in zip(got, _UA_FIXTURE):
         assert (row.os, row.fam) == (want_os, want_fam)
+
+
+def test_sliding_ttls_expire_only_longest_bucket(spark, flat_events):
+    """Redis EXPIRE is key-level and every window of a family shares
+    one key, so only the longest-lived bucket may set a TTL — the
+    reference's SlidingCounter.expiry() returns 0 for every bucket
+    except the 30 d one (60 d) (SlidingCounter.java:124-132,
+    SlidingDailyCounter.java:52-56; SlidingHourlyCounter has no
+    override). A shorter-window TTL would clamp the shared key below
+    the 30 d counts' lifetime. The sink skips EXPIRE when ttl_s <= 0."""
+    from openmetrics_spark.functions.feature_ids import CountWindow
+    from openmetrics_spark.jobs.counter import (
+        WINDOW_CONFIGS,
+        unified_sliding_commands,
+    )
+
+    assert [(e.name, t) for _, _, e, t in WINDOW_CONFIGS] == [
+        ("HOUR", 0),
+        ("DAY", 0),
+        ("DAY_7", 0),
+        ("DAY_30", 60 * 86400),
+    ]
+    cmds = unified_sliding_commands(flat_events, FAMILIES, WINDOW_CONFIGS)
+    ttls = {r.ttl_s for r in cmds.select("ttl_s").distinct().collect()}
+    assert ttls <= {0, 60 * 86400}
+    # and DAY_30 commands do carry the 60 d TTL
+    assert 60 * 86400 in ttls

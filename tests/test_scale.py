@@ -247,3 +247,48 @@ def test_inferred_join_hot_key_runtime_within_bound(spark):
     # the assert exists to catch a quadratic/explosive hot-key path,
     # which would blow past this bound by orders of magnitude
     assert t_hot <= 2 * t_uniform + 2.0, (t_hot, t_uniform)
+
+
+def test_add_latest_impressions_hot_user_runtime_within_bound(spark):
+    """Adversarial-fixture half of the r7 pair-free rewrite: ONE user
+    owning ~all impressions AND actions must not blow the operator up.
+    The old act⋈imp-on-user interval join enumerated n_imp × n_act
+    pairs for the hot user (~4.5e8 at this fixture — minutes); the
+    seq equi-join does O(actions × max_state) work and must stay
+    within 2x of a uniform run plus a fixed-overhead floor."""
+    import time
+
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+
+    def fixture(hot: bool):
+        n_imp, n_act, n_users = 45_000, 10_000, 1000
+        base = 1_700_000_000_000
+        uid_i = F.lit(7) if hot else F.col("id") % n_users
+        uid_a = F.lit(7) if hot else F.col("id") % n_users
+        imps = spark.range(n_imp).select(
+            uid_i.alias("user_id"),
+            F.col("id").alias("impression_id"),
+            (F.lit(base) + F.col("id") * 400).alias("imp_ms"),
+            (F.col("id") % 500).alias("content_id"),
+        )
+        acts = spark.range(n_act).select(
+            uid_a.alias("user_id"),
+            (F.col("id") + 10_000_000).alias("action_id"),
+            (F.lit(base) + F.col("id") * 1800 + 7).alias("act_ms"),
+            (F.col("id") % 500 + 10_000).alias("content_id"),  # no exclusions
+        )
+        return imps, acts
+
+    def run(hot: bool) -> tuple[float, int]:
+        imps, acts = fixture(hot)
+        t0 = time.time()
+        n = add_latest_impressions(imps, acts).count()
+        return time.time() - t0, n
+
+    run(False)  # warm codegen/exchange machinery
+    t_uniform, n_uniform = run(False)
+    t_hot, n_hot = run(True)
+    # every action has >= max_output prior in-lookback impressions
+    # except the earliest few; both runs emit ~n_act * 25 rows
+    assert n_uniform > 200_000 and n_hot > 200_000
+    assert t_hot <= 2 * t_uniform + 2.0, (t_hot, t_uniform)

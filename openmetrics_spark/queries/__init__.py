@@ -123,6 +123,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "approx_heavy_hitters_cms",     # count-min / heavy hitters sketch
     "corpus_leakage_safe_split",    # cluster-aware train/val/test split
     "streaming_heavy_hitters",      # CMS streaming twin
+    "upsert_time_travel",           # MOR point-in-time read
     # --- green anchors: longest-unwatched families per docs/QUERIES.md
     # (inferred_view_attribution last green r2; the q*/top_event rows
     # r3; bfj/ann/text/metrics anchors r4) — one per family so nothing

@@ -185,3 +185,50 @@ def upsert_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
         "ts_ms", "event_id",
     )
+
+
+@register("upsert_time_travel", oracle=_UPSERT_ORACLE, tags=("sink",))
+def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (time-travel) read of the MOR table: after batch
+    1 (commit 1), batch 2 (commit 2), a COMPACTION, and batch 3
+    (commit 3), ``read_as_of(2)`` must reproduce the exact b1+b2
+    last-write-wins state — i.e. the SAME oracle as
+    ``upsert_two_batches`` — even though the table has since absorbed
+    another commit and the compaction rewrote the base (surviving
+    rows keep per-row ``__commit`` provenance, so the as-of filter
+    still cuts correctly). States OLDER than the compaction watermark
+    are physically gone and ``read_as_of`` refuses them
+    (tests/test_upsert.py pins the refusal)."""
+    from openmetrics_spark.sources.upsert import MorUpsertTable
+
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    dedup = (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.unix_millis("ts").alias("ts_ms"),
+            "event_id",
+        )
+        .groupBy("user_id", "event_type", "ts_ms")
+        .agg(F.max("event_id").alias("event_id"))
+    )
+    b1 = dedup.filter(F.col("event_id") % 3 != 0)
+    b2 = dedup.filter(F.col("event_id") % 2 == 0)
+    # b3 rewrites a fifth of the keys with a LATER precombine (+1 ms
+    # keeps nearly all rows in their original dt/hour partition, so
+    # they'd WIN a snapshot read) — rows read_as_of(2) must NOT see
+    b3 = dedup.filter(F.col("event_id") % 5 == 0).withColumn(
+        "ts_ms", F.col("ts_ms") + F.lit(1)
+    )
+    path = tempfile.mkdtemp(prefix="upsert_tt_q_") + "/t"
+    t = MorUpsertTable(path, ["user_id", "event_type"], "ts_ms")
+    t.upsert(b1)
+    t.upsert(b2)
+    t.compact(spark)  # watermark = 2: older states discarded
+    t.upsert(b3)
+    return t.read_as_of(spark, 2).select(
+        "user_id", "event_type", "dt", F.col("hour").cast("int").alias("hour"),
+        "ts_ms", "event_id",
+    )

@@ -396,6 +396,10 @@ class MorUpsertTable:
     def _hwm_path(self) -> str:
         return f"{self.path}/_commit_hwm"
 
+    @property
+    def _retain_path(self) -> str:
+        return f"{self.path}/_earliest_retained"
+
     def _write_hwm(self, spark: SparkSession, value: int) -> None:
         from openmetrics_spark.tables import literal_df
 
@@ -438,7 +442,19 @@ class MorUpsertTable:
         base = self._read(spark, self.base_path)
         return None if base is None else base.drop("__commit")
 
-    def _snapshot(self, spark: SparkSession) -> DataFrame:
+    def earliest_retained_commit(self, spark: SparkSession) -> int:
+        """The oldest commit a point-in-time read can reconstruct:
+        compaction keeps only the SURVIVING row version per key, so
+        every state older than the last compaction's high-water mark
+        is gone (Hudi's cleaner/retained-instant rule). 0 until the
+        first compaction."""
+        if self._exists(spark, self._retain_path):
+            return int(spark.read.text(self._retain_path).first()["value"])
+        return 0
+
+    def _snapshot(
+        self, spark: SparkSession, as_of_commit: int | None = None
+    ) -> DataFrame:
         base = self._read(spark, self.base_path)
         log = self._read(spark, self.log_path)
         if log is None and base is None:
@@ -449,6 +465,8 @@ class MorUpsertTable:
             unioned = base
         else:
             unioned = base.unionByName(log, allowMissingColumns=True)
+        if as_of_commit is not None:
+            unioned = unioned.filter(F.col("__commit") <= int(as_of_commit))
         w = Window.partitionBy(*self.pk_cols, "dt", "hour").orderBy(
             F.col(self.ts_ms_col).desc(),
             F.col("__commit").desc(),
@@ -465,6 +483,23 @@ class MorUpsertTable:
         one window rank over the unioned rows, partition-prunable on
         (dt, hour) like any parquet scan."""
         return self._snapshot(spark).drop("__commit")
+
+    def read_as_of(self, spark: SparkSession, as_of_commit: int) -> DataFrame:
+        """Hudi-style point-in-time (time-travel) query: the table
+        exactly as it stood after ``as_of_commit`` — row versions with
+        ``__commit <= as_of`` merged by the same rank as a snapshot.
+        Valid across compactions for any ``as_of`` at or past the
+        compaction watermark (surviving base rows keep their original
+        per-row ``__commit``); older states were physically discarded
+        by compaction, so asking for them raises instead of silently
+        returning a hole-y table."""
+        retained = self.earliest_retained_commit(spark)
+        if as_of_commit < retained:
+            raise ValueError(
+                f"as_of_commit={as_of_commit} predates the earliest "
+                f"retained commit {retained} (discarded by compaction)"
+            )
+        return self._snapshot(spark, as_of_commit).drop("__commit")
 
     def read_incremental(self, spark: SparkSession, since_commit: int) -> DataFrame:
         """Hudi-style incremental pull: every LIVE row version written
@@ -548,6 +583,13 @@ class MorUpsertTable:
         hpath = jvm.org.apache.hadoop.fs.Path(self.log_path)
         fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
         fs.delete(hpath, True)
+        # time-travel watermark: states OLDER than this compaction's
+        # high-water mark just lost their superseded row versions
+        from openmetrics_spark.tables import literal_df
+
+        literal_df(
+            spark, [(str(self.last_commit(spark)),)], "v string"
+        ).coalesce(1).write.mode("overwrite").text(self._retain_path)
         return len(parts)
 
     def maybe_compact(self, spark: SparkSession) -> bool:

@@ -373,3 +373,27 @@ def test_schema_evolution_widening_is_loss_free(spark, table, mor):
         for r in mor.read_snapshot(spark).collect()
     }
     assert got_c == got_m
+
+
+def test_mor_time_travel_reads_past_states(spark, mor):
+    """read_as_of(k) reconstructs the exact post-commit-k state —
+    including across a compaction — and refuses states the compaction
+    physically discarded."""
+    import pytest
+
+    mor.upsert(_batch(spark, [("a", "a1", T0), ("b", "b1", T0 + 1)]))  # c1
+    mor.upsert(_batch(spark, [("a", "a2", T0 + 2), ("c", "c1", T0 + 3)]))  # c2
+    as_of_1 = {
+        (r["pk"], r["payload"]) for r in mor.read_as_of(spark, 1).collect()
+    }
+    assert as_of_1 == {("a", "a1"), ("b", "b1")}
+    mor.compact(spark)  # watermark -> 2: the a1 version is now gone
+    mor.upsert(_batch(spark, [("a", "a3", T0 + 4)]))  # c3
+    as_of_2 = {
+        (r["pk"], r["payload"]) for r in mor.read_as_of(spark, 2).collect()
+    }
+    assert as_of_2 == {("a", "a2"), ("b", "b1"), ("c", "c1")}
+    snap = {(r["pk"], r["payload"]) for r in mor.read_snapshot(spark).collect()}
+    assert snap == {("a", "a3"), ("b", "b1"), ("c", "c1")}
+    with pytest.raises(ValueError, match="predates the earliest"):
+        mor.read_as_of(spark, 1)

@@ -1097,12 +1097,16 @@ WHERE {_manifest_sample_gate_sql()}
     )
 
 
-def _manifest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _manifest_survivors(
+    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+) -> DataFrame:
     """Spark twin of the oracle's ``surv`` CTE — stages 1-5 of the
     curation chain (quality/language gating, benchmark exclusion,
     exact dedup, near-dup cluster resolution, 5-gram decontamination),
     shared by the v2/v3 manifests. Returns the chain survivors with
-    (doc_id, text, lang, tok, n_tokens, quality)."""
+    (doc_id, text, lang, tok, n_tokens, quality). Pass a (pinned)
+    pre-tokenized ``t`` (doc_id, text, lang, tok) to share the corpus
+    tokenize scan with other stages (v3 reuses it for the NB fit)."""
     from openmetrics_spark.llm.dedup import (
         connected_components,
         ngram_jaccard_pairs,
@@ -1115,7 +1119,10 @@ def _manifest_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
-    t = docs.select("doc_id", "text", "lang", tokens("text").alias("tok"))
+    if t is None:
+        t = docs.select(
+            "doc_id", "text", "lang", tokens("text").alias("tok")
+        )
     tok = F.col("tok")
     stats = t.select(
         "doc_id",
@@ -1624,11 +1631,16 @@ def corpus_prep_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     add one (doc,pos) anti-join over survivor tokens and one
     (doc,bucket)→weight join — both O(survivor tokens), no new
     corpus-wide shuffle beyond what the standalone operators pay."""
-    surv = pin(_manifest_survivors(spark, sf_dir))
+    # ONE corpus tokenize scan feeds both the curation chain and the
+    # NB fit (pinned; the oracle's `t` CTE is the same sharing)
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = pin(
+        docs.select("doc_id", "text", "lang", tokens("text").alias("tok"))
+    )
+    surv = pin(_manifest_survivors(spark, sf_dir, t=t))
     kept = _span_kept(surv.select("doc_id", "tok"))
 
-    docs = spread_for_compute(table(spark, sf_dir, "documents"))
-    t_nb = docs.select(F.col("doc_id").alias("d"), tokens("text").alias("tok"))
+    t_nb = t.select(F.col("doc_id").alias("d"), "tok")
     present, w, const = _nb_model(t_nb)
     score = (
         present.join(w.select(F.col("bucket").alias("b"), "w_e6"), "b")

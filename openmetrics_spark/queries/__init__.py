@@ -124,6 +124,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_leakage_safe_split",    # cluster-aware train/val/test split
     "streaming_heavy_hitters",      # CMS streaming twin
     "upsert_time_travel",           # MOR point-in-time read
+    "supplier_pagerank",            # integer-exact iterative PageRank
     # --- green anchors: longest-unwatched families per docs/QUERIES.md
     # (inferred_view_attribution last green r2; the q*/top_event rows
     # r3; bfj/ann/text/metrics anchors r4) — one per family so nothing
@@ -264,6 +265,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sql_surface_q,
         streaming_q,
         events_q,
+        graph_q,
         media_q,
         sketch_q,
         tpch,

@@ -516,3 +516,22 @@ def test_time_decayed_counts_semantics(spark):
     # b's only event is 2 half-lives before the anchor: 1 * 2^-2
     assert got["b"]["n_events"] == 1
     assert got["b"]["decayed"] == 0.25
+
+
+def test_pagerank_integer_semantics(spark, sf_dir):
+    """PageRank invariants: positive BIGINT ranks, deterministic
+    top-k, and total mass ≤ SCALE (floor division only LEAKS mass,
+    never creates it — the deterministic quantization the oracle
+    relies on)."""
+    from openmetrics_spark.queries.graph_q import (
+        _SCALE,
+        _TOPK,
+        supplier_pagerank,
+    )
+
+    out1 = supplier_pagerank(spark, sf_dir).collect()
+    out2 = supplier_pagerank(spark, sf_dir).collect()
+    assert [tuple(r) for r in out1] == [tuple(r) for r in out2]
+    assert 0 < len(out1) <= _TOPK
+    assert all(r.rank_e9 > 0 for r in out1)
+    assert sum(r.rank_e9 for r in out1) <= _SCALE

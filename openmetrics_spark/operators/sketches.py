@@ -427,3 +427,142 @@ def cms_rows_sql(
             f"SELECT {pre}{j} AS j, __hash % {m} AS b FROM {hashed}"
         )
     return "(" + "\nUNION ALL\n".join(parts) + ")"
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — the set-MEMBERSHIP sketch completing the
+# family (HLL: distinct counts; CMS: frequencies; Bloom: membership).
+# Same engine-exactness recipe: positions from the xxhash64 seed chain
+# (cms_seeds), the bitmap is 32-bit masks OR-aggregated into BIGINT
+# words — bit_or is associative/commutative, so the build is a plain
+# map-side-combined aggregate in BOTH engines AND mergeable across
+# partitions/days/streams.
+#
+# 100 TB posture: the built filter is O(words) rows (256 for 2^13
+# bits) — broadcastable as a semi-join PRE-FILTER so the probe side
+# never shuffles on the join key; false positives only ever ADMIT
+# extra rows into the real join, never drop real ones.
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS_LOG2 = 13  # 8192 bits
+_BLOOM_WORD_BITS = 32  # 32 bits/word keeps every mask a positive BIGINT
+BLOOM_K = 4  # hash rows (shares cms_seeds)
+
+
+def _bloom_positions(value_col: str, bits_log2: int, k: int):
+    m = 1 << bits_log2
+    return [
+        F.xxhash64(F.lit(j).cast("long"), F.col(value_col)).bitwiseAND(
+            F.lit(m - 1)
+        )
+        for j in range(k)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    value_col: str,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Build the bitmap: one (word, mask BIGINT) row per non-empty
+    32-bit word. NULL values dropped by construction (the cross-
+    engine rule shared with hll_registers/cms_counters)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(value_col, bits_log2, k))
+    ).alias("p")
+    rows = df.filter(F.col(value_col).isNotNull()).select(pos)
+    return (
+        rows.select(
+            F.expr(f"p DIV {_BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+
+
+def bloom_probe(
+    bloom: DataFrame,
+    candidates: DataFrame,
+    value_col: str,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+    out: str = "maybe_present",
+) -> DataFrame:
+    """Membership probe: candidates + ``out`` boolean (true iff ALL k
+    bits are set — one-sided error: a true member is NEVER false).
+    The bloom side is O(words) rows; Spark broadcasts it, so the probe
+    is a map-side lookup, no shuffle of the candidate stream."""
+    pos = F.posexplode(
+        F.array(*_bloom_positions(value_col, bits_log2, k))
+    ).alias("j", "p")
+    kb = candidates.select(value_col, pos).select(
+        value_col,
+        F.expr(f"p DIV {_BLOOM_WORD_BITS}").alias("word"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT),"
+            f" CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    hit = F.when(
+        F.col("bm").isNotNull()
+        & (F.col("bm").bitwiseAND(F.col("mask")) == F.col("mask")),
+        1,
+    ).otherwise(0)
+    return (
+        kb.join(
+            F.broadcast(bloom.select("word", F.col("mask").alias("bm"))),
+            "word",
+            "left",
+        )
+        .select(value_col, hit.alias("h"))
+        .groupBy(value_col)
+        .agg((F.sum("h") == k).alias(out))
+    )
+
+
+def bloom_build_sql(
+    inner_sql: str,
+    value_col: str,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+) -> str:
+    """DuckDB twin of :func:`bloom_build` — a (word, mask) subquery."""
+    rows = cms_rows_sql(inner_sql, value_col, depth=k, wbits=bits_log2)
+    return f"""(
+  SELECT b // {_BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(b % {_BLOOM_WORD_BITS} AS INT))
+           AS mask
+  FROM {rows} GROUP BY 1
+)"""
+
+
+def bloom_probe_sql(
+    bloom_sql: str,
+    candidates_sql: str,
+    value_col: str,
+    bits_log2: int = BLOOM_BITS_LOG2,
+    k: int = BLOOM_K,
+    out: str = "maybe_present",
+) -> str:
+    """DuckDB twin of :func:`bloom_probe` over a candidate subquery
+    (must expose ``value_col``)."""
+    rows = cms_rows_sql(
+        candidates_sql, value_col, select_exprs=value_col,
+        depth=k, wbits=bits_log2,
+    )
+    return f"""(
+  SELECT {value_col},
+         (sum(CASE WHEN bm IS NOT NULL
+                    AND (bm & mask) = mask THEN 1 ELSE 0 END) = {k}) AS {out}
+  FROM (
+    SELECT {value_col}, b // {_BLOOM_WORD_BITS} AS word,
+           CAST(1 AS BIGINT) << CAST(b % {_BLOOM_WORD_BITS} AS INT) AS mask
+    FROM {rows}
+  ) LEFT JOIN (SELECT word, mask AS bm FROM {bloom_sql}) USING (word)
+  GROUP BY {value_col}
+)"""

@@ -435,3 +435,62 @@ def approx_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_count") * 5 * F.col("d") >= 6 * F.col("n"))
         .select("user_id", "est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_customer_prefilter — engine-exact Bloom membership
+# (operators/sketches.py::bloom_*): the semi-join pre-filter shape.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_oracle() -> str:
+    from openmetrics_spark.operators.sketches import (
+        bloom_build_sql,
+        bloom_probe_sql,
+    )
+
+    bloom = bloom_build_sql("SELECT o_custkey FROM orders", "o_custkey")
+    probe = bloom_probe_sql(
+        bloom, "SELECT c_custkey AS o_custkey FROM customer", "o_custkey"
+    )
+    return f"""
+SELECT p.o_custkey AS c_custkey, p.maybe_present,
+       (o.o_custkey IS NOT NULL) AS has_orders
+FROM {probe} p
+LEFT JOIN (SELECT DISTINCT o_custkey FROM orders) o USING (o_custkey)
+"""
+
+
+@register(
+    "bloom_customer_prefilter",
+    oracle=_bloom_oracle(),
+    tags=("sketch", "join"),
+)
+def bloom_customer_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter, engine-exact: build the
+    bitmap over ordering customers (one bit_or aggregate → ≤256
+    (word, mask) rows — mergeable, broadcastable), probe EVERY
+    customer map-side (no shuffle of the probe stream), and emit the
+    probe verdict beside ground truth. One-sided by construction:
+    has_orders ⇒ maybe_present, so using the filter before the real
+    join can only admit extra rows, never drop matches — exactly how
+    Spark's own runtime bloom pruning works, but reproducible outside
+    the JVM and therefore driver-gated bit-for-bit (false positives
+    must match too). At 100 TB the bitmap (scaled up via bits_log2)
+    replaces shuffling the 25x-larger probe side into a semi-join."""
+    from openmetrics_spark.operators.sketches import bloom_build, bloom_probe
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    probe = bloom_probe(bloom_build(orders, "o_custkey"), cust, "o_custkey")
+    truth = orders.distinct().withColumn("has_orders", F.lit(True))
+    return (
+        probe.join(truth, "o_custkey", "left")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "maybe_present",
+            F.coalesce(F.col("has_orders"), F.lit(False)).alias("has_orders"),
+        )
+    )

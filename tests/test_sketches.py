@@ -386,3 +386,28 @@ def test_cms_estimate_upper_bounds_exact_counts(spark, sf_dir):
     }
     glob = {(r.j, r.b): r.c for r in counters.collect()}
     assert merged == glob
+
+
+def test_bloom_one_sided_and_mergeable(spark, sf_dir):
+    """A true member is NEVER reported absent (one-sided error), and
+    bit_or-merged partial bitmaps equal the bitmap built in one shot
+    (the property that makes the filter streamable/incremental)."""
+    from openmetrics_spark.operators.sketches import bloom_build, bloom_probe
+    from openmetrics_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    bl = bloom_build(orders, "o_custkey")
+    members = orders.distinct()
+    got = bloom_probe(bl, members, "o_custkey").collect()
+    assert all(r.maybe_present for r in got)  # no false negatives
+    # split-build + bit_or merge == one-shot build
+    b1 = bloom_build(orders.filter(F.col("o_custkey") % 2 == 0), "o_custkey")
+    b2 = bloom_build(orders.filter(F.col("o_custkey") % 2 == 1), "o_custkey")
+    merged = {
+        (r.word, r.mask)
+        for r in b1.unionByName(b2)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .collect()
+    }
+    assert merged == {(r.word, r.mask) for r in bl.collect()}

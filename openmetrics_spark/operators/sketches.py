@@ -23,13 +23,19 @@ they could never be oracle-gated. These twins are:
   count reaches ``ceil(q*n)``. Error is bounded by the grid width;
   every step is integer or a single deterministic double op.
 
-100 TB posture: both sketches shuffle O(groups × sketch size), never
-O(rows): HLL registers are ≤ 2^p rows per group with a map-side
+Round 7 adds the other two classic sketches under the same contract:
+``cms_*`` (Count-Min frequencies / heavy hitters) and ``bloom_*``
+(membership) — see their section docstrings below.
+
+100 TB posture: every sketch here shuffles O(groups × sketch size),
+never O(rows): HLL registers are ≤ 2^p rows per group with a map-side
 ``max`` partial; histogram buckets are O(value_range / width) rows
-per group with a map-side ``count`` partial. Registers are mergeable
-(``max`` is associative), so daily register tables can be persisted
-and re-aggregated — incremental distinct counting without re-reading
-history (see queries/sketch_q.py::hll_merge_monthly_sketches).
+per group with a map-side ``count`` partial; CMS counters are
+depth × width ``count`` rows; the Bloom bitmap is ≤ bits/32 ``bit_or``
+words. All four states are associative aggregates (max / count /
+count / bit_or), hence MERGEABLE — daily sketch tables re-aggregate
+without re-reading history, and a watermarked streaming aggregation
+maintains any of them with no custom state machine.
 """
 
 from __future__ import annotations

@@ -1565,3 +1565,93 @@ def streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_count") * 5 * F.col("d") >= 6 * F.col("n"))
         .select("user_id", "est_count")
     )
+
+
+def _streaming_bloom_oracle() -> str:
+    # the oracle IS the batch twin's: per-day bit_or bitmaps merged by
+    # bit_or equal the one-shot build exactly
+    from openmetrics_spark.queries.sketch_q import _bloom_oracle
+
+    return _bloom_oracle()
+
+
+@register(
+    "streaming_bloom_ingest",
+    oracle=_streaming_bloom_oracle(),
+    tags=("streaming", "sketch"),
+)
+def streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Bloom bitmap maintained INSIDE Structured Streaming — the
+    fourth sketch state proven streaming-native (HLL max, histogram
+    count, CMS count, now bit_or): per-day windowed bit_or over the
+    (word, mask) projection of ordering customers' events... here the
+    orders table replayed as a micro-batch stream on o_orderdate. The
+    drained per-day bitmaps merge by bit_or (associative) into the
+    global filter — bit-identical to the batch build — and the probe +
+    ground-truth join run batch-side, so the oracle is the batch
+    pipeline verbatim. Sentinel rows land in the far-future window and
+    drop post-drain (never pre-agg: watermark pushdown)."""
+    from openmetrics_spark.jobs.streaming_flat_output import SENTINEL_MS
+    from openmetrics_spark.operators.sketches import (
+        _bloom_positions,
+        _BLOOM_WORD_BITS,
+        bloom_probe,
+    )
+
+    work = _workdir("bloom_stream")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+    )
+    ev = orders.withColumn("ms", F.unix_millis("ts"))
+    grid = [int(b) for b in ev.approxQuantile("ms", [0.25, 0.5, 0.75], 0.01)]
+    staged = os.path.join(work, "orders")
+    _restage(spark, ev, staged, "ms", grid, sentinel=True)
+    pos = F.explode(
+        F.array(*_bloom_positions("o_custkey", 13, 4))
+    ).alias("p")
+    bitmap_stream = (
+        _stream(spark, staged)
+        .withWatermark("ts", "2 seconds")
+        .select("ts", pos)
+        .select(
+            "ts",
+            F.expr(f"p DIV {_BLOOM_WORD_BITS}").alias("word"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT),"
+                f" CAST(p % {_BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy(F.window("ts", "30 days"), "word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .select(
+            F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+            "word",
+            "mask",
+        )
+    )
+    out = os.path.join(work, "bitmap")
+    with _stream_shuffle_partitions(spark):
+        _drain(bitmap_stream, out, os.path.join(work, "_chk", "bitmap"))
+    bloom = (
+        spark.read.parquet(out)
+        .filter(F.col("window_start_ms") < SENTINEL_MS - 30 * 86_400_000)
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    probe = bloom_probe(bloom, cust, "o_custkey")
+    truth = (
+        table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .withColumn("has_orders", F.lit(True))
+    )
+    return probe.join(truth, "o_custkey", "left").select(
+        F.col("o_custkey").alias("c_custkey"),
+        "maybe_present",
+        F.coalesce(F.col("has_orders"), F.lit(False)).alias("has_orders"),
+    )
+

@@ -79,6 +79,48 @@ LIMIT {_TOPK}
     )
 
 
+def pagerank_ranks(e0: DataFrame, iters: int = _ITERS) -> DataFrame:
+    """Integer-exact PageRank core over a directed edge list ``e0``
+    (src, dst — deduped by the caller or not, we dedupe): symmetrize,
+    then ``iters`` damped rounds of one src-join + one dst-sum each.
+    Returns (node, r) BIGINT ranks. The rank frame is pinned per
+    iteration so plans stay linear in ``iters``."""
+    edges = pin(
+        e0.select("src", "dst")
+        .union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    n = nodes.count()  # one scalar; the loop below is data-parallel
+    ranks = pin(
+        nodes.select("node", F.lit(_SCALE // n).cast("long").alias("r"))
+    )
+    base = _BASE // n
+    contrib_edges = edges.join(deg, edges.src == deg.node).select(
+        "src", "dst", "outdeg"
+    )
+    for _ in range(iters):
+        inflow = (
+            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
+            .select("dst", F.expr("r DIV outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = pin(
+            nodes.join(inflow, nodes.node == inflow.dst, "left").select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.expr("85 * coalesce(s, 0) DIV 100")
+                ).alias("r"),
+            )
+        )
+    return ranks
+
+
 @register("supplier_pagerank", oracle=_pagerank_oracle(), tags=("graph",))
 def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-iteration integer-exact PageRank (d = 0.85) on the symmetric
@@ -97,38 +139,7 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pin(
-        e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-    )
-    nodes = edges.select(F.col("src").alias("node")).distinct()
-    deg = edges.groupBy(F.col("src").alias("node")).agg(
-        F.count(F.lit(1)).alias("outdeg")
-    )
-    n = nodes.count()  # one scalar; the loop below is data-parallel
-    ranks = pin(
-        nodes.select("node", F.lit(_SCALE // n).cast("long").alias("r"))
-    )
-    base = _BASE // n
-    contrib_edges = edges.join(deg, edges.src == deg.node).select(
-        "src", "dst", "outdeg"
-    )
-    for _ in range(_ITERS):
-        inflow = (
-            contrib_edges.join(ranks, contrib_edges.src == ranks.node)
-            .select("dst", F.expr("r DIV outdeg").alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = pin(
-            nodes.join(inflow, nodes.node == inflow.dst, "left").select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.expr("85 * coalesce(s, 0) DIV 100")
-                ).alias("r"),
-            )
-        )
+    ranks = pagerank_ranks(e0)
     return (
         ranks.orderBy(F.col("r").desc(), F.col("node").asc())
         .limit(_TOPK)

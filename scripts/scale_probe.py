@@ -103,10 +103,13 @@ def main() -> int:
     evN = replicated_events(ev1, copies)
 
     from openmetrics_spark.operators.sketches import (
+        bloom_build,
+        cms_counters,
         hist_percentiles,
         hll_estimate,
         hll_registers,
     )
+    from openmetrics_spark.queries.graph_q import pagerank_ranks
 
     probes = {
         "ngram_jaccard": lambda d: ngram_jaccard_pairs(
@@ -127,6 +130,19 @@ def main() -> int:
         "hist_percentiles": lambda e: hist_percentiles(
             e, ["event_type"], "value", width=1.0, qs=(0.5, 0.9, 0.99)
         ),
+        # CMS counters / Bloom bitmap: scan-bound linear wall, output
+        # FIXED at depth x width / bits/32 words regardless of rows
+        "cms_counters": lambda e: cms_counters(e, [], "user_id"),
+        "bloom_build": lambda e: bloom_build(e, "user_id"),
+        # 5 damped iterations on a content-disjoint replicated graph:
+        # per-iteration cost is one src join + one dst sum, so wall
+        # must stay ~linear in edges (replicas add nodes AND edges)
+        "pagerank_5it": lambda e: pagerank_ranks(
+            e.select(
+                (F.col("user_id") * 2).alias("src"),
+                (F.expr("event_id DIV 100") * 2 + 1).alias("dst"),
+            ).distinct()
+        ),
         # the WHOLE fused counter fan-out (6 families x 4 windows off
         # one struct-array explode + one bucket shuffle per slide):
         # replicated users mean 8x distinct keys, so both the shuffled
@@ -141,6 +157,9 @@ def main() -> int:
         "sliding_counter": (ev1, evN),
         "hll_distinct": (ev1, evN),
         "hist_percentiles": (ev1, evN),
+        "cms_counters": (ev1, evN),
+        "bloom_build": (ev1, evN),
+        "pagerank_5it": (ev1, evN),
         "counter_fanout": (ev1, evN),
     }
 

@@ -934,3 +934,108 @@ def decayed_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return time_decayed_counts(
         ev, ["user_id"], "ts", halflife_ms=86_400_000, max_k=40
     )
+
+
+# ---------------------------------------------------------------------------
+# purchase_attribution_ushape — position-based multi-touch attribution
+# (the standard U-shape model): each purchase distributes credit over
+# the user's touches (views/clicks) since their previous purchase —
+# 40% first touch, 40% last touch, 20% split across the middle.
+# Credit lives in integer BASIS POINTS (10000 = full credit), the
+# middle split is integer DIV (n-2) — deterministic remainder drop,
+# never an order-dependent float — so the model output is hash-gated.
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_ms(ts) AS ms, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p
+  FROM events
+  WHERE event_type IN ('view', 'click', 'purchase')
+), seg AS (
+  SELECT *,
+         sum(is_p) OVER (PARTITION BY user_id ORDER BY ms, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS s
+  FROM ev
+), segn AS (
+  SELECT user_id, event_id, ms, event_type, coalesce(s, 0) AS s FROM seg
+), purch AS (
+  SELECT user_id, s, event_id AS purchase_id FROM segn
+  WHERE event_type = 'purchase'
+), touch AS (
+  SELECT user_id, s, event_id, event_type, ms,
+         row_number() OVER (PARTITION BY user_id, s ORDER BY ms, event_id)
+           AS pos,
+         count(*) OVER (PARTITION BY user_id, s) AS n
+  FROM segn WHERE event_type <> 'purchase'
+)
+SELECT t.user_id, p.purchase_id, t.event_id AS touch_id, t.event_type,
+       CAST(t.pos AS BIGINT) AS pos,
+       CAST(CASE WHEN t.n = 1 THEN 10000
+                 WHEN t.n = 2 THEN 5000
+                 WHEN t.pos = 1 OR t.pos = t.n THEN 4000
+                 ELSE 2000 // (t.n - 2) END AS BIGINT) AS credit_bp
+FROM touch t JOIN purch p ON t.user_id = p.user_id AND t.s = p.s
+"""
+
+
+@register(
+    "purchase_attribution_ushape",
+    oracle=_ATTR_ORACLE,
+    tags=("metrics", "attribution"),
+)
+def purchase_attribution_ushape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shape multi-touch attribution: segment each user's stream by
+    purchases (segment id = count of PRIOR purchases — one running-sum
+    window), rank the segment's touches, credit 40/40/20 in integer
+    basis points, and join touches to the segment's purchase on
+    (user, segment) — an equi-join whose key includes the segment, so
+    a hot user's history hashes across partitions. No interval join,
+    no per-pair enumeration: two window passes + one bounded join.
+    Touches after a user's last purchase fall in a segment with no
+    purchase row and drop out of the inner join (unattributed, as the
+    model demands). 100 TB shape: windows partition by user (the same
+    per-user serialization as any keyed stream); everything else is
+    hash-distributed."""
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_millis("ts").alias("ms"),
+            "event_type",
+            (F.col("event_type") == "purchase").cast("long").alias("is_p"),
+        )
+    )
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = ev.withColumn("s", F.coalesce(F.sum("is_p").over(w_seg), F.lit(0)))
+    purch = seg.filter(F.col("event_type") == "purchase").select(
+        "user_id", "s", F.col("event_id").alias("purchase_id")
+    )
+    w_pos = Window.partitionBy("user_id", "s").orderBy("ms", "event_id")
+    w_n = Window.partitionBy("user_id", "s")
+    touch = (
+        seg.filter(F.col("event_type") != "purchase")
+        .withColumn("pos", F.row_number().over(w_pos))
+        .withColumn("n", F.count(F.lit(1)).over(w_n))
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(10000))
+        .when(F.col("n") == 2, F.lit(5000))
+        .when((F.col("pos") == 1) | (F.col("pos") == F.col("n")), F.lit(4000))
+        .otherwise(F.expr("2000 DIV (n - 2)"))
+    )
+    return touch.join(purch, ["user_id", "s"]).select(
+        "user_id",
+        "purchase_id",
+        F.col("event_id").alias("touch_id"),
+        "event_type",
+        F.col("pos").cast("long").alias("pos"),
+        credit.cast("long").alias("credit_bp"),
+    )

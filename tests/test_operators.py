@@ -535,3 +535,27 @@ def test_pagerank_integer_semantics(spark, sf_dir):
     assert 0 < len(out1) <= _TOPK
     assert all(r.rank_e9 > 0 for r in out1)
     assert sum(r.rank_e9 for r in out1) <= _SCALE
+
+
+def test_ushape_attribution_credit_budget(spark, sf_dir):
+    """Per-purchase credit sums to exactly 10000 bp for n<=2 touches
+    and to 8000 + (n-2)*(2000 DIV (n-2)) for n>=3 — i.e. never more
+    than 10000, short only by the deterministic integer remainder;
+    touches after a user's last purchase receive nothing."""
+    from openmetrics_spark.queries.events_q import (
+        purchase_attribution_ushape,
+    )
+
+    out = purchase_attribution_ushape(spark, sf_dir).collect()
+    assert out
+    by_p: dict[int, list] = {}
+    for r in out:
+        by_p.setdefault(r.purchase_id, []).append(r)
+    for pid, rows in by_p.items():
+        n = len(rows)
+        total = sum(r.credit_bp for r in rows)
+        if n <= 2:
+            assert total == 10000, (pid, n, total)
+        else:
+            assert total == 8000 + (n - 2) * (2000 // (n - 2)), (pid, n)
+        assert 9000 <= total <= 10000

@@ -1671,3 +1671,104 @@ def corpus_prep_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("nb_score_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_upsample_balanced — deterministic balanced RESAMPLING (the
+# upsample counterpart of corpus_sample_stratified's downsample):
+# replicate low-share languages toward a target mix. Replication
+# factor r = target_share · total / lang_count in 1e-6 fixed point;
+# every doc emits floor(r) copies plus one more iff a per-doc hash
+# gate falls under frac(r) — exact integer arithmetic, so the emitted
+# multiset (including WHICH docs get the extra copy) is hash-gated.
+# ---------------------------------------------------------------------------
+
+_UPSAMPLE_TARGETS = (("en", 40), ("de", 15), ("fr", 15), ("es", 15), ("zh", 15))
+
+
+def _upsample_oracle() -> str:
+    from openmetrics_spark.functions.hashing import portable_hash60_sql
+
+    tgt = " ".join(
+        f"WHEN '{lang}' THEN {pct}" for lang, pct in _UPSAMPLE_TARGETS
+    )
+    gate = portable_hash60_sql("'up_' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id, lang, CASE lang {tgt} ELSE 0 END AS pct
+  FROM documents
+), tot AS (
+  SELECT count(*) AS total FROM documents
+), ln AS (
+  SELECT lang, count(*) AS n_lang FROM d GROUP BY lang
+), r AS (
+  SELECT d.doc_id, d.lang,
+         (d.pct * tot.total * 1000000) // (100 * ln.n_lang) AS r_e6
+  FROM d JOIN ln USING (lang), tot
+), c AS (
+  SELECT doc_id, lang,
+         r_e6 // 1000000
+         + CASE WHEN {gate} % 1000000 < r_e6 % 1000000 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM r
+)
+SELECT doc_id, lang, CAST(i + 1 AS BIGINT) AS copy
+FROM c, unnest(range(n_copies)) t(i)
+"""
+
+
+@register(
+    "corpus_upsample_balanced",
+    oracle=_upsample_oracle(),
+    tags=("llm", "pipeline"),
+)
+def corpus_upsample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced corpus resampling toward a target language mix: each
+    doc of language L replicates ``r = target_L · total / |L|`` times
+    — integer part unconditionally, fractional part by a deterministic
+    per-doc hash gate (the standard temperature/upsampling step before
+    packing a multilingual training mix; cf. the α-weighted mixing of
+    domain_mix_weights, which computes WEIGHTS — this op materializes
+    the replicated manifest). All arithmetic in 1e-6 fixed point; the
+    output multiset is exact. 100 TB shape: two tiny aggregates
+    (total, per-lang counts) broadcast onto a single corpus scan, and
+    the explode emits only ceil(r) rows per doc — no shuffle of the
+    corpus at all."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang"
+    )
+    tgt = F.create_map(
+        *[F.lit(x) for pair in _UPSAMPLE_TARGETS for x in pair]
+    )
+    d = docs.withColumn("pct", F.coalesce(tgt[F.col("lang")], F.lit(0)))
+    ln = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = docs.agg(F.count(F.lit(1)).alias("total"))
+    r = (
+        d.join(F.broadcast(ln), "lang")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "r_e6",
+            F.expr("(pct * total * 1000000) DIV (100 * n_lang)"),
+        )
+    )
+    gate = (
+        portable_hash60(
+            F.concat(F.lit("up_"), F.col("doc_id").cast("string"))
+        )
+        % 1_000_000
+    )
+    c = r.withColumn(
+        "n_copies",
+        F.expr("r_e6 DIV 1000000")
+        + F.when(gate < F.col("r_e6") % 1_000_000, 1).otherwise(0),
+    )
+    return (
+        c.filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.sequence(F.lit(1).cast("long"), F.col("n_copies"))).alias(
+                "copy"
+            ),
+        )
+    )

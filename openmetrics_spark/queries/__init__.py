@@ -239,6 +239,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # sf0.01 under the driver-strict comparator on the day of the
     # change — evicting the nine never-verified rows for a no-op would
     # invert the rotation's priority.
+    # --- r8 rotation plan: if CORRECTNESS_r07 lands green, EVERY
+    # registered query holds a driver row at least once (the 18 r6
+    # stragglers + the 10 r7 additions all sit in this window; the
+    # other 121 carry r4-r6 rows). For r8: anything new or modified
+    # first, then rotate anchors toward the longest-unwatched rows in
+    # docs/QUERIES.md — the r3/r4 green rows displaced this round
+    # (q5_local_supplier_volume, bfj_tiny_actions, corpus_vocab_topk,
+    # cumulate_hourly, daily_event_metrics, doc_lang_guess,
+    # streaming_keep_first, pick_best_15m, streaming_sliding_counter)
+    # are first in line.
+    # --- historical r7 plan note (superseded by the list above):
     # r7 window priorities, in order: counter_backfill_gate,
     # doc_bigram_logprob, streaming_approx_distinct,
     # approx_distinct_buyers_hll, hll_segment_overlap,

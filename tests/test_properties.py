@@ -505,3 +505,119 @@ def test_z_interleave_bijective_and_engine_exact(spark, pairs):
         rx = sum(((z >> (2 * i)) & 1) << i for i in range(16))
         ry = sum(((z >> (2 * i + 1)) & 1) << i for i in range(16))
         assert (rx, ry) == (x, y)
+
+
+# ---------------------------------------------------------------------------
+# r7 operators: pair-free AddLatestImpressions vs a brute-force model,
+# CMS one-sidedness vs exact counts.
+# ---------------------------------------------------------------------------
+
+_imp_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),       # user
+        st.integers(0, 3000),    # ms
+        st.integers(0, 6),       # content
+    ),
+    min_size=0,
+    max_size=30,
+)
+_act_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 3200),
+        st.integers(0, 6),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(imps=_imp_rows, acts=_act_rows)
+@SET
+def test_add_latest_impressions_matches_python_model(spark, imps, acts):
+    """The seq-equi-join rewrite vs a direct replay of the reference
+    semantics (state cap before exclusion, output cap after, lookback
+    prefix, (ms, id)-desc recency ties) on arbitrary interleavings."""
+    from openmetrics_spark.operators.enrich import add_latest_impressions
+
+    max_state, max_output, lookback = 4, 3, 800
+    imp_rows = [(u, 1000 + i, ms, c) for i, (u, ms, c) in enumerate(imps)]
+    act_rows = [(u, 9000 + i, ms, c) for i, (u, ms, c) in enumerate(acts)]
+    imp = spark.createDataFrame(
+        imp_rows or [(0, 0, -10**9, 0)],
+        "user_id long, impression_id long, imp_ms long, content_id long",
+    )
+    act = spark.createDataFrame(
+        act_rows or [(0, 0, -10**9, 0)],
+        "user_id long, action_id long, act_ms long, content_id long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in add_latest_impressions(
+            imp, act, max_state=max_state, max_output=max_output,
+            lookback_ms=lookback,
+        ).collect()
+        if r.action_id != 0 or act_rows
+    )
+    first_act: dict = {}
+    for u, aid, ams, c in act_rows:
+        k = (u, c)
+        if k not in first_act or ams < first_act[k]:
+            first_act[k] = ams
+    want = []
+    for u, aid, ams, _c in act_rows:
+        cand = [
+            (ims, iid, c)
+            for (iu, iid, ims, c) in imp_rows
+            if iu == u and ims < ams and ims >= ams - lookback
+        ]
+        cand.sort(key=lambda t: (-t[0], -t[1]))
+        kept = [
+            (ims, iid, c)
+            for (ims, iid, c) in cand[:max_state]
+            if (u, c) not in first_act or first_act[(u, c)] > ams
+        ][:max_output]
+        for rank, (ims, iid, c) in enumerate(kept, start=1):
+            want.append((aid, rank, iid, c, ams - ims))
+    assert got == sorted(want)
+
+
+_cms_vals = st.lists(st.integers(-50, 50), min_size=0, max_size=60)
+
+
+@given(vals=_cms_vals)
+@SET
+def test_cms_estimates_dominate_exact_counts(spark, vals):
+    """Count-Min one-sided error on arbitrary value streams: every
+    point estimate >= the exact count, and the counter table's total
+    per hash row equals the stream length (no mass lost)."""
+    from collections import Counter
+
+    from openmetrics_spark.operators.sketches import (
+        CMS_DEPTH,
+        cms_counters,
+        cms_point_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [(v,) for v in vals] or [(None,)], "v long"
+    )
+    counters = cms_counters(df, [], "v")
+    exact = Counter(vals)
+    if not exact:
+        assert counters.count() == 0
+        return
+    per_row = {
+        r.j: r.s
+        for r in counters.groupBy("j")
+        .agg(F.sum("c").alias("s"))
+        .collect()
+    }
+    assert per_row == {j: len(vals) for j in range(CMS_DEPTH)}
+    keys = df.filter(F.col("v").isNotNull()).distinct()
+    est = {
+        r.v: r.est_count
+        for r in cms_point_estimate(counters, keys, "v").collect()
+    }
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)

@@ -129,6 +129,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_bloom_ingest",       # bit_or bitmap as a streaming agg
     "purchase_attribution_ushape",  # multi-touch attribution model
     "corpus_upsample_balanced",     # deterministic balanced resampling
+    "events_scd2_enrich",           # SCD2 point-in-time probe (as-of)
     # --- green anchors: longest-unwatched families per docs/QUERIES.md
     # (inferred_view_attribution last green r2; the q*/top_event rows
     # r3; bfj/ann/text/metrics anchors r4) — one per family so nothing

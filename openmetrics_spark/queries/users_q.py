@@ -284,3 +284,84 @@ def user_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ignore_usage").cast("string").alias("ignore_usage"),
         "properties_json",
     )
+
+
+# ---------------------------------------------------------------------------
+# events_scd2_enrich — the PROBE half of the SCD2 pattern the interval
+# build promises ("build once, probe with BETWEEN"): point-in-time
+# dimension enrichment of facts against the validity intervals.
+# ---------------------------------------------------------------------------
+
+_SCD2_ENRICH_ORACLE = f"""
+WITH scd AS ({_SCD2_ORACLE}),
+facts AS (
+  SELECT user_id % 4 AS platform_id,
+         'lu' || CAST(user_id AS VARCHAR) AS log_user_id,
+         event_id AS fact_id, epoch_ms(ts) AS ms
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT f.platform_id, f.log_user_id, f.fact_id, f.ms,
+       s.user_id, s.is_internal_user,
+       CAST(s.n_versions AS BIGINT) AS n_versions
+FROM facts f
+LEFT JOIN scd s
+  ON f.platform_id = s.platform_id AND f.log_user_id = s.log_user_id
+ AND f.ms >= s.valid_from_ms
+ AND (s.valid_to_ms IS NULL OR f.ms < s.valid_to_ms)
+"""
+
+
+@register(
+    "events_scd2_enrich",
+    oracle=_SCD2_ENRICH_ORACLE,
+    tags=("join", "user"),
+)
+def events_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment of purchase facts against the SCD2
+    dimension: the oracle probes intervals with BETWEEN (a range
+    join); the Spark side exploits that SCD2 intervals are CONTIGUOUS
+    per key, so "the interval containing ms" == "the last interval
+    starting at or before ms" — the as-of join (union + one key
+    shuffle + last-value carry, operators/joins.py:42), NEVER a range
+    join. |facts|+|intervals| rows through one shuffle; at 100 TB the
+    dimension build amortizes across every probing pipeline, exactly
+    the reference's UserJoin deployment shape (FlatOutputJob's user
+    enrichment), with facts before a key's first interval left null."""
+    from openmetrics_spark.operators.joins import asof_join
+    from openmetrics_spark.queries.users_q import user_scd2_intervals
+
+    iv = user_scd2_intervals(spark, sf_dir).select(
+        "platform_id",
+        "log_user_id",
+        F.timestamp_millis(F.col("valid_from_ms")).alias("vts"),
+        "user_id",
+        "is_internal_user",
+        "n_versions",
+    )
+    ev = table(spark, sf_dir, "events")
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.concat(F.lit("lu"), F.col("user_id").cast("string")).alias(
+            "log_user_id"
+        ),
+        F.col("event_id").alias("fact_id"),
+        F.unix_millis("ts").alias("ms"),
+        F.col("ts").alias("fts"),
+    )
+    out = asof_join(
+        facts,
+        iv,
+        on=["platform_id", "log_user_id"],
+        left_ts="fts",
+        right_ts="vts",
+        right_cols=["user_id", "is_internal_user", "n_versions"],
+    )
+    return out.select(
+        "platform_id",
+        "log_user_id",
+        "fact_id",
+        "ms",
+        "user_id",
+        "is_internal_user",
+        F.col("n_versions").cast("long").alias("n_versions"),
+    )

@@ -140,8 +140,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",           # TPC-H agg (r3)
     "q3_shipping_priority",         # TPC-H join (r3, headliner)
     "q6_forecast_revenue",          # TPC-H scan/pushdown (r3)
-    "q12_priority_lines",           # TPC-H join+agg (r3)
-    "q14_promo_effect",             # TPC-H conditional agg (r3)
+    # (q12/q14 ceded their slots to the two BFJ anchors below once the
+    # r7 additions filled the window: TPC-H stays watched via q1/q3/q6,
+    # and the reference's core flat-output-join family must keep a row)
     "top_event_types",              # TopN batch (r3)
     "topk_parts_per_brand",         # window functions (r3)
     "ann_brute_topk",               # exact ANN baseline (r4)

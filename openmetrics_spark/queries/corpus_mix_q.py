@@ -1772,3 +1772,61 @@ def corpus_upsample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_distinct_ngrams — distinct-n diversity report (the standard
+# corpus-quality metric: low distinct-bigram ratio = templated/
+# repetitive text; cf. distinct-n in generation-diversity literature).
+# ---------------------------------------------------------------------------
+
+_DISTINCT_NGRAMS_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), bg AS (
+  SELECT lang, tok[i + 1] || ' ' || tok[i + 2] AS g
+  FROM t, unnest(range(len(tok) - 1)) r(i)
+  WHERE len(tok) >= 2
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS total_bigrams,
+       CAST(count(DISTINCT g) AS BIGINT) AS distinct_bigrams,
+       CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT)
+         AS distinct_ratio_e6
+FROM bg GROUP BY lang
+"""
+
+
+@register(
+    "corpus_distinct_ngrams",
+    oracle=_DISTINCT_NGRAMS_ORACLE,
+    tags=("llm", "text"),
+)
+def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-bigram diversity per language: total vs distinct
+    bigram counts and their ratio in exact 1e-6 units. One explode +
+    one (lang, gram) aggregate — the distinct is per-gram, so the
+    shuffle carries one row per DISTINCT (lang, gram), map-side
+    combined, never the raw gram stream. (At 100 TB swap the exact
+    distinct for the HLL register path in operators/sketches.py; the
+    exact form here is what the oracle can gate bit-for-bit.)"""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "lang", tokens("text").alias("tok"))
+    idx = F.when(
+        F.size("tok") >= 2, F.sequence(F.lit(0), F.size("tok") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat(
+            F.element_at("tok", i + 1), F.lit(" "), F.element_at("tok", i + 2)
+        ),
+    )
+    bg = t.select("lang", F.explode(grams).alias("g"))
+    return bg.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_bigrams"),
+        F.countDistinct("g").alias("distinct_bigrams"),
+        F.expr(
+            "CAST(count(DISTINCT g) * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("distinct_ratio_e6"),
+    )

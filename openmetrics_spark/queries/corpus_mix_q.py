@@ -1830,3 +1830,139 @@ def corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(count(DISTINCT g) * 1000000 DIV count(*) AS BIGINT)"
         ).alias("distinct_ratio_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_quality_train_eval — the full ML loop with leakage discipline:
+# fit Bernoulli NB on the leakage-safe TRAIN split only, score the
+# TEST split, report the confusion matrix + accuracy. Composes
+# corpus_leakage_safe_split (cluster-aware split) with _nb_model; all
+# integer arithmetic, so the EVALUATION itself is hash-gated.
+# ---------------------------------------------------------------------------
+
+
+def _nb_eval_oracle() -> str:
+    from openmetrics_spark.functions.hashing import portable_hash60_sql
+    from openmetrics_spark.queries.docs_q import _LEAKAGE_SPLIT_ORACLE
+
+    h = portable_hash60_sql("tk")
+    return f"""
+WITH spl AS ({_LEAKAGE_SPLIT_ORACLE}),
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), tr AS (
+  SELECT t.doc_id AS d, t.tok FROM t JOIN spl USING (doc_id)
+  WHERE spl.split = 'train'
+), te AS (
+  SELECT t.doc_id AS d, t.tok FROM t JOIN spl USING (doc_id)
+  WHERE spl.split = 'test'
+), nbl AS (
+  SELECT d, CASE WHEN list_contains(tok, '{_NB_LABEL}') THEN 1 ELSE 0 END AS y
+  FROM tr
+), nbn AS (
+  SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS n_neg
+  FROM nbl
+), nbp AS (
+  SELECT DISTINCT d, {h} % {_NB_BUCKETS} AS b
+  FROM (SELECT d, unnest(tok) AS tk FROM tr)
+), nbdf AS (
+  SELECT b, CAST(sum(y) AS BIGINT) AS df_pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS df_neg
+  FROM nbp JOIN nbl USING (d) GROUP BY b
+), nbw AS (
+  SELECT b, {_NB_W_SQL} AS w_e6 FROM nbdf, nbn
+), nbc AS (
+  SELECT CAST(floor(ln((n_pos + 1.0) / (n_neg + 1.0)) * 1000000.0 + 0.5)
+              AS BIGINT)
+         + (SELECT CAST(coalesce(sum({_NB_ABSENT_SQL}), 0) AS BIGINT)
+            FROM nbdf, nbn) AS c
+  FROM nbn
+), tep AS (
+  SELECT DISTINCT d, {h} % {_NB_BUCKETS} AS b
+  FROM (SELECT d, unnest(tok) AS tk FROM te)
+), tes AS (
+  SELECT te.d,
+         CASE WHEN list_contains(te.tok, '{_NB_LABEL}') THEN 1 ELSE 0 END AS y,
+         (SELECT c FROM nbc) + coalesce(s.s, 0) AS score
+  FROM te LEFT JOIN (
+    SELECT d, CAST(sum(w_e6) AS BIGINT) AS s
+    FROM tep JOIN nbw ON tep.b = nbw.b GROUP BY d
+  ) s USING (d)
+)
+SELECT CAST(sum(CASE WHEN score > 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       CAST(sum(CASE WHEN score > 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       CAST(sum(CASE WHEN score <= 0 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       CAST(sum(CASE WHEN score <= 0 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       CAST(count(*) AS BIGINT) AS n_test,
+       CAST(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS accuracy_e6
+FROM tes
+"""
+
+
+@register(
+    "doc_quality_train_eval",
+    oracle=_nb_eval_oracle(),
+    tags=("llm", "train"),
+)
+def doc_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval with leakage discipline: the Bernoulli-NB model fits
+    on the cluster-aware TRAIN split only (near-duplicates of a test
+    doc can never leak into training — corpus_leakage_safe_split),
+    the TEST split is scored with the fitted integer weights, and the
+    confusion matrix + accuracy (1e-6 units, integer DIV) come back
+    as ONE hash-gated row — the evaluation itself is reproducible
+    bit-for-bit in both engines. 100 TB shape: split cost = the dedup
+    pipeline's; the fit is one train-scan → 256-bucket aggregate; the
+    eval is one test-scan + broadcast-size weight join."""
+    from openmetrics_spark.queries.docs_q import corpus_leakage_safe_split
+
+    spl = corpus_leakage_safe_split(spark, sf_dir)
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = pin(docs.select("doc_id", tokens("text").alias("tok")))
+    tr = t.join(
+        spl.filter(F.col("split") == "train").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).select(F.col("doc_id").alias("d"), "tok")
+    te = pin(
+        t.join(
+            spl.filter(F.col("split") == "test").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).select(F.col("doc_id").alias("d"), "tok")
+    )
+    _ptr, w, const = _nb_model(tr)
+    tep = (
+        te.select("d", F.explode("tok").alias("tk"))
+        .select("d", (portable_hash60(F.col("tk")) % _NB_BUCKETS).alias("b"))
+        .distinct()
+    )
+    s = (
+        tep.join(w.select(F.col("bucket").alias("b"), "w_e6"), "b")
+        .groupBy("d")
+        .agg(F.sum("w_e6").cast("long").alias("s"))
+    )
+    scored = (
+        te.select(
+            "d", F.array_contains("tok", _NB_LABEL).cast("int").alias("y")
+        )
+        .join(s, "d", "left")
+        .crossJoin(F.broadcast(const.select(F.col("w_e6").alias("c"))))
+        .withColumn("score", F.col("c") + F.coalesce(F.col("s"), F.lit(0)))
+    )
+    pred = F.col("score") > 0
+    pos = F.col("y") == 1
+    return scored.agg(
+        F.sum((pred & pos).cast("long")).alias("tp"),
+        F.sum((pred & ~pos).cast("long")).alias("fp"),
+        F.sum((~pred & ~pos).cast("long")).alias("tn"),
+        F.sum((~pred & pos).cast("long")).alias("fn"),
+        F.count(F.lit(1)).alias("n_test"),
+        F.expr(
+            "CAST(sum(CASE WHEN (score > 0) = (y = 1) THEN 1 ELSE 0 END)"
+            " * 1000000 DIV count(*) AS BIGINT)"
+        ).alias("accuracy_e6"),
+    )

@@ -24,7 +24,7 @@ from openmetrics_spark.llm.text import (
     unique_token_count,
 )
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import spread_for_compute, table
+from openmetrics_spark.tables import pin, spread_for_compute, table
 
 # ---------------------------------------------------------------------------
 # exact dedup
@@ -1563,4 +1563,75 @@ def corpus_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(g < 90, F.lit("val"))
         .otherwise(F.lit("test"))
         .alias("split"),
+    )
+
+
+_CLUSTER_SIZES_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+), sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.d
+), lab AS (
+  SELECT id AS doc_id, min(r) AS canonical_id FROM reach GROUP BY id
+), sizes AS (
+  SELECT canonical_id, count(*) AS cluster_size FROM lab GROUP BY 1
+), all_sizes AS (
+  SELECT cluster_size FROM sizes
+  UNION ALL
+  SELECT 1 AS cluster_size
+  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+  WHERE lab.doc_id IS NULL
+)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+FROM all_sizes GROUP BY cluster_size
+"""
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=_CLUSTER_SIZES_ORACLE,
+    tags=("llm", "dedup"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup REPORT every curation run ships: how big are the
+    near-dup families? Clustered docs aggregate per canonical id;
+    unclustered docs count as singleton clusters, so
+    sum(n_docs) == |corpus| (the sanity invariant a report reader
+    checks first). One extra aggregate over the CC output — the pair
+    generation + pointer jumping dominate, both already bucketed."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+    comp = pin(connected_components(pairs, "doc_a", "doc_b"))
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    singles = (
+        docs.select("doc_id")
+        .join(comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti")
+        .select(F.lit(1).cast("long").alias("cluster_size"))
+    )
+    return (
+        sizes.select("cluster_size")
+        .unionByName(singles)
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
     )

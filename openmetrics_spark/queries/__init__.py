@@ -241,11 +241,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # sf0.01 under the driver-strict comparator on the day of the
     # change — evicting the nine never-verified rows for a no-op would
     # invert the rotation's priority.
-    # --- r8 rotation plan: if CORRECTNESS_r07 lands green, EVERY
-    # registered query holds a driver row at least once (the 18 r6
-    # stragglers + the 10 r7 additions all sit in this window; the
-    # other 121 carry r4-r6 rows). For r8: anything new or modified
-    # first, then rotate anchors toward the longest-unwatched rows in
+    # --- r8 rotation plan: the window below holds the 18 r6
+    # stragglers + 9 r7-modified rows + the first 12 r7 additions +
+    # 11 family anchors. THREE late-r7 additions did NOT fit and are
+    # r8's first priorities: corpus_distinct_ngrams,
+    # doc_quality_train_eval, dedup_cluster_size_histogram (all green
+    # in the builder's sf0.001+sf0.01 oracle runs, see
+    # docs/VERIFICATION.md). After those: anything new or modified in
+    # r8, then rotate anchors toward the longest-unwatched rows in
     # docs/QUERIES.md — the r3/r4 green rows displaced this round
     # (q5_local_supplier_volume, bfj_tiny_actions, corpus_vocab_topk,
     # cumulate_hourly, daily_event_metrics, doc_lang_guess,

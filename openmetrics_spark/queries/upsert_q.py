@@ -17,6 +17,9 @@ sink relies on is total — the oracle reproduces each step closed-form.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -25,6 +28,22 @@ from pyspark.sql import functions as F
 from openmetrics_spark.queries import register
 from openmetrics_spark.sources.upsert import UpsertTable
 from openmetrics_spark.tables import table
+
+# One scratch root per process, wiped at exit (same pattern as
+# streaming_q): each query rebuilds its table under a STABLE subdir
+# (wiped first), so repeated sweeps stay bounded and nothing leaks
+# into /tmp across verify/test invocations.
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(), f"omx_upsert_work_{os.getpid()}"
+)
+atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+
+
+def _workdir(name: str) -> str:
+    path = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
 
 _UPSERT_CTES = """
 WITH dedup AS (
@@ -95,7 +114,7 @@ def upsert_two_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = dedup.filter(F.col("event_id") % 3 != 0)
     b2 = dedup.filter(F.col("event_id") % 2 == 0)
-    path = tempfile.mkdtemp(prefix="upsert_q_") + "/t"
+    path = _workdir("cow") + "/t"
     t = UpsertTable(path, ["user_id", "event_type"], "ts_ms")
     t.upsert(b1)
     t.upsert(b2)
@@ -131,7 +150,7 @@ def upsert_mor_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = dedup.filter(F.col("event_id") % 3 != 0)
     b2 = dedup.filter(F.col("event_id") % 2 == 0)
-    path = tempfile.mkdtemp(prefix="upsert_mor_q_") + "/t"
+    path = _workdir("mor") + "/t"
     t = MorUpsertTable(path, ["user_id", "event_type"], "ts_ms")
     t.upsert(b1)
     t.compact(spark)  # b1 becomes the base file set
@@ -176,7 +195,7 @@ def upsert_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b1 = dedup.filter(F.col("event_id") % 3 != 0)
     b2 = dedup.filter(F.col("event_id") % 2 == 0)
-    path = tempfile.mkdtemp(prefix="upsert_inc_q_") + "/t"
+    path = _workdir("inc") + "/t"
     t = MorUpsertTable(path, ["user_id", "event_type"], "ts_ms")
     t.upsert(b1)
     t.compact(spark)
@@ -222,7 +241,7 @@ def upsert_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     b3 = dedup.filter(F.col("event_id") % 5 == 0).withColumn(
         "ts_ms", F.col("ts_ms") + F.lit(1)
     )
-    path = tempfile.mkdtemp(prefix="upsert_tt_q_") + "/t"
+    path = _workdir("tt") + "/t"
     t = MorUpsertTable(path, ["user_id", "event_type"], "ts_ms")
     t.upsert(b1)
     t.upsert(b2)

@@ -36,13 +36,14 @@ def _flaky_fetch(ids):
     return _fetch_from_catalog(ids)
 
 
-def test_lookup_enrich_matches_broadcast_join(spark, sf_dir):
+def test_lookup_enrich_matches_broadcast_join(spark, sf_dir, tmp_path):
     """The cached-client map enrichment must produce the same rows as
     the broadcast-join batch strategy over the same catalog."""
     ev = table(spark, sf_dir, "events").select(
         F.get_json_object("props", "$.k").cast("int").alias("k"), "value"
     )
-    stats = tempfile.mkdtemp(prefix="omx_lookup_stats_")
+    stats = str(tmp_path / "lookup_stats")
+    os.makedirs(stats, exist_ok=True)
     enriched = lookup_enrich(
         ev.repartition(4),
         "k",
@@ -78,8 +79,9 @@ def test_lookup_enrich_matches_broadcast_join(spark, sf_dir):
     assert 0 < fetched < n_rows / 2, (fetched, n_rows)
 
 
-def test_cached_client_dedupes_and_retries():
-    stats = tempfile.mkdtemp(prefix="omx_lookup_unit_")
+def test_cached_client_dedupes_and_retries(tmp_path):
+    stats = str(tmp_path / "lookup_unit")
+    os.makedirs(stats, exist_ok=True)
     c = CachedContentClient(_fetch_from_catalog, max_size=8, stats_dir=stats)
     out = c.get_many([1, 2, 1, 3, 999])
     assert out[1] == _CATALOG[1] and out[999] is None

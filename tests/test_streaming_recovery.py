@@ -303,3 +303,69 @@ def test_fused_counter_stream_checkpoint_restart(spark, sf_dir, tmp_path):
     assert 0 < n_before < spark.read.parquet(out).count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_cms_counter_stream_checkpoint_restart(spark, sf_dir, tmp_path):
+    """The streaming CMS maintainer across a kill/restart: partial
+    per-(window, j, b) counts in state must restore from the
+    checkpoint, so the SUM-merged global counter table equals the
+    batch cms_counters over the full input bit-for-bit."""
+    from openmetrics_spark.operators.sketches import (
+        cms_bucket_rows,
+        cms_counters,
+    )
+
+    DAY_MS = 86_400_000
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.unix_millis("ts").alias("ms")
+    )
+    lo, hi = ev.agg(F.min("ms"), F.max("ms")).first()
+    all_ms = sorted(r["ms"] for r in ev.select("ms").collect())
+    mid = all_ms[len(all_ms) // 2]
+    stage = str(tmp_path / "events")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+
+    def run_drain():
+        cs = (
+            _stream(spark, stage)
+            .withWatermark("ts", "2 seconds")
+            .select("ts", cms_bucket_rows("user_id").alias("j", "b"))
+            .groupBy(F.window("ts", "1 day"), "j", "b")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .select(
+                F.unix_millis(F.col("window.start")).alias("window_start_ms"),
+                "j",
+                "b",
+                "c",
+            )
+        )
+        _drain(cs, out, chk)
+
+    first = ev.filter(F.col("ms") < mid)
+    _restage(spark, first, stage, "ms", [lo + (mid - lo) // 2], sentinel=False)
+    run_drain()
+    n_before = spark.read.parquet(out).count()
+
+    rest = ev.filter(F.col("ms") >= mid)
+    _restage(spark, rest, stage, "ms", [mid + (hi - mid) // 2], sentinel=True)
+    run_drain()
+
+    got = {
+        (r.j, r.b): r.c
+        for r in spark.read.parquet(out)
+        .filter(F.col("window_start_ms") < SENTINEL_MS - DAY_MS)
+        .groupBy("j", "b")
+        .agg(F.sum("c").cast("long").alias("c"))
+        .collect()
+    }
+    want = {
+        (r.j, r.b): r.c
+        for r in cms_counters(
+            ev.filter(F.col("user_id").isNotNull()), [], "user_id"
+        ).collect()
+    }
+    # the restart had to matter: run 1 emitted some but not all rows
+    n_after = spark.read.parquet(out).count()
+    assert 0 < n_before < n_after, (n_before, n_after)
+    assert got == want

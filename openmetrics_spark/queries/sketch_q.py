@@ -494,3 +494,91 @@ def bloom_customer_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("has_orders"), F.lit(False)).alias("has_orders"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# value_stats_winsorized — robust metrics via the histogram sketch:
+# clamp values at the grid P1/P99 before aggregating (the standard
+# outlier-hardening step for revenue/latency metrics).
+# ---------------------------------------------------------------------------
+
+_WINSOR_ORACLE = """
+WITH v AS (
+  SELECT event_type, value FROM events WHERE value IS NOT NULL
+), counts AS (
+  SELECT event_type, CAST(floor(value / 1.0) AS BIGINT) AS bucket,
+         count(*) AS cnt
+  FROM v GROUP BY ALL
+), cum AS (
+  SELECT event_type, bucket,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY event_type) AS n
+  FROM counts
+), b AS (
+  SELECT event_type,
+         min(CASE WHEN cum >= ceil(0.01 * n) THEN bucket END) AS p01,
+         min(CASE WHEN cum >= ceil(0.99 * n) THEN bucket END) AS p99,
+         max(n) AS n
+  FROM cum GROUP BY event_type
+), w AS (
+  SELECT v.event_type,
+         CAST(floor(greatest(least(v.value, p99 * 1.0), p01 * 1.0) * 100
+                    + 0.5) AS BIGINT) AS cents
+  FROM v JOIN b USING (event_type)
+)
+SELECT b.event_type, CAST(b.n AS BIGINT) AS n,
+       CAST(b.p01 AS BIGINT) AS p01, CAST(b.p99 AS BIGINT) AS p99,
+       CAST(sum(cents) AS BIGINT) AS wsum_cents,
+       CAST(sum(cents) // b.n AS BIGINT) AS wmean_cents
+FROM w JOIN b USING (event_type)
+GROUP BY b.event_type, b.n, b.p01, b.p99
+"""
+
+
+@register(
+    "value_stats_winsorized",
+    oracle=_WINSOR_ORACLE,
+    tags=("sketch", "metrics"),
+)
+def value_stats_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value stats: percentile bounds come from
+    the engine-exact grid histogram (hist_percentiles — P1/P99 land
+    on integer grid floors, so the clamp bounds are exact in both
+    engines), each value is clamped THEN quantized to exact cents, and
+    the mean is an integer division — no order-dependent float sum
+    anywhere, so the robust metric itself is hash-gated. 100 TB shape:
+    the bounds are one histogram sketch (O(range/width) rows), the
+    clamp+sum is one scan with a broadcast bounds join — same cost as
+    an unclamped sum, unlike a sort-based trim."""
+    from openmetrics_spark.functions.money import exact_units
+
+    ev = table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = hist_percentiles(
+        ev, ["event_type"], "value", width=1.0, qs=(0.01, 0.99)
+    )
+    b = pct.groupBy("event_type").agg(
+        F.min(F.when(F.col("q") == 0.01, F.col("approx_value"))).alias("p01d"),
+        F.min(F.when(F.col("q") == 0.99, F.col("approx_value"))).alias("p99d"),
+        F.max("n").alias("n"),
+    )
+    w = ev.join(F.broadcast(b), "event_type").select(
+        "event_type",
+        "n",
+        F.col("p01d"),
+        F.col("p99d"),
+        exact_units(
+            F.greatest(F.least(F.col("value"), F.col("p99d")), F.col("p01d")),
+            100,
+        ).alias("cents"),
+    )
+    return w.groupBy("event_type", "n", "p01d", "p99d").agg(
+        F.sum("cents").cast("long").alias("wsum_cents"),
+        F.expr("CAST(sum(cents) DIV max(n) AS BIGINT)").alias("wmean_cents"),
+    ).select(
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("p01d").cast("long").alias("p01"),
+        F.col("p99d").cast("long").alias("p99"),
+        "wsum_cents",
+        "wmean_cents",
+    )

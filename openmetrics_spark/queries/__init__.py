@@ -246,7 +246,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # 11 family anchors. THREE late-r7 additions did NOT fit and are
     # r8's first priorities: corpus_distinct_ngrams,
     # doc_quality_train_eval, dedup_cluster_size_histogram,
-    # value_stats_winsorized (all green
+    # value_stats_winsorized, orders_rfm_segments (all green
     # in the builder's sf0.001+sf0.01 oracle runs, see
     # docs/VERIFICATION.md). After those: anything new or modified in
     # r8, then rotate anchors toward the longest-unwatched rows in

@@ -9,7 +9,7 @@ rounded in both engines, DuckDB SUM(BIGINT) widened back to BIGINT.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from openmetrics_spark.functions.money import exact_sum, exact_units
@@ -572,4 +572,85 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("y").alias("minute_lo"),
             F.max("y").alias("minute_hi"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_rfm_segments — classic RFM customer segmentation (recency /
+# frequency / monetary quintiles). Also the registry's NTILE coverage.
+# ---------------------------------------------------------------------------
+
+_RFM_ORACLE = """
+WITH cust AS (
+  SELECT o_custkey,
+         date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
+         count(*) AS n_orders,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS BIGINT) AS cents
+  FROM orders GROUP BY o_custkey
+), scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+  FROM cust
+)
+SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(n_orders AS BIGINT) AS n_orders, cents,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm
+FROM scored
+"""
+
+
+@register("orders_rfm_segments", oracle=_RFM_ORACLE, tags=("window", "agg"))
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, days since last order (anchored
+    at the dataset's max order date), order count, exact-cents spend,
+    and a 3-digit quintile code via NTILE(5) with a total tiebreak
+    (metric, custkey) — both engines implement standard NTILE
+    remainder-to-leading-groups, so identical ordering ⇒ identical
+    buckets, and the segmentation is hash-gated. NOTE the global
+    NTILE is a single-partition sort — fine as the gateable spec; at
+    100 TB the quintile BOUNDARIES come from the histogram sketch
+    (hist_percentiles) and the scan buckets against broadcast bounds,
+    trading exact equal-population splits for a fixed-cost plan."""
+    o = table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_dt"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+            )
+            .cast("long")
+            .alias("cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("mx"), F.col("last_dt"))
+            .cast("long")
+            .alias("recency_days"),
+            "n_orders",
+            "cents",
+        )
+    )
+    w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
+    w_f = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
+    w_m = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    return cust.select(
+        "o_custkey",
+        "recency_days",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        "cents",
+        (
+            F.ntile(5).over(w_r) * 100
+            + F.ntile(5).over(w_f) * 10
+            + F.ntile(5).over(w_m)
+        )
+        .cast("long")
+        .alias("rfm"),
     )

@@ -577,47 +577,79 @@ def events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # orders_rfm_segments — classic RFM customer segmentation (recency /
-# frequency / monetary quintiles). Also the registry's NTILE coverage.
+# frequency / monetary quintiles), sketch-bounded so the plan carries
+# NO global sort. orders_rfm_ntile_spec below keeps the exact
+# equal-population NTILE form as the oracle-gated spec twin (and the
+# registry's NTILE coverage).
 # ---------------------------------------------------------------------------
 
-_RFM_ORACLE = """
-WITH cust AS (
+# Monetary histogram grid: $100 buckets (10_000 cents). recency (days)
+# and frequency (order count) use width-1 grids — their ranges are
+# already small integers.
+_RFM_M_WIDTH = 10_000
+
+_RFM_CUST_SQL = """
   SELECT o_custkey,
-         date_diff('day', max(o_orderdate),
-                   (SELECT max(o_orderdate) FROM orders)) AS recency_days,
-         count(*) AS n_orders,
+         CAST(date_diff('day', max(o_orderdate),
+                   (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS n_orders,
          CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
               AS BIGINT) AS cents
   FROM orders GROUP BY o_custkey
-), scored AS (
-  SELECT *,
-         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
-         ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
-         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_q
-  FROM cust
+"""
+
+_RFM_ORACLE = f"""
+WITH cust AS ({_RFM_CUST_SQL}
+), hist AS (
+  SELECT metric, bucket, count(*) AS cnt FROM (
+    SELECT 'r' AS metric, recency_days AS bucket FROM cust
+    UNION ALL SELECT 'f', n_orders FROM cust
+    UNION ALL SELECT 'm', cents // {_RFM_M_WIDTH} FROM cust
+  ) GROUP BY ALL
+), cum AS (
+  SELECT metric, bucket,
+         sum(cnt) OVER (PARTITION BY metric ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY metric) AS n
+  FROM hist
+), bounds AS (
+  SELECT
+    min(CASE WHEN metric = 'r' AND cum * 100 >= 20 * n THEN bucket END) AS r20,
+    min(CASE WHEN metric = 'r' AND cum * 100 >= 40 * n THEN bucket END) AS r40,
+    min(CASE WHEN metric = 'r' AND cum * 100 >= 60 * n THEN bucket END) AS r60,
+    min(CASE WHEN metric = 'r' AND cum * 100 >= 80 * n THEN bucket END) AS r80,
+    min(CASE WHEN metric = 'f' AND cum * 100 >= 20 * n THEN bucket END) AS f20,
+    min(CASE WHEN metric = 'f' AND cum * 100 >= 40 * n THEN bucket END) AS f40,
+    min(CASE WHEN metric = 'f' AND cum * 100 >= 60 * n THEN bucket END) AS f60,
+    min(CASE WHEN metric = 'f' AND cum * 100 >= 80 * n THEN bucket END) AS f80,
+    min(CASE WHEN metric = 'm' AND cum * 100 >= 20 * n THEN bucket END) AS m20,
+    min(CASE WHEN metric = 'm' AND cum * 100 >= 40 * n THEN bucket END) AS m40,
+    min(CASE WHEN metric = 'm' AND cum * 100 >= 60 * n THEN bucket END) AS m60,
+    min(CASE WHEN metric = 'm' AND cum * 100 >= 80 * n THEN bucket END) AS m80
+  FROM cum
 )
-SELECT o_custkey, CAST(recency_days AS BIGINT) AS recency_days,
-       CAST(n_orders AS BIGINT) AS n_orders, cents,
-       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm
-FROM scored
+SELECT o_custkey, recency_days, n_orders, cents,
+       CAST(
+         (1 + (recency_days > r20)::INT + (recency_days > r40)::INT
+            + (recency_days > r60)::INT + (recency_days > r80)::INT) * 100
+       + (5 - (n_orders > f20)::INT - (n_orders > f40)::INT
+            - (n_orders > f60)::INT - (n_orders > f80)::INT) * 10
+       + (5 - (cents // {_RFM_M_WIDTH} > m20)::INT
+            - (cents // {_RFM_M_WIDTH} > m40)::INT
+            - (cents // {_RFM_M_WIDTH} > m60)::INT
+            - (cents // {_RFM_M_WIDTH} > m80)::INT)
+       AS BIGINT) AS rfm
+FROM cust, bounds
 """
 
 
-@register("orders_rfm_segments", oracle=_RFM_ORACLE, tags=("window", "agg"))
-def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation: per customer, days since last order (anchored
-    at the dataset's max order date), order count, exact-cents spend,
-    and a 3-digit quintile code via NTILE(5) with a total tiebreak
-    (metric, custkey) — both engines implement standard NTILE
-    remainder-to-leading-groups, so identical ordering ⇒ identical
-    buckets, and the segmentation is hash-gated. NOTE the global
-    NTILE is a single-partition sort — fine as the gateable spec; at
-    100 TB the quintile BOUNDARIES come from the histogram sketch
-    (hist_percentiles) and the scan buckets against broadcast bounds,
-    trading exact equal-population splits for a fixed-cost plan."""
+def _rfm_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer RFM base: recency_days (anchored at the dataset's
+    max order date), order count, exact-cents spend. One groupBy
+    shuffle of orders; the anchor is a one-row scalar broadcast."""
     o = table(spark, sf_dir, "orders")
     anchor = o.agg(F.max("o_orderdate").alias("mx"))
-    cust = (
+    return (
         o.groupBy("o_custkey")
         .agg(
             F.max("o_orderdate").alias("last_dt"),
@@ -634,17 +666,131 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.datediff(F.col("mx"), F.col("last_dt"))
             .cast("long")
             .alias("recency_days"),
-            "n_orders",
+            F.col("n_orders").cast("long").alias("n_orders"),
             "cents",
         )
     )
+
+
+@register("orders_rfm_segments", oracle=_RFM_ORACLE, tags=("sketch", "agg"))
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe RFM segmentation: quintile BOUNDARIES come from the
+    engine-exact fixed-grid histogram (the hist_percentiles shape,
+    operators/sketches.py:244 — grids: 1 day / 1 order / $100), and
+    the per-customer scan buckets against the broadcast one-row bounds
+    — no global sort anywhere, mirroring the reference, whose only
+    "rank everything" op is a heap/broadcast top-N
+    (LP/job/counter/TopNEmitter.java:20-170). Boundary b_q = smallest
+    grid point with cum*100 >= q*n (all-integer, so both engines agree
+    bit-for-bit); score = 1 + #bounds-exceeded (recency ascending:
+    quintile 1 = most recent) or 5 - #bounds-exceeded (frequency and
+    monetary descending: quintile 1 = top). Grid ties all land in one
+    quintile — the documented trade vs NTILE's exact equal-population
+    splits (kept as orders_rfm_ntile_spec). 100 TB: histogram input is
+    one map-side-combined (metric, bucket) count — O(grid) rows; the
+    cumulative window partitions by metric over O(grid) rows; scoring
+    is a broadcast join on the base scan."""
+    cust = _rfm_cust(spark, sf_dir)
+    hist = (
+        cust.select(
+            F.expr(
+                "stack(3, 'r', recency_days, 'f', n_orders,"
+                f" 'm', cents DIV {_RFM_M_WIDTH}) AS (metric, bucket)"
+            )
+        )
+        .groupBy("metric", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("metric")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_n = Window.partitionBy("metric")
+    cum = hist.select(
+        "metric",
+        "bucket",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(w_n).alias("n"),
+    )
+
+    def _b(metric: str, q: int):
+        hit = (F.col("metric") == metric) & (
+            F.col("cum") * 100 >= F.lit(q) * F.col("n")
+        )
+        return F.min(F.when(hit, F.col("bucket"))).alias(f"{metric}{q}")
+
+    bounds = cum.groupBy().agg(
+        *[_b(m, q) for m in ("r", "f", "m") for q in (20, 40, 60, 80)]
+    )
+
+    def _asc_score(col, prefix):
+        return sum(
+            (F.col(col) > F.col(f"{prefix}{q}")).cast("int")
+            for q in (20, 40, 60, 80)
+        ) + F.lit(1)
+
+    scored = cust.crossJoin(F.broadcast(bounds))
+    m_bucket = F.expr(f"cents DIV {_RFM_M_WIDTH}")
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "n_orders",
+        "cents",
+        (
+            _asc_score("recency_days", "r") * 100
+            + (F.lit(6) - _asc_score("n_orders", "f")) * 10
+            + (
+                F.lit(6)
+                - (
+                    sum(
+                        (m_bucket > F.col(f"m{q}")).cast("int")
+                        for q in (20, 40, 60, 80)
+                    )
+                    + F.lit(1)
+                )
+            )
+        )
+        .cast("long")
+        .alias("rfm"),
+    )
+
+
+_RFM_NTILE_ORACLE = f"""
+WITH cust AS ({_RFM_CUST_SQL}
+), scored AS (
+  SELECT *,
+         ntile(5) OVER (ORDER BY recency_days ASC, o_custkey) AS r_q,
+         ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_q,
+         ntile(5) OVER (ORDER BY cents DESC, o_custkey) AS m_q
+  FROM cust
+)
+SELECT o_custkey, recency_days, n_orders, cents,
+       CAST(r_q * 100 + f_q * 10 + m_q AS BIGINT) AS rfm
+FROM scored
+"""
+
+
+@register(
+    "orders_rfm_ntile_spec", oracle=_RFM_NTILE_ORACLE, tags=("window", "agg")
+)
+def orders_rfm_ntile_spec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equal-population RFM spec twin (and the registry's NTILE
+    coverage): 3-digit quintile code via NTILE(5) with a total
+    tiebreak (metric, custkey) — both engines implement standard NTILE
+    remainder-to-leading-groups, so identical ordering ⇒ identical
+    buckets. The global NTILE is a single-partition sort, fine at test
+    SFs as the gateable spec; the REGISTERED scale path is
+    orders_rfm_segments above (sketch boundaries + broadcast-bounds
+    bucketing, no global sort)."""
+    cust = _rfm_cust(spark, sf_dir)
     w_r = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey"))
     w_f = Window.orderBy(F.col("n_orders").desc(), F.col("o_custkey"))
     w_m = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
     return cust.select(
         "o_custkey",
         "recency_days",
-        F.col("n_orders").cast("long").alias("n_orders"),
+        "n_orders",
         "cents",
         (
             F.ntile(5).over(w_r) * 100

@@ -327,3 +327,11 @@ def test_rfm_segments_has_no_unpartitioned_window(spark, sf_dir):
     # the detector itself must still catch the unsafe shape
     spec_plan = _plan(spark, sf_dir, "orders_rfm_ntile_spec")
     assert _unpartitioned_windows(spec_plan), spec_plan[:2000]
+
+
+def test_bfj_pipeline_has_no_cartesian(spark, sf_dir):
+    """The composed pipeline chains three inferred joins + combine +
+    dedup + cogroup; every stage must stay a bucketed equi-join — the
+    only nested-loop allowed is the broadcast of one-row yield bounds."""
+    plan = _plan(spark, sf_dir, "bfj_pipeline_manifest")
+    assert "CartesianProduct" not in plan, plan[:3000]

@@ -40,6 +40,27 @@ def replicated_docs(docs, copies: int):
     return out
 
 
+def replicated_docs_full(docs, copies: int):
+    """Full-schema variant of replicated_docs: keeps every column the
+    manifest chain reads (lang drives stratified sampling, text feeds
+    the tokenizer), offsets ids and prefixes tokens per copy so the
+    copies share no shingles or md5s."""
+    cols = [c for c in docs.columns if c not in ("doc_id", "text")]
+    out = None
+    for i in range(copies):
+        c = docs.select(
+            (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+            (
+                F.regexp_replace("text", r"([a-z0-9]+)", f"c{i}x$1")
+                if i
+                else F.col("text")
+            ).alias("text"),
+            *cols,
+        )
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def replicated_events(ev, copies: int):
     out = None
     for i in range(copies):
@@ -150,6 +171,51 @@ def main() -> int:
         # that no family x window branch re-scans raw events
         "counter_fanout": lambda e: counter_commands(_flatify(e)),
     }
+
+    # ---- composed chains (r7 verdict #6): the two heaviest REGISTERED
+    # queries, probed end-to-end. Their fns read the documents/events
+    # parquet via tables.table, so the 8x leg patches the loader in the
+    # query module's namespace to serve the content-disjoint replica —
+    # the measured code path is exactly the registered query's.
+    def _patched(module, table_name, frame, fn):
+        import openmetrics_spark.tables as _tables
+
+        real = module.table
+
+        def fake(spark_, sf_dir_, name_):
+            if name_ == table_name:
+                return frame
+            return _tables.table(spark_, sf_dir_, name_)
+
+        module.table = fake
+        try:
+            return fn()
+        finally:
+            module.table = real
+
+    import openmetrics_spark.queries.bfj_pipeline_q as _bfj_mod
+    import openmetrics_spark.queries.corpus_mix_q as _corpus_mod
+    from openmetrics_spark.queries import all_queries
+
+    Q = all_queries()
+    docs_full1 = table(spark, sf_dir, "documents")
+    docs_fullN = replicated_docs_full(docs_full1, copies)
+    ev_full1 = table(spark, sf_dir, "events")
+    ev_fullN = replicated_events(ev_full1, copies)
+
+    def probe_composed(name, module, table_name, frame):
+        return _patched(
+            module, table_name, frame,
+            lambda: Q[name].fn(spark, sf_dir),
+        )
+
+    probes["corpus_manifest_v3"] = lambda d: probe_composed(
+        "corpus_prep_manifest_v3", _corpus_mod, "documents", d
+    )
+    probes["bfj_pipeline"] = lambda e: probe_composed(
+        "bfj_pipeline_manifest", _bfj_mod, "events", e
+    )
+
     inputs = {
         "ngram_jaccard": (docs1, docsN),
         "minhash_lsh": (docs1, docsN),
@@ -161,6 +227,8 @@ def main() -> int:
         "bloom_build": (ev1, evN),
         "pagerank_5it": (ev1, evN),
         "counter_fanout": (ev1, evN),
+        "corpus_manifest_v3": (docs_full1, docs_fullN),
+        "bfj_pipeline": (ev_full1, ev_fullN),
     }
 
     def run(df) -> tuple[float, int]:
@@ -173,8 +241,15 @@ def main() -> int:
     results = {}
     for name, build in probes.items():
         small, big = inputs[name]
-        run(build(small))  # warm the operator's code paths
+        # warm BOTH legs: the first execution of a plan carries one-time
+        # JIT/GC/stage-scheduling cost that varies wildly (the 8x
+        # counter fan-out measured 205 s cold vs 54 s warm in the same
+        # JVM) — the ratio claim is about steady-state scaling, so both
+        # numerator and denominator must be steady-state. (r6/r7 probe
+        # rows warmed only the 1x leg; their 8x readings are inflated.)
+        run(build(small))
         t1, n1 = run(build(small))
+        run(build(big))
         tn, nn = run(build(big))
         results[name] = {
             "t_1x": round(t1, 2),

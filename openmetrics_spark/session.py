@@ -57,6 +57,18 @@ def get_spark(app_name: str = "openmetrics_spark", cpus: int | None = None) -> S
         # nation, supplier, content) should always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # AQE initial shuffle width: start wide, let coalesce shrink.
+    # The mid-r8 8x profiling measured the fused counter fan-out ~20%
+    # faster with 256 initial partitions at 8x sf0.1 — at real scale
+    # the heavy shuffles want partition counts sized to the data, and
+    # AQE coalesces the small ones back to ~core-count parallelism.
+    # Env-gated so A/Bs and the driver-built vanilla session stay
+    # comparable; unset = Spark default (= shuffle.partitions).
+    initial = os.environ.get("SPARK_GRAFT_INITIAL_PARTITIONS")
+    if initial:
+        builder = builder.config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum", initial
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -100,6 +100,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_rfm_segments",
     "orders_rfm_ntile_spec",
     "bfj_pipeline_manifest",
+    "raw_split_archive",
     # --- (c) r3 greens (oldest rows on record)
     "q12_priority_lines",
     "q14_promo_effect",
@@ -145,7 +146,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_interval_join",
     "doc_pii_scrub",
     "corpus_pack_chunks",
-    "q2_min_cost_supplier",
+    # (q2_min_cost_supplier ceded its slot to raw_split_archive, the
+    # r8 addition gating the split's non-join half + SetLogTimestamp;
+    # TPC-H stays watched via q12/q14/q5 and the r5 rotation next round)
 )
 
 
@@ -162,6 +165,7 @@ def all_queries() -> dict[str, QuerySpec]:
         events_q,
         graph_q,
         media_q,
+        raw_archive_q,
         sketch_q,
         tpch,
         tpch_ext,

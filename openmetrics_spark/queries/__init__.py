@@ -101,6 +101,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "orders_rfm_ntile_spec",
     "bfj_pipeline_manifest",
     "raw_split_archive",
+    "flat_ops_gates",
     # --- (c) r3 greens (oldest rows on record)
     "q12_priority_lines",
     "q14_promo_effect",
@@ -145,10 +146,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "upsert_two_batches",
     "streaming_interval_join",
     "doc_pii_scrub",
-    "corpus_pack_chunks",
-    # (q2_min_cost_supplier ceded its slot to raw_split_archive, the
-    # r8 addition gating the split's non-join half + SetLogTimestamp;
-    # TPC-H stays watched via q12/q14/q5 and the r5 rotation next round)
+    # (q2_min_cost_supplier and corpus_pack_chunks ceded their slots to
+    # raw_split_archive and flat_ops_gates, the r8 additions gating the
+    # split's non-join half + SetLogTimestamp and the stateless
+    # flat-output operators; TPC-H stays watched via q12/q14/q5 and
+    # corpus via corpus_prep_manifest — both r5 rows lead the r9
+    # rotation queue)
 )
 
 
@@ -163,6 +166,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sql_surface_q,
         streaming_q,
         events_q,
+        flat_ops_q,
         graph_q,
         media_q,
         raw_archive_q,

@@ -102,6 +102,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "bfj_pipeline_manifest",
     "raw_split_archive",
     "flat_ops_gates",
+    "csv_sink_roundtrip",
     # --- (c) r3 greens (oldest rows on record)
     "q12_priority_lines",
     "q14_promo_effect",
@@ -145,13 +146,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "multimodal_resize_stats",
     "upsert_two_batches",
     "streaming_interval_join",
-    "doc_pii_scrub",
-    # (q2_min_cost_supplier and corpus_pack_chunks ceded their slots to
-    # raw_split_archive and flat_ops_gates, the r8 additions gating the
-    # split's non-join half + SetLogTimestamp and the stateless
-    # flat-output operators; TPC-H stays watched via q12/q14/q5 and
-    # corpus via corpus_prep_manifest — both r5 rows lead the r9
-    # rotation queue)
+    # (q2_min_cost_supplier, corpus_pack_chunks and doc_pii_scrub ceded
+    # their slots to the r8 additions raw_split_archive, flat_ops_gates
+    # and csv_sink_roundtrip — gating the split's non-join half +
+    # SetLogTimestamp, the stateless flat-output operators, and the CSV
+    # header sink. TPC-H stays watched via q12/q14/q5, corpus via
+    # corpus_prep_manifest, PII via flat_ops_gates' pii stages; the
+    # three displaced r5 rows lead the r9 rotation queue)
 )
 
 
@@ -170,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_q,
         media_q,
         raw_archive_q,
+        sinks_q,
         sketch_q,
         tpch,
         tpch_ext,

@@ -103,6 +103,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "raw_split_archive",
     "flat_ops_gates",
     "csv_sink_roundtrip",
+    "raw_wire_roundtrip",
     # --- (c) r3 greens (oldest rows on record)
     "q12_priority_lines",
     "q14_promo_effect",
@@ -110,7 +111,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # --- (d) all r4 greens
     "ann_ivf_topk",
     "ann_lsh_multiprobe_topk",
-    "ann_lsh_recall",
+    # (ann_lsh_recall ceded its slot to raw_wire_roundtrip — the ANN
+    # family keeps THREE r4 rows in-window plus the r7-green
+    # brute/filtered/PQ rows; recall rejoins the r9 rotation)
     "ann_lsh_topk",
     "bfj_flat_sessions",
     "bfj_joined_impressions",

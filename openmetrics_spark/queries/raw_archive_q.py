@@ -222,6 +222,10 @@ def raw_split_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes the other 7 arrays out of each type's scan); the manifest
     adds one count+bit_xor aggregate per stream."""
     env = set_log_timestamp(_envelopes(spark, sf_dir))
+    return _archive_manifest(env)
+
+
+def _archive_manifest(env: DataFrame) -> DataFrame:
     streams = split_log_requests(env)
     av = pin(streams["auto_view"])
     users_raw = pin(streams["user"])
@@ -305,3 +309,55 @@ def raw_split_archive(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kafka wire-codec round trip (VERDICT r7 row 3): the SAME archive
+# manifest, but the envelopes pass through encode_log_requests (the
+# to_json wire value + the platform\x1flog_user partitioning key) and
+# decode_log_requests (from_json against LOG_REQUEST) first — any
+# field the JSON wire format loses or mangles (nested arrays, pushed
+# nulls, embedded JSON strings) flips a stage checksum. Stage 6 gates
+# the KEY format itself.
+# ---------------------------------------------------------------------------
+
+_WIRE_ORACLE = _ARCHIVE_ORACLE + """
+UNION ALL
+SELECT CAST(6 AS BIGINT), 'wire_keys',
+       CAST(count(*) AS BIGINT),
+       CAST(coalesce(bit_xor(CAST(('0x' || substr(md5(
+         CAST(platform_id AS VARCHAR) || chr(31) || log_user_id), 1, 15))
+         AS BIGINT)), 0) AS BIGINT)
+FROM s WHERE event_type IN ('view', 'click', 'purchase')
+"""
+
+
+@register("raw_wire_roundtrip", oracle=_WIRE_ORACLE, tags=("raw", "source"))
+def raw_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """encode → decode → stamp → split → archive manifest (see block
+    comment). The arrival time is re-derived from the decoded payload
+    (client ms + fixed transport delay) so the expected manifest is
+    bit-identical to raw_split_archive's — the wire hop is the only
+    variable under test. 100 TB: the codec is JVM-side
+    to_json/from_json, one narrow projection each way."""
+    from openmetrics_spark.sources.envelope import (
+        decode_log_requests,
+        encode_log_requests,
+    )
+
+    env = _envelopes(spark, sf_dir).drop("__kafka_timestamp")
+    wire = pin(encode_log_requests(env))
+    decoded = decode_log_requests(wire)
+    stamped = set_log_timestamp(
+        decoded.withColumn(
+            "__kafka_timestamp", F.col("log_timestamp") + _ARRIVAL_DELAY_MS
+        )
+    )
+    manifest = _archive_manifest(stamped)
+    keys = _stage(
+        6,
+        "wire_keys",
+        wire,
+        F.col("key"),
+    )
+    return manifest.unionByName(keys)

@@ -49,6 +49,15 @@ query ran it (the raw arrays show shot-1 routinely 30-60% above
 shots 2-3). Totals are sums of medians from r7 on — NOT comparable
 to earlier single-shot totals; steady-state per-query medians are
 the cross-round comparable quantity now.
+
+r7→r8 note: one headliner added — bfj_pipeline_manifest, the round's
+composed flat-output topology (envelope split → validate/dedup →
+combine → 3 inferred joins → redundancy reduction → tiny/merge →
+flat sessions, as one manifest query), joining the corpus manifests
+as the "what users actually run" composed tier. The r8 total is again
+NOT comparable to r7's; per-query medians are. Mid-r8 medians for the
+r7 set: counter_commands_weekly 1.193 s (the r7 2.103 s was noise,
+see SCALE.md), counter_commands_full 4.58 s, manifest_v3 8.97 s.
 """
 
 from __future__ import annotations

@@ -1230,6 +1230,7 @@ _PIPELINE_ORACLE = _oracle()
 @register(
     "bfj_pipeline_manifest",
     oracle=_PIPELINE_ORACLE,
+    headline=True,
     tags=("bfj", "pipeline"),
 )
 def bfj_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

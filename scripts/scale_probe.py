@@ -232,9 +232,18 @@ def main() -> int:
     }
 
     def run(df) -> tuple[float, int]:
+        # time a noop WRITE, not count(): Catalyst prunes projections
+        # and aggregate expressions a count() never reads (measured:
+        # manifest_v3's md5/span projections and the composed
+        # manifests' bit_xor checksums vanish under count, halving the
+        # apparent wall) — the write forces every output column, the
+        # same methodology bench.py uses. The row count for the output
+        # column rides an untimed second action on the still-cached
+        # pins.
         t0 = time.perf_counter()
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        n = df.count()
         release_caches()
         return dt, n
 

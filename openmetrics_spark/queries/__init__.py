@@ -104,16 +104,17 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "flat_ops_gates",
     "csv_sink_roundtrip",
     "raw_wire_roundtrip",
+    "cohort_experiment_report",
     # --- (c) r3 greens (oldest rows on record)
     "q12_priority_lines",
     "q14_promo_effect",
     "q5_local_supplier_volume",
     # --- (d) all r4 greens
     "ann_ivf_topk",
-    "ann_lsh_multiprobe_topk",
-    # (ann_lsh_recall ceded its slot to raw_wire_roundtrip — the ANN
-    # family keeps THREE r4 rows in-window plus the r7-green
-    # brute/filtered/PQ rows; recall rejoins the r9 rotation)
+    # (ann_lsh_recall and ann_lsh_multiprobe_topk ceded their slots to
+    # raw_wire_roundtrip and cohort_experiment_report — the ANN family
+    # keeps TWO r4 rows in-window plus the r7-green brute/filtered/PQ
+    # rows; the two displaced rows rejoin the r9 rotation)
     "ann_lsh_topk",
     "bfj_flat_sessions",
     "bfj_joined_impressions",
@@ -170,6 +171,7 @@ def all_queries() -> dict[str, QuerySpec]:
         sql_surface_q,
         streaming_q,
         events_q,
+        experiment_q,
         flat_ops_q,
         graph_q,
         media_q,

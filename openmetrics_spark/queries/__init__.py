@@ -81,14 +81,17 @@ DRIVER_WINDOW = 50
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
     # ROUND 8 WINDOW (r7 verdict #1/#7). Composition, per the rotation
-    # policy: (a) the 7 queries with NO driver row yet — the 5 late-r7
-    # additions plus the two r8 additions; (b) everything modified in
-    # r8 (the RFM pair — rewritten/split this round); (c) the r3 rows,
-    # now the longest-unwatched greens; (d) ALL 33 r4 rows; (e) 7 r5
-    # rows chosen for family coverage (bfj side outputs, multimodal,
-    # upsert, streaming interval join, PII, corpus packing, TPC-H q2).
-    # After this window lands, no green row predates r5 except the 15
-    # remaining r5 rows — next round rotates those.
+    # policy: (a) the 12 queries with NO driver row yet — the 5 late-r7
+    # additions, then every r8 addition/rewrite in landing order (the
+    # scale-safe RFM pair, the composed BFJ pipeline manifest, the raw
+    # 8-way-split archive, the stateless flat-op gates, the CSV sink
+    # round-trip, the Kafka wire-codec round-trip, the cohort
+    # experiment readout); (b) the r3 rows, now the longest-unwatched
+    # greens; (c) 31 of the 33 r4 rows; (d) 4 r5 family-coverage picks.
+    # Displaced to lead the r9 rotation queue: ann_lsh_recall,
+    # ann_lsh_multiprobe_topk (family keeps 2 in-window + 3 r7 rows),
+    # q2_min_cost_supplier, corpus_pack_chunks, doc_pii_scrub (their
+    # families stay watched — see the inline notes below).
     # =====================================================================
     # --- (a) never driver-verified
     "corpus_distinct_ngrams",

@@ -50,14 +50,16 @@ shots 2-3). Totals are sums of medians from r7 on — NOT comparable
 to earlier single-shot totals; steady-state per-query medians are
 the cross-round comparable quantity now.
 
-r7→r8 note: one headliner added — bfj_pipeline_manifest, the round's
-composed flat-output topology (envelope split → validate/dedup →
-combine → 3 inferred joins → redundancy reduction → tiny/merge →
-flat sessions, as one manifest query), joining the corpus manifests
-as the "what users actually run" composed tier. The r8 total is again
-NOT comparable to r7's; per-query medians are. Mid-r8 medians for the
-r7 set: counter_commands_weekly 1.193 s (the r7 2.103 s was noise,
-see SCALE.md), counter_commands_full 4.58 s, manifest_v3 8.97 s.
+r7→r8 note: the headline SET is unchanged (totals comparable for the
+first time since r4). The round's big composed addition —
+bfj_pipeline_manifest, the whole flat-output topology as one manifest
+query — is deliberately NOT a headliner: its fresh-process wall at
+sf0.1 swings 31-87 s shot to shot (GC/worker churn across an
+~80-stage plan), which would inject phantom regressions into the
+cross-round medians; its performance record lives in docs/SCALE.md
+(per-stage profile, 8x probe at 1.9x). Mid-r8 medians for the r7 set:
+counter_commands_weekly 1.193 s (the r7 2.103 s was noise, see
+SCALE.md), counter_commands_full 4.58 s, manifest_v3 8.97 s.
 """
 
 from __future__ import annotations

@@ -1230,7 +1230,12 @@ _PIPELINE_ORACLE = _oracle()
 @register(
     "bfj_pipeline_manifest",
     oracle=_PIPELINE_ORACLE,
-    headline=True,
+    # NOT a bench headliner, deliberately: fresh-process wall at sf0.1
+    # swings 31-87 s shot to shot (GC/worker-churn dominated — the
+    # ~80-stage topology amplifies every pause), which would inject
+    # phantom regressions into the cross-round median comparison. Its
+    # performance record lives in docs/SCALE.md instead: per-stage
+    # profile, 8x probe (1.9x), and the honest variance note.
     tags=("bfj", "pipeline"),
 )
 def bfj_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

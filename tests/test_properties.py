@@ -621,3 +621,65 @@ def test_cms_estimates_dominate_exact_counts(spark, vals):
     }
     assert set(est) == set(exact)
     assert all(est[k] >= exact[k] for k in exact)
+
+
+redundant_imps = st.lists(
+    st.tuples(
+        st.integers(0, 2),   # user
+        st.integers(0, 2),   # insertion key (some NULL via 0 -> view/content path)
+        st.integers(0, 20_000),  # ts offset ms (spans several ttl epochs)
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(imps=redundant_imps)
+@SET
+def test_reduce_redundant_matches_python_model(spark, imps):
+    """The redundancy epoch chain (ReduceRedundantTinyImpressions):
+    first impression per key canonical until first_ts + ttl; inside
+    the window -> redundant, mapped to the epoch's canonical; past it
+    -> NEW epoch. Ties at the same ts break by impression_id. The
+    model walks rows sorted (ts, impression_id) per key — exactly the
+    operator's applyInPandas walk AND the composed-pipeline oracle's
+    recursive CTE, so this property pins all three against each other
+    on arbitrary multi-epoch, tied, singleton-mixed inputs."""
+    from openmetrics_spark.operators.flat import reduce_redundant_impressions
+
+    TTL = 1500
+    base = 1_700_000_000_000
+    rows = [
+        (f"m{i}", 0, f"u{u}", f"i{k}", base + ts)
+        for i, (u, k, ts) in enumerate(imps)
+    ]
+    df = spark.createDataFrame(
+        rows or [(None, None, None, None, None)],
+        "impression_id string, platform_id long, log_user_id string,"
+        " insertion_id string, impression_ts long",
+    ).filter(F.col("impression_id").isNotNull())
+    df = df.select(
+        "platform_id", "log_user_id", "impression_id", "insertion_id",
+        F.lit(None).cast("string").alias("view_id"),
+        F.lit(None).cast("string").alias("content_id"),
+        "impression_ts",
+    )
+    got = {
+        r["impression_id"]: (r["canonical_impression_id"], r["is_redundant"])
+        for r in reduce_redundant_impressions(df, ttl_ms=TTL).remap.collect()
+    }
+
+    # python model
+    by_key: dict[tuple, list] = {}
+    for mid, p, u, ins, ts in rows:
+        by_key.setdefault((p, u, ins), []).append((ts, mid))
+    want = {}
+    for key, members in by_key.items():
+        canon, replace_after = None, None
+        for ts, mid in sorted(members):
+            if canon is None or ts > replace_after:
+                canon, replace_after = mid, ts + TTL
+                want[mid] = (mid, False)
+            else:
+                want[mid] = (canon, True)
+    assert got == want

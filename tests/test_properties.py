@@ -683,3 +683,54 @@ def test_reduce_redundant_matches_python_model(spark, imps):
             else:
                 want[mid] = (canon, True)
     assert got == want
+
+
+dl_rows = st.lists(
+    st.tuples(
+        st.integers(0, 2),            # user
+        st.integers(0, 3),            # cri bucket (0 -> NULL)
+        st.booleans(),                # api_execution
+        st.integers(0, 10_000),       # ts offset
+    ),
+    min_size=0,
+    max_size=24,
+)
+
+
+@given(rows=dl_rows)
+@SET
+def test_combine_delivery_logs_matches_python_model(spark, rows):
+    """CombineDeliveryLog: per (platform, user, client_request_id) the
+    API row wins over SDK, then earlier log_timestamp, then smaller
+    request_id; rows without a client_request_id pass through — swept
+    over arbitrary API/SDK mixes including multi-way ties and
+    cri-less duplicates."""
+    from openmetrics_spark.operators.flat import combine_delivery_logs
+
+    base = 1_700_000_000_000
+    data = [
+        (0, f"u{u}", f"r{i}", f"c{cri}" if cri else None, api, base + ts)
+        for i, (u, cri, api, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data or [(None,) * 6],
+        "platform_id long, log_user_id string, request_id string,"
+        " client_request_id string, api_execution boolean,"
+        " log_timestamp long",
+    ).filter(F.col("request_id").isNotNull())
+    got = sorted(
+        r["request_id"] for r in combine_delivery_logs(df).collect()
+    )
+
+    best: dict = {}
+    passthrough = []
+    for p, u, rid, cri, api, ts in data:
+        if cri is None:
+            passthrough.append(rid)
+            continue
+        key = (p, u, cri)
+        cand = (0 if api else 1, ts, rid)
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    want = sorted([c[2] for c in best.values()] + passthrough)
+    assert got == want

@@ -734,3 +734,119 @@ def test_combine_delivery_logs_matches_python_model(spark, rows):
             best[key] = cand
     want = sorted([c[2] for c in best.values()] + passthrough)
     assert got == want
+
+
+_wire_text = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=24
+)
+
+_wire_envs = st.lists(
+    st.tuples(
+        st.integers(0, 3),           # platform
+        _wire_text,                  # log_user_id (adversarial)
+        _wire_text,                  # view content_id
+        st.integers(0, 2_000_000),   # ts
+        st.integers(0, 3),           # number of cart items on the action
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(envs=_wire_envs)
+@SET
+def test_wire_codec_roundtrip_is_lossless(spark, envs):
+    """encode_log_requests ∘ decode_log_requests must be the identity
+    on every LogRequest field the schema carries — including nested
+    response-insertion and cart arrays, empty strings, quotes,
+    newlines, control characters and non-ASCII in string fields (the
+    oracle-gated wire query only exercises integer-derived ids; this
+    pins the codec itself against adversarial payloads)."""
+    from openmetrics_spark.sources.envelope import (
+        LOG_REQUEST,
+        decode_log_requests,
+        encode_log_requests,
+    )
+
+    base = 1_700_000_000_000
+    rows = []
+    for i, (p, lu, cid, ts, ncart) in enumerate(envs):
+        cart = [(f"cc{j}~{cid}", j + 1, 1000 * j) for j in range(ncart)]
+        rows.append(
+            {
+                "platform_id": p,
+                "log_user_id": lu,
+                "log_timestamp": base + ts,
+                "event_api_timestamp": base + ts,
+                "views": [
+                    {
+                        "platform_id": None,
+                        "view_id": f"v{i}",
+                        "session_id": None,
+                        "log_user_id": None,
+                        "user_agent": lu[::-1] or None,
+                        "name": None,
+                        "content_id": cid,
+                        "log_timestamp": None,
+                        "event_api_timestamp": None,
+                    }
+                ],
+                "actions": [
+                    {
+                        "platform_id": None,
+                        "action_id": f"a{i}",
+                        "impression_id": None,
+                        "insertion_id": None,
+                        "request_id": None,
+                        "view_id": None,
+                        "session_id": None,
+                        "log_user_id": None,
+                        "content_id": cid or None,
+                        "action_type": 8,
+                        "custom_action_type": None,
+                        "cart": [
+                            {
+                                "content_id": c,
+                                "quantity": q,
+                                "price_usd_micros_per_unit": pr,
+                            }
+                            for c, q, pr in cart
+                        ]
+                        or None,
+                        "properties_json": None,
+                        "log_timestamp": None,
+                        "event_api_timestamp": None,
+                    }
+                ],
+            }
+        )
+    env = spark.createDataFrame(rows, LOG_REQUEST)
+    back = decode_log_requests(encode_log_requests(env))
+
+    def canon(df):
+        return sorted(
+            (
+                r["platform_id"],
+                r["log_user_id"],
+                r["log_timestamp"],
+                tuple(
+                    (v["view_id"], v["user_agent"], v["content_id"])
+                    for v in (r["views"] or [])
+                ),
+                tuple(
+                    (
+                        a["action_id"],
+                        a["content_id"],
+                        tuple(
+                            (c["content_id"], c["quantity"],
+                             c["price_usd_micros_per_unit"])
+                            for c in (a["cart"] or [])
+                        ),
+                    )
+                    for a in (r["actions"] or [])
+                ),
+            )
+            for r in df.collect()
+        )
+
+    assert canon(back) == canon(env)

@@ -108,6 +108,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "csv_sink_roundtrip",
     "raw_wire_roundtrip",
     "cohort_experiment_report",
+    "streaming_raw_ingest",
     # --- (c) r3 greens (oldest rows on record)
     "q12_priority_lines",
     "q14_promo_effect",
@@ -126,7 +127,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_prep_manifest",
     "cumulate_hourly",
     "daily_event_metrics",
-    "daily_rollup_metrics",
+    # (daily_rollup_metrics ceded its slot to streaming_raw_ingest —
+    # the SQL-surface metrics family keeps pivot/histogram/percentiles
+    # in-window; rollup rejoins the r9 rotation)
     "daily_type_pivot",
     "doc_fingerprint",
     "doc_lang_guess",

@@ -22,9 +22,19 @@ driver's hash pins the push-down and the stamp together.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+_SCRATCH_ROOT = os.path.join(
+    tempfile.gettempdir(), f"omx_raw_ingest_{os.getpid()}"
+)
+atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
 
 from openmetrics_spark.operators.validate import set_log_timestamp
 from openmetrics_spark.queries import register
@@ -361,3 +371,207 @@ def raw_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key"),
     )
     return manifest.unionByName(keys)
+
+
+# ---------------------------------------------------------------------------
+# streaming_raw_ingest — the raw-output INGEST path as a real
+# multi-batch stream (VERDICT r7 row 1, previously pytest-only
+# evidence): envelopes are published to the broker-less fake topic
+# (exact kafka record schema: key-hash partitions, per-partition
+# monotone offsets, record timestamps = client ms + transport delay),
+# readStream replays them in micro-batches, and ONE streaming query
+# runs the ingest chain — from_json decode → SetLogTimestamp from the
+# record timestamp → the REAL 8-way split with push-down →
+# validate_user — draining a tagged union of the four archived
+# streams. The batch side only aggregates the drained sink into the
+# SAME manifest raw_split_archive produces, so the oracle is shared:
+# stream ≡ batch ≡ DuckDB, three-way.
+# ---------------------------------------------------------------------------
+
+
+def _streaming_scratch(name: str) -> str:
+    path = os.path.join(_SCRATCH_ROOT, name)
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+@register("streaming_raw_ingest", oracle=_ARCHIVE_ORACLE, tags=("raw", "streaming"))
+def streaming_raw_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-contract streaming ingest of the raw archive (see block
+    comment). 100 TB: the whole streaming query is stateless (decode,
+    stamp, explode, filter) — it scales by source partitions alone,
+    no state store; the fake topic preserves the broker's per-key
+    ordering contract so swapping in format("kafka") changes one
+    call."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from openmetrics_spark.operators.validate import split_valid
+    from openmetrics_spark.sources.envelope import (
+        decode_log_requests,
+        encode_log_requests,
+    )
+    from openmetrics_spark.streaming.core import (
+        read_fake_topic,
+        write_fake_topic,
+    )
+
+    work = _streaming_scratch("raw_ingest")
+    topic_dir = os.path.join(work, "topic")
+
+    # publish in three time-ordered slices -> three+ micro-batches
+    env = _envelopes(spark, sf_dir).drop("__kafka_timestamp")
+    records = encode_log_requests(
+        env.withColumn(
+            "__arrival_ts",
+            F.timestamp_millis(F.col("log_timestamp") + _ARRIVAL_DELAY_MS),
+        ),
+        keep=("__arrival_ts",),
+    )
+    bounds = env.agg(
+        F.min("log_timestamp").alias("lo"), F.max("log_timestamp").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    arrival_ms = F.unix_millis("__arrival_ts") - _ARRIVAL_DELAY_MS
+    for predicate in (
+        arrival_ms < cut1,
+        (arrival_ms >= cut1) & (arrival_ms < cut2),
+        arrival_ms >= cut2,
+    ):
+        # one file per publish -> one micro-batch per slice under
+        # maxFilesPerTrigger=1 (three batches, like the other twins)
+        write_fake_topic(
+            records.filter(predicate).repartition(1),
+            topic_dir,
+            "tracking.event.log-request",
+            ts_col="__arrival_ts",
+        )
+
+    # ONE stateless streaming query: decode -> stamp -> split -> tag
+    stream = read_fake_topic(spark, topic_dir, max_files_per_trigger=1)
+    decoded = decode_log_requests(
+        stream.select("value", "timestamp"), keep=("timestamp",)
+    )
+    stamped = set_log_timestamp(decoded, arrival_ts_col="timestamp").drop(
+        "timestamp"
+    )
+    streams = split_log_requests(stamped)
+
+    def tag(df: DataFrame, kind: str, pk, extra) -> DataFrame:
+        return df.select(
+            F.lit(kind).alias("kind"),
+            pk.alias("pk"),
+            extra.alias("extra"),
+            "platform_id",
+            "log_user_id",
+            F.col("log_timestamp").alias("log_ms"),
+        )
+
+    av = tag(
+        streams["auto_view"],
+        "auto_view",
+        F.col("auto_view_id"),
+        F.concat_ws("~", F.coalesce(F.col("view_id"), F.lit("-")), F.col("content_id")),
+    )
+    u_ok, u_err = split_valid(
+        streams["user"],
+        {
+            "missing_log_user_id": F.col("log_user_id").isNotNull()
+            & (F.col("log_user_id") != ""),
+            "missing_user_id": F.col("user_id").isNotNull()
+            & (F.col("user_id") != ""),
+        },
+    )
+    users = tag(u_ok, "user", F.col("user_id"), F.lit(""))
+    uerrs = tag(u_err, "user_errors", F.col("error_reason"), F.lit(""))
+    cm = tag(
+        streams["cohort_membership"],
+        "cohort_membership",
+        F.col("membership_id"),
+        F.concat_ws("~", F.col("cohort_id"), F.col("arm").cast("string")),
+    )
+    dg = tag(
+        streams["diagnostics"],
+        "diagnostics",
+        F.col("device"),
+        F.col("diagnostics_json"),
+    )
+    union = av.unionByName(users).unionByName(uerrs).unionByName(cm).unionByName(dg)
+
+    sink = os.path.join(work, "sink")
+    q = (
+        union.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # batch-side manifest over the drained sink — identical strings to
+    # raw_split_archive's, so _ARCHIVE_ORACLE gates stream == batch
+    d = spark.read.parquet(sink)
+    parts = [
+        _stage(
+            1,
+            "auto_view",
+            d.filter(F.col("kind") == "auto_view"),
+            _j(
+                F.col("pk"),
+                F.replace(F.col("extra"), F.lit("~"), F.lit("|")),
+                _nz2("platform_id"),
+                F.col("log_user_id"),
+                _nz2("log_ms"),
+            ),
+        ),
+        _stage(
+            2,
+            "user",
+            d.filter(F.col("kind") == "user"),
+            _j(F.col("pk"), _nz2("platform_id"), F.col("log_user_id"), _nz2("log_ms")),
+        ),
+        _stage(
+            3,
+            "user_errors",
+            d.filter(F.col("kind") == "user_errors"),
+            _j(_nz2("platform_id"), F.col("log_user_id"), _nz2("log_ms"), F.col("pk")),
+        ),
+        _stage(
+            4,
+            "cohort_membership",
+            d.filter(F.col("kind") == "cohort_membership"),
+            _j(
+                F.col("pk"),
+                F.replace(F.col("extra"), F.lit("~"), F.lit("|")),
+                _nz2("platform_id"),
+                F.col("log_user_id"),
+                _nz2("log_ms"),
+            ),
+        ),
+        _stage(
+            5,
+            "diagnostics",
+            d.filter(F.col("kind") == "diagnostics"),
+            _j(
+                F.col("pk"),
+                F.col("extra"),
+                _nz2("platform_id"),
+                F.col("log_user_id"),
+                _nz2("log_ms"),
+            ),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _nz2(c: str):
+    return F.coalesce(F.col(c).cast("string"), F.lit("-"))
+
+
+def _j(*cols):
+    return F.concat_ws("|", *cols)

@@ -133,19 +133,23 @@ def assemble_log_requests(streams: dict[str, DataFrame]) -> DataFrame:
     return env.drop("__sec")
 
 
-def encode_log_requests(envelopes: DataFrame) -> DataFrame:
+def encode_log_requests(envelopes: DataFrame, keep: tuple[str, ...] = ()) -> DataFrame:
     """LogRequest envelopes → Kafka wire records: ``key`` =
     platform_id \\x1f log_user_id (the reference partitions the
     tracking.event.log-request topic by logUserId so one consumer sees
     a user's events in order), ``value`` = the envelope as one JSON
     document. JVM-side ``to_json`` — no Python in the hot path.
     Writable via ``spark.writeStream.format("kafka")`` with the option
-    builders in ``streaming.core``."""
+    builders in ``streaming.core``. ``keep`` carries transport-side
+    columns (e.g. a derived broker timestamp) through UNSERIALIZED —
+    they ride beside the record, not inside the JSON payload."""
+    payload = [c for c in envelopes.columns if c not in keep]
     return envelopes.select(
         F.concat_ws(
             "\x1f", F.col("platform_id").cast("string"), F.col("log_user_id")
         ).alias("key"),
-        F.to_json(F.struct(*envelopes.columns)).alias("value"),
+        F.to_json(F.struct(*payload)).alias("value"),
+        *[F.col(c) for c in keep],
     )
 
 

@@ -81,15 +81,16 @@ DRIVER_WINDOW = 50
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
     # ROUND 8 WINDOW (r7 verdict #1/#7). Composition, per the rotation
-    # policy: (a) the 12 queries with NO driver row yet — the 5 late-r7
+    # policy: (a) the 14 queries with NO driver row yet — the 5 late-r7
     # additions, then every r8 addition/rewrite in landing order (the
     # scale-safe RFM pair, the composed BFJ pipeline manifest, the raw
     # 8-way-split archive, the stateless flat-op gates, the CSV sink
     # round-trip, the Kafka wire-codec round-trip, the cohort
-    # experiment readout); (b) the r3 rows, now the longest-unwatched
-    # greens; (c) 31 of the 33 r4 rows; (d) 4 r5 family-coverage picks.
-    # Displaced to lead the r9 rotation queue: ann_lsh_recall,
-    # ann_lsh_multiprobe_topk (family keeps 2 in-window + 3 r7 rows),
+    # experiment readout, the Kafka-contract streaming ingest);
+    # (b) the r3 rows, now the longest-unwatched greens; (c) 30 of the
+    # 33 r4 rows; (d) 4 r5 family-coverage picks. Displaced to lead
+    # the r9 rotation queue: ann_lsh_recall, ann_lsh_multiprobe_topk
+    # (family keeps 2 in-window + 3 r7 rows), daily_rollup_metrics,
     # q2_min_cost_supplier, corpus_pack_chunks, doc_pii_scrub (their
     # families stay watched — see the inline notes below).
     # =====================================================================

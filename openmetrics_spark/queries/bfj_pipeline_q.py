@@ -30,9 +30,12 @@ with the per-stage bfj_q conventions): views from 'view' events,
 delivery logs (API + SDK twin) and impressions from 'click' events,
 actions (with carts) from 'purchase' events; duplicate twins on
 id%7==0 (+10 ms), invalid children on id%11==0, FK present / dangling
-/ absent on the %2/%4/%5/%7 patterns; children carry NO platform /
-log_user (the envelope push-down is load-bearing for every downstream
-join key).
+/ absent on the %2/%4/%5/%7 patterns; purchases with id%10==0 target
+the user's last GUARANTEED-REDUNDANT impression (m_4 of a %9 triplet)
+so the action re-pointing boundary is exercised by construction — a
+repoint regression re-routes those FKs through the content scope and
+flips stages 12/13; children carry NO platform / log_user (the
+envelope push-down is load-bearing for every downstream join key).
 """
 
 from __future__ import annotations
@@ -119,6 +122,19 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 (F.col("event_type") == "click") & (F.col("id") % 3 != 0),
                 F.concat(F.lit("c"), (F.col("id") * 2) % 40),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    ).withColumn(
+        # the user's most recent GUARANTEED-REDUNDANT impression: m_4 of
+        # an id%9==0 triplet sits inside m_2's 5 s epoch by construction,
+        # so a purchase FK targeting it MUST be re-pointed to m_2 before
+        # the action join — the boundary repoint_actions exercises
+        "prev_imp_red",
+        F.last(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("id") % 9 == 0),
+                F.concat(F.lit("m"), F.col("id"), F.lit("_4")),
             ),
             ignorenulls=True,
         ).over(w),
@@ -330,11 +346,23 @@ def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(8)
     )
 
+    # even-id purchases carry an explicit impression FK; every fifth of
+    # those (id%10==0) targets the user's last guaranteed-REDUNDANT
+    # impression (m_4 of a %9 triplet) so the remap is load-bearing for
+    # the action join, not just the impression suppression
+    act_fk = F.when(
+        F.col("id") % 2 == 0,
+        F.when(
+            F.col("id") % 10 == 0,
+            F.coalesce(F.col("prev_imp_red"), F.col("prev_imp")),
+        ).otherwise(F.col("prev_imp")),
+    )
+
     def act_child(ts: Column | None = None) -> Column:
         return _child(
             EVENT_SCHEMAS["action"],
             action_id=F.concat(F.lit("a"), F.col("id")),
-            impression_id=F.when(F.col("id") % 2 == 0, F.col("prev_imp")),
+            impression_id=act_fk,
             content_id=c_act,
             action_type=atype,
             cart=cart,
@@ -417,7 +445,12 @@ def _yield_bp(ord_: int, name: str, num: DataFrame, den: DataFrame) -> DataFrame
     return n.crossJoin(d).select(
         F.lit(ord_).cast("long").alias("stage_ord"),
         F.lit(name).alias("stage"),
-        F.expr("CAST(__n * 10000 DIV __d AS BIGINT)").alias("n_rows"),
+        # guard the degenerate empty-denominator slice: both engines
+        # yield 0 instead of a NULL row vs a DuckDB div-by-zero
+        F.expr(
+            "CAST(CASE WHEN __d = 0 THEN 0"
+            " ELSE __n * 10000 DIV __d END AS BIGINT)"
+        ).alias("n_rows"),
         F.lit(0).cast("long").alias("checksum"),
     )
 
@@ -458,20 +491,22 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     views = pin(keep_first(v_ok, ["platform_id", "view_id"], ["log_timestamp", "view_id"]))
     imps = pin(keep_first(i_ok, ["platform_id", "impression_id"], ["log_timestamp", "impression_id"]))
     acts = pin(keep_first(a_ok, ["platform_id", "action_id"], ["log_timestamp", "action_id"]))
+    # dropped duplicates as a MULTISET difference (ok ∖ kept), exactly
+    # the oracle's rn>1 semantics: a duplicate sharing the kept row's
+    # timestamp still counts dropped (the old ts != kept-ts filter
+    # missed it); exceptAll removes one instance per kept row
+    def _dropped(ok: DataFrame, kept: DataFrame, kind: str, pk: str) -> DataFrame:
+        proj = lambda d: d.select("platform_id", F.col(pk).alias("pk"), "log_timestamp")  # noqa: E731
+        return (
+            proj(ok)
+            .exceptAll(proj(kept))
+            .select(F.lit(kind).alias("kind"), "pk", "log_timestamp")
+        )
+
     dup_dropped = pin(
-        v_ok.join(views.select("platform_id", "view_id", F.col("log_timestamp").alias("__kts")), ["platform_id", "view_id"])
-        .filter(F.col("log_timestamp") != F.col("__kts"))
-        .select(F.lit("view").alias("kind"), F.col("view_id").alias("pk"), "log_timestamp")
-        .unionByName(
-            i_ok.join(imps.select("platform_id", "impression_id", F.col("log_timestamp").alias("__kts")), ["platform_id", "impression_id"])
-            .filter(F.col("log_timestamp") != F.col("__kts"))
-            .select(F.lit("impression").alias("kind"), F.col("impression_id").alias("pk"), "log_timestamp")
-        )
-        .unionByName(
-            a_ok.join(acts.select("platform_id", "action_id", F.col("log_timestamp").alias("__kts")), ["platform_id", "action_id"])
-            .filter(F.col("log_timestamp") != F.col("__kts"))
-            .select(F.lit("action").alias("kind"), F.col("action_id").alias("pk"), "log_timestamp")
-        )
+        _dropped(v_ok, views, "view", "view_id")
+        .unionByName(_dropped(i_ok, imps, "impression", "impression_id"))
+        .unionByName(_dropped(a_ok, acts, "action", "action_id"))
     )
 
     combined = pin(combine_delivery_logs(dl_ok))
@@ -792,7 +827,11 @@ w AS MATERIALIZED (
     last_value(CASE WHEN event_type = 'click' AND id % 3 <> 0
                     THEN 'c' || CAST((id * 2) % 40 AS VARCHAR) END IGNORE NULLS)
       OVER (PARTITION BY platform_id, log_user_id ORDER BY ms, id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_imp_content
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_imp_content,
+    last_value(CASE WHEN event_type = 'click' AND id % 9 = 0
+                    THEN 'm' || CAST(id AS VARCHAR) || '_4' END IGNORE NULLS)
+      OVER (PARTITION BY platform_id, log_user_id ORDER BY ms, id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_imp_red
   FROM e
 ),
 -- children post split+push-down --------------------------------------------
@@ -859,7 +898,10 @@ rawimp AS MATERIALIZED (
 ),
 rawact AS MATERIALIZED (
   SELECT id, platform_id, log_user_id, 'a' || CAST(id AS VARCHAR) AS action_id,
-         CASE WHEN id % 2 = 0 THEN prev_imp END AS impression_fk,
+         CASE WHEN id % 2 = 0 THEN
+           CASE WHEN id % 10 = 0 THEN coalesce(prev_imp_red, prev_imp)
+                ELSE prev_imp END
+         END AS impression_fk,
          coalesce(prev_imp_content,
                   'c' || CAST((id * 2) % 40 AS VARCHAR)) AS content_id,
          CASE WHEN id % 3 = 1 THEN 2 WHEN id % 3 = 0 THEN 3 ELSE 8 END AS action_type,
@@ -868,7 +910,10 @@ rawact AS MATERIALIZED (
   FROM w WHERE event_type = 'purchase'
   UNION ALL
   SELECT id, platform_id, log_user_id, 'a' || CAST(id AS VARCHAR),
-         CASE WHEN id % 2 = 0 THEN prev_imp END,
+         CASE WHEN id % 2 = 0 THEN
+           CASE WHEN id % 10 = 0 THEN coalesce(prev_imp_red, prev_imp)
+                ELSE prev_imp END
+         END,
          coalesce(prev_imp_content, 'c' || CAST((id * 2) % 40 AS VARCHAR)),
          CASE WHEN id % 3 = 1 THEN 2 WHEN id % 3 = 0 THEN 3 ELSE 8 END,
          CASE WHEN id % 3 = 1 THEN 0 ELSE 2 END, ms + 10
@@ -1209,17 +1254,23 @@ flat AS MATERIALIZED (
                      s("total_quantity"))),
         f"""
 SELECT CAST(17 AS BIGINT), 'yield_view_ins_bp',
-       CAST((SELECT count(*) FROM ins2 WHERE view_id IS NOT NULL) * 10000
-            // (SELECT count(*) FROM ins2) AS BIGINT), CAST(0 AS BIGINT)""",
+       CAST(CASE WHEN (SELECT count(*) FROM ins2) = 0 THEN 0
+            ELSE (SELECT count(*) FROM ins2 WHERE view_id IS NOT NULL) * 10000
+                 // (SELECT count(*) FROM ins2) END AS BIGINT),
+       CAST(0 AS BIGINT)""",
         f"""
 SELECT CAST(18 AS BIGINT), 'yield_impression_bp',
-       CAST((SELECT count(*) FROM imp_matched) * 10000
-            // (SELECT count(*) FROM imps) AS BIGINT), CAST(0 AS BIGINT)""",
+       CAST(CASE WHEN (SELECT count(*) FROM imps) = 0 THEN 0
+            ELSE (SELECT count(*) FROM imp_matched) * 10000
+                 // (SELECT count(*) FROM imps) END AS BIGINT),
+       CAST(0 AS BIGINT)""",
         f"""
 SELECT CAST(19 AS BIGINT), 'yield_action_bp',
-       CAST((SELECT count(DISTINCT action_id) FROM attributed) * 10000
-            // (SELECT count(DISTINCT action_id) FROM act_joined)
-            AS BIGINT), CAST(0 AS BIGINT)""",
+       CAST(CASE WHEN (SELECT count(DISTINCT action_id) FROM act_joined) = 0
+            THEN 0
+            ELSE (SELECT count(DISTINCT action_id) FROM attributed) * 10000
+                 // (SELECT count(DISTINCT action_id) FROM act_joined)
+            END AS BIGINT), CAST(0 AS BIGINT)""",
     ]
     return body + "\nUNION ALL\n".join(stages)
 

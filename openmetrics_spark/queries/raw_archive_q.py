@@ -336,8 +336,8 @@ UNION ALL
 SELECT CAST(6 AS BIGINT), 'wire_keys',
        CAST(count(*) AS BIGINT),
        CAST(coalesce(bit_xor(CAST(('0x' || substr(md5(
-         CAST(platform_id AS VARCHAR) || chr(31) || log_user_id), 1, 15))
-         AS BIGINT)), 0) AS BIGINT)
+         concat_ws(chr(31), CAST(platform_id AS VARCHAR), log_user_id)),
+         1, 15)) AS BIGINT)), 0) AS BIGINT)
 FROM s WHERE event_type IN ('view', 'click', 'purchase')
 """
 

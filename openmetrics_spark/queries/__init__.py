@@ -185,6 +185,7 @@ def all_queries() -> dict[str, QuerySpec]:
         raw_archive_q,
         sinks_q,
         sketch_q,
+        streaming_bfj_q,
         tpch,
         tpch_ext,
         corpus_mix_q,

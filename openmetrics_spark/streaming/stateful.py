@@ -226,6 +226,7 @@ def stream_inferred_join(
     scopes: tuple[tuple[str, ...], ...] | None = None,
     fk_col: str | None = None,
     content_col: str | None = None,
+    left_retention_ms: int | None = None,
 ) -> DataFrame:
     """Streaming inferred-reference join — the transformWithState twin
     of ``operators.joins.inferred_join`` and the Spark port of the
@@ -270,6 +271,14 @@ def stream_inferred_join(
       is set: a right row carrying a content id only accepts
       candidates with the same one). An empty tuple scope is the
       bare-user fallback.
+
+    ``left_retention_ms`` widens left-row (candidate) retention past
+    ``window_before_ms``. The scope window stays ``window_before_ms``;
+    only eviction uses the larger bound. The batch FK path has NO time
+    window (a right row's explicit id reaches arbitrarily old left
+    rows), so exact batch parity on FK-bearing streams needs retention
+    ≥ the FK reach — the reference sizes the same state by the join
+    TTL, not the inference window (FlatOutputJob.java:808-882).
     """
     import pandas as pd  # noqa: F401
 
@@ -298,6 +307,7 @@ def stream_inferred_join(
     n_sc = len(all_cols)
     user_type = left_sdf.schema[user_col].dataType
     before, after = window_before_ms, window_after_ms
+    retention = max(before, left_retention_ms or 0)
 
     def norm(df, id_col, ts_col, side):
         return df.select(
@@ -414,7 +424,7 @@ def stream_inferred_join(
                 out.append((cid, key[0], cms, best[1], best[0], False))
             elif right_outer:
                 out.append((cid, key[0], cms, None, None, False))
-        floor = min([wm] + [c[0] for c in pending]) - before
+        floor = min([wm] + [c[0] for c in pending]) - retention
         views = [v for v in views if v[0] >= floor]
         if pending:
             state.setTimeoutTimestamp(min(c[0] for c in pending) + after + 1)

@@ -1088,45 +1088,181 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _recall_oracle() -> str:
+# Planted-neighbor recall (r8 verdict #4): the synthetic embeddings
+# are near-uniform (max corpus cosine ~0.4), which caps ANY bucketed
+# index's recall at ~0.2 — a meaningless gate. So the recall query
+# PLANTS the truth: for each query vector u, 5 perturbed copies
+# u + ε_j·shift(u) (ε_j = 0.08j, shift = cyclic index shift) at known
+# similarity ranks (cos ≈ 1/√(1+ε²) ∈ [0.93, 0.997], far above any
+# organic neighbor), appended to the corpus with derived ids. The
+# exact top-5 of every query is then the planted set by construction
+# — recall measures how many planted neighbors the LSH path finds, a
+# distribution where recall is ACHIEVABLE and a regression is visible.
+_PLANTED_EPS = [j * 0.08 for j in range(1, 6)]
+
+
+def _planted_recall_oracle() -> str:
+    from openmetrics_spark.llm.similarity import hyperplanes
+
+    hp = hyperplanes(dim=64, planes=8, seed=11)
+    terms = []
+    for i, p in enumerate(hp):
+        arr = "[" + ",".join(repr(x) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    eps_rows = ", ".join(
+        f"({j + 1}, {repr(e)})" for j, e in enumerate(_PLANTED_EPS)
+    )
     return f"""
-WITH exact AS ({_ANN_ORACLE}), approx AS ({_lsh_oracle()}), hit AS (
-  SELECT e.query_id, count(*) AS c
-  FROM exact e JOIN approx a USING (query_id, neighbor_id)
-  GROUP BY 1
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), q0 AS (
+  SELECT vec_id, v,
+         list_transform(range(64), i -> v[((i + 1) % 64) + 1]) AS wv
+  FROM e WHERE vec_id < 10
+), planted AS (
+  SELECT 1000000 + q0.vec_id * 10 + j AS vec_id,
+         list_transform(range(64), i -> v[i + 1] + eps * wv[i + 1]) AS v
+  FROM q0, (VALUES {eps_rows}) x(j, eps)
+), aug AS (
+  SELECT vec_id, v FROM e UNION ALL SELECT vec_id, v FROM planted
+), qs AS (
+  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, aug.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, v) DESC, aug.vec_id
+           ) AS rank
+    FROM qs, aug WHERE aug.vec_id != query_id
+  ) WHERE rank <= 5
+), hb AS (
+  SELECT vec_id, v, {bucket} AS bucket FROM aug
+), qb AS (
+  SELECT vec_id AS query_id, v AS qv, bucket FROM hb WHERE vec_id < 10
+), single AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, hb.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, v) DESC, hb.vec_id
+           ) AS rank
+    FROM qb JOIN hb USING (bucket) WHERE hb.vec_id != query_id
+  ) WHERE rank <= 5
+), qm AS (
+  SELECT query_id, qv, unnest(probes) AS bucket FROM (
+    SELECT vec_id AS query_id, v AS qv,
+           list_prepend(bucket, list_transform(range(8),
+             i -> xor(bucket, CAST(1 AS BIGINT) << i))) AS probes
+    FROM hb WHERE vec_id < 10
+  )
+), multi AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, hb.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY query_id
+             ORDER BY list_cosine_similarity(qv, v) DESC, hb.vec_id
+           ) AS rank
+    FROM qm JOIN hb USING (bucket) WHERE hb.vec_id != query_id
+  ) WHERE rank <= 5
+), methods AS (
+  SELECT 'lsh' AS method, query_id, neighbor_id FROM single
+  UNION ALL
+  SELECT 'multiprobe', query_id, neighbor_id FROM multi
+), hit AS (
+  SELECT m.method, m.query_id, count(*) AS c
+  FROM methods m JOIN exact e USING (query_id, neighbor_id)
+  GROUP BY 1, 2
 )
-SELECT q.query_id,
+SELECT b.method, b.query_id,
        CAST(coalesce(hit.c, 0) AS BIGINT) AS n_hit,
        round(coalesce(hit.c, 0) / 5.0, 6) AS recall
-FROM (SELECT DISTINCT query_id FROM exact) q
-LEFT JOIN hit USING (query_id)
+FROM (SELECT DISTINCT x.method, q.query_id
+      FROM (VALUES ('lsh'), ('multiprobe')) x(method),
+           (SELECT DISTINCT query_id FROM exact) q) b
+LEFT JOIN hit ON b.method = hit.method AND b.query_id = hit.query_id
 """
 
 
-@register("ann_lsh_recall", oracle=_recall_oracle(), tags=("llm", "similarity"))
-def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """recall@5 of single-probe LSH vs the exact brute-force top-5,
-    per query — the acceptance metric for an approximate index. Both
-    sides are the already-oracled queries; the comparison is a
-    left-semi join on (query, neighbor) plus a per-query count, all
-    over k×|queries| rows (tiny at any corpus scale)."""
-    exact = ann_brute_topk(spark, sf_dir)
-    approx = ann_lsh_topk(spark, sf_dir)
-    hits = (
-        exact.join(
-            approx.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_semi",
+def _planted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings ∪ the 5 planted perturbed copies per query vector
+    (see the block comment above) — a narrow projection on 10 rows,
+    never a shuffle; the planted frame unions onto the scan."""
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings")).select(
+        "vec_id", _dvec(F.col("embedding")).alias("v")
+    )
+    q0 = emb.filter(F.col("vec_id") < 10).withColumn(
+        "wv",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda i: F.element_at(F.col("v"), ((i + 1) % 64 + 1).cast("int")),
+        ),
+    )
+    planted = None
+    for j, eps in enumerate(_PLANTED_EPS, start=1):
+        p = q0.select(
+            (F.lit(1000000) + F.col("vec_id") * 10 + F.lit(j)).alias("vec_id"),
+            F.zip_with(
+                "v", "wv", lambda x, y: x + F.lit(eps) * y
+            ).alias("v"),
         )
-        .groupBy("query_id")
-        .agg(F.count(F.lit(1)).alias("c"))
+        planted = p if planted is None else planted.unionByName(p)
+    return emb.unionByName(planted)
+
+
+@register(
+    "ann_lsh_recall", oracle=_planted_recall_oracle(), tags=("llm", "similarity")
+)
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of single-probe AND multi-probe LSH vs the exact
+    brute-force top-5 over the planted-neighbor corpus (see block
+    comment) — the acceptance metric for the approximate index on a
+    distribution where recall is achievable; tests assert the floors
+    (multiprobe ≥ 0.8 mean). The comparison is a left-semi join on
+    (query, neighbor) + a per-query count — k×|queries| rows at any
+    corpus scale."""
+    from openmetrics_spark.llm.similarity import (
+        brute_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
     )
-    base = exact.select("query_id").distinct()
-    return base.join(hits, "query_id", "left").select(
-        "query_id",
-        F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hit"),
-        F.round(F.coalesce(F.col("c"), F.lit(0)) / 5.0, 6).alias("recall"),
+
+    aug = pin(_planted_corpus(spark, sf_dir))
+    q_ids = aug.select("vec_id").filter(F.col("vec_id") < 10)
+    exact = pin(
+        brute_topk(aug, "vec_id", "v", q_ids, k=5).select(
+            "query_id", "neighbor_id"
+        )
     )
+
+    def recall_of(approx: DataFrame, method: str) -> DataFrame:
+        hits = (
+            exact.join(
+                approx.select("query_id", "neighbor_id"),
+                ["query_id", "neighbor_id"],
+                "left_semi",
+            )
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        base = exact.select("query_id").distinct()
+        return base.join(hits, "query_id", "left").select(
+            F.lit(method).alias("method"),
+            "query_id",
+            F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("n_hit"),
+            F.round(F.coalesce(F.col("c"), F.lit(0)) / 5.0, 6).alias("recall"),
+        )
+
+    single = lsh_topk(aug, "vec_id", "v", q_ids, k=5, planes=8, dim=64, seed=11)
+    multi = lsh_multiprobe_topk(
+        aug, "vec_id", "v", q_ids, k=5, planes=8, dim=64, seed=11
+    )
+    return recall_of(single, "lsh").unionByName(recall_of(multi, "multiprobe"))
 
 
 _EMB_CLUSTER_ORACLE = """

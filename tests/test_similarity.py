@@ -49,6 +49,25 @@ def test_ann_recall_hierarchy(spark, sf_dir):
     assert recall_ivf >= 0.7, f"ivf recall {recall_ivf:.2f}"
 
 
+def test_planted_recall_floors(spark, sf_dir):
+    """The planted-neighbor recall gate (r8 verdict #4): on the
+    augmented corpus where each query's true top-5 are its planted
+    perturbed copies (cos ≥ 0.93, far above any organic neighbor),
+    recall is ACHIEVABLE — so floors are meaningful. Measured on the
+    fixed corpus: multiprobe 0.90 (sf0.001) / 0.86 (sf0.01), single
+    0.56 / 0.60; thresholds leave headroom."""
+    from openmetrics_spark.queries.docs_q import ann_lsh_recall
+
+    rows = ann_lsh_recall(spark, sf_dir).collect()
+    by_method: dict[str, list[float]] = {}
+    for r in rows:
+        by_method.setdefault(r["method"], []).append(r["recall"])
+    mean = {m: sum(v) / len(v) for m, v in by_method.items()}
+    assert mean["multiprobe"] >= 0.8, f"multiprobe planted recall {mean}"
+    assert mean["lsh"] >= 0.4, f"single-probe planted recall {mean}"
+    assert mean["multiprobe"] >= mean["lsh"]
+
+
 def test_ivf_assignment_is_total(spark, sf_dir):
     """Every vector lands in exactly one cell and every query probes
     exactly nprobe cells (the join fan-out the plan promises)."""

@@ -80,90 +80,81 @@ DRIVER_WINDOW = 50
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND 8 WINDOW (r7 verdict #1/#7). Composition, per the rotation
-    # policy: (a) the 14 queries with NO driver row yet — the 5 late-r7
-    # additions, then every r8 addition/rewrite in landing order (the
-    # scale-safe RFM pair, the composed BFJ pipeline manifest, the raw
-    # 8-way-split archive, the stateless flat-op gates, the CSV sink
-    # round-trip, the Kafka wire-codec round-trip, the cohort
-    # experiment readout, the Kafka-contract streaming ingest);
-    # (b) the r3 rows, now the longest-unwatched greens; (c) 30 of the
-    # 33 r4 rows; (d) 4 r5 family-coverage picks. Displaced to lead
-    # the r9 rotation queue: ann_lsh_recall, ann_lsh_multiprobe_topk
-    # (family keeps 2 in-window + 3 r7 rows), daily_rollup_metrics,
-    # q2_min_cost_supplier, corpus_pack_chunks, doc_pii_scrub (their
-    # families stay watched — see the inline notes below).
+    # ROUND 9 WINDOW (r8 verdict #1/#2). Composition: (a) the r9
+    # additions/rewrites — the streaming BFJ pipeline (verdict #1), the
+    # SCD2 membership intervals (verdict #7), the planted-neighbor
+    # recall rewrite (verdict #4) — plus the two r8 rows whose
+    # fixture/oracle changed this round (the redundant-FK fixture
+    # pattern feeds bfj_pipeline_manifest; the wire-key oracle
+    # NULL-semantics fix feeds raw_wire_roundtrip); (b) the six rows
+    # displaced in r8 and promised the head of this queue; (c) ALL 15
+    # remaining r5-stale rows — after this window no query's newest
+    # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
+    # families first (streaming twins, upsert, bfj instances, the
+    # dedup tier, TPC-H). The 17 r6 rows left for the r10 queue:
+    # ann_ivf_kmeans_topk, corpus_bpe_encode,
+    # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
+    # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
+    # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
+    # q17_small_qty_revenue, q19_disjunctive_revenue,
+    # q20_excess_suppliers, q22_dormant_customers, user_set_ops,
+    # user_versioned_join.
     # =====================================================================
-    # --- (a) never driver-verified
-    "corpus_distinct_ngrams",
-    "doc_quality_train_eval",
-    "dedup_cluster_size_histogram",
-    "value_stats_winsorized",
-    # --- (b) r8-modified: RFM rewritten scale-safe + its NTILE spec
-    # twin; the composed BFJ pipeline manifest is NEW in r8
-    "orders_rfm_segments",
-    "orders_rfm_ntile_spec",
+    # --- (a) r9 additions + r9-modified fixtures/oracles
+    "streaming_bfj_pipeline",
+    "cohort_membership_intervals",
+    "ann_lsh_recall",
     "bfj_pipeline_manifest",
-    "raw_split_archive",
-    "flat_ops_gates",
-    "csv_sink_roundtrip",
     "raw_wire_roundtrip",
-    "cohort_experiment_report",
-    "streaming_raw_ingest",
-    # --- (c) r3 greens (oldest rows on record)
-    "q12_priority_lines",
-    "q14_promo_effect",
-    "q5_local_supplier_volume",
-    # --- (d) all r4 greens
-    "ann_ivf_topk",
-    # (ann_lsh_recall and ann_lsh_multiprobe_topk ceded their slots to
-    # raw_wire_roundtrip and cohort_experiment_report — the ANN family
-    # keeps TWO r4 rows in-window plus the r7-green brute/filtered/PQ
-    # rows; the two displaced rows rejoin the r9 rotation)
-    "ann_lsh_topk",
-    "bfj_flat_sessions",
-    "bfj_joined_impressions",
-    "bfj_redundant_remap",
-    "bfj_tiny_actions",
-    "corpus_prep_manifest",
-    "cumulate_hourly",
-    "daily_event_metrics",
-    # (daily_rollup_metrics ceded its slot to streaming_raw_ingest —
-    # the SQL-surface metrics family keeps pivot/histogram/percentiles
-    # in-window; rollup rejoins the r9 rotation)
-    "daily_type_pivot",
-    "doc_fingerprint",
-    "doc_lang_guess",
-    "doc_token_stats",
-    "embedding_dedup_clusters",
-    "embedding_neardup",
-    "embedding_quantize",
-    "funnel_conversion",
-    "hourly_anomaly_zscore",
-    "interval_click_counts",
-    "pick_best_15m",
-    "session_rollup_30m",
-    "simhash_neardup",
-    "sliding_daily_counter",
-    "streaming_hourly_content_metrics",
-    "streaming_keep_first",
-    "streaming_last_time_and_count",
-    "streaming_sliding_counter",
-    "user_retention_cohorts",
-    "value_histogram",
-    "value_percentiles_by_type",
-    # --- (e) r5 family-coverage picks
-    "bfj_join_side_outputs",
-    "multimodal_resize_stats",
-    "upsert_two_batches",
-    "streaming_interval_join",
-    # (q2_min_cost_supplier, corpus_pack_chunks and doc_pii_scrub ceded
-    # their slots to the r8 additions raw_split_archive, flat_ops_gates
-    # and csv_sink_roundtrip — gating the split's non-join half +
-    # SetLogTimestamp, the stateless flat-output operators, and the CSV
-    # header sink. TPC-H stays watched via q12/q14/q5, corpus via
-    # corpus_prep_manifest, PII via flat_ops_gates' pii stages; the
-    # three displaced r5 rows lead the r9 rotation queue)
+    # --- (b) the six rows displaced in r8 (promised queue head;
+    # ann_lsh_recall is already above as an r9 rewrite)
+    "ann_lsh_multiprobe_topk",
+    "daily_rollup_metrics",
+    "q2_min_cost_supplier",
+    "corpus_pack_chunks",
+    "doc_pii_scrub",
+    # --- (c) all 15 remaining r5-stale rows
+    "corpus_bpe_first_merges",
+    "corpus_sample_stratified",
+    "doc_dup_span_coverage",
+    "doc_quality_classifier",
+    "doc_unigram_logprob",
+    "doc_unigram_logprob_capped",
+    "domain_mix_weights",
+    "multimodal_av_features",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_waiting_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "quality_filter_funnel",
+    # --- (d) 25 r6 rows, family-balanced
+    "streaming_content_lookup",
+    "streaming_cumulate_hourly",
+    "streaming_inferred_attribution",
+    "streaming_session_rollup",
+    "streaming_top_event_types",
+    "streaming_user_asof_join",
+    "upsert_incremental_pull",
+    "upsert_mor_snapshot",
+    "bfj_view_insertions",
+    "bfj_merge_details_drops",
+    "doc_exact_dedup",
+    "doc_dedup_clusters",
+    "minhash_lsh_neardup",
+    "minhash_incremental_neardup",
+    "ngram_jaccard_neardup",
+    "asof_attribution",
+    "gated_query_counts",
+    "validation_error_split",
+    "keep_first_dedup",
+    "last_time_and_count",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
 )
 
 

@@ -1285,8 +1285,10 @@ _PIPELINE_ORACLE = _oracle()
     # swings 31-87 s shot to shot (GC/worker-churn dominated — the
     # ~80-stage topology amplifies every pause), which would inject
     # phantom regressions into the cross-round median comparison. Its
-    # performance record lives in docs/SCALE.md instead: per-stage
-    # profile, 8x probe (1.9x), and the honest variance note.
+    # performance record is scripts/bench_bfj_pipeline.py (reps-5
+    # in-process trimmed mean — r9: 32.5 s, spread 3.4 s at sf0.1),
+    # tracked per round in docs/SCALE.md alongside the per-stage
+    # profile and the 8x probe (1.9x).
     tags=("bfj", "pipeline"),
 )
 def bfj_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:

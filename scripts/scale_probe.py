@@ -181,17 +181,28 @@ def main() -> int:
         import openmetrics_spark.tables as _tables
 
         real = module.table
+        served = [0]
 
         def fake(spark_, sf_dir_, name_):
             if name_ == table_name:
+                served[0] += 1
                 return frame
             return _tables.table(spark_, sf_dir_, name_)
 
         module.table = fake
         try:
-            return fn()
+            out = fn()
         finally:
             module.table = real
+        # the patch only works if the registered fn resolved its
+        # table() calls eagerly during plan build — a query that defers
+        # the call into an action-time closure would silently probe the
+        # un-replicated data, so fail loudly instead
+        assert served[0] > 0, (
+            f"{module.__name__}.table was never asked for {table_name!r} "
+            "while patched — the probe measured the wrong data"
+        )
+        return out
 
     import openmetrics_spark.queries.bfj_pipeline_q as _bfj_mod
     import openmetrics_spark.queries.corpus_mix_q as _corpus_mod

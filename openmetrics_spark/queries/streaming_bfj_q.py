@@ -159,7 +159,11 @@ def _run_streaming_pipeline(
         return os.path.join(work, "_chk", name)
 
     lo, hi = _events_span(spark, sf_dir)
-    grid = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    # the house 2-slice grid (streaming_q._events_grid): state still
+    # survives a batch boundary and finalizes against a mid-stream
+    # watermark; each extra slice only re-buys the same evidence for
+    # another round of per-batch fixed cost x 9 queries
+    grid = [lo + (hi - lo) // 2]
     # left-candidate retention spanning the whole bounded replay: the
     # batch FK path has no window, so parity needs every ancestor live
     retention = (hi - lo) + 2 * DAY

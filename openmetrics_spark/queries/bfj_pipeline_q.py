@@ -227,7 +227,13 @@ def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     ).cast(T.ArrayType(_nullable(RESPONSE_INSERTION)))
     cri = F.when(F.col("id") % 5 != 0, F.concat(F.lit("c"), F.col("id")))
-    dl_view = F.when(F.col("id") % 4 != 0, F.col("prev_view"))
+    # id%4==0 delivery logs carry view_id = "" (proto3 unset), not
+    # NULL: FixDeliveryLog must null it before anything keys on it,
+    # and stage 8's view_fk string ("-" for null vs "" raw) pins that
+    # repair at the driver — a fix regression flips the checksum
+    dl_view = F.when(F.col("id") % 4 != 0, F.col("prev_view")).otherwise(
+        F.lit("")
+    )
     clicks = e.filter(F.col("event_type") == "click")
     dl_env = env(
         clicks,

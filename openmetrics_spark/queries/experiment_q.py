@@ -165,8 +165,9 @@ def cohort_experiment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the arm VALID AT EVENT TIME, not the latest arm.
 #
 # Fixture: every 6th event emits a membership record for cohort
-# (event_id % 3) at the event's time with arm (user_id + event_id//6 +
-# cohort) % 2 — re-randomization by construction; every 12th event
+# ((event_id // 6) % 3) at the event's time with arm (user_id +
+# event_id//6 + cohort) % 2 — re-randomization by construction, all
+# three cohorts populated; every 12th event
 # ALSO re-sends the same membership_id 10 ms later with the arm
 # FLIPPED, so the keep-first dedup is load-bearing (keeping the wrong
 # duplicate flips the interval's arm and the checksum). The pipeline:
@@ -186,15 +187,15 @@ _MEMBERSHIP_ORACLE = """
 WITH raw AS (
   SELECT user_id % 4 AS platform_id, user_id AS uid,
          'mb' || CAST(event_id AS VARCHAR) AS membership_id,
-         'exp' || CAST(event_id % 3 AS VARCHAR) AS cohort_id,
-         CAST((user_id + event_id // 6 + event_id % 3) % 2 AS INT) AS arm,
+         'exp' || CAST((event_id // 6) % 3 AS VARCHAR) AS cohort_id,
+         CAST((user_id + event_id // 6 + (event_id // 6) % 3) % 2 AS INT) AS arm,
          epoch_ms(ts) AS ms
   FROM events WHERE event_id % 6 = 0
   UNION ALL
   SELECT user_id % 4, user_id,
          'mb' || CAST(event_id AS VARCHAR),
-         'exp' || CAST(event_id % 3 AS VARCHAR),
-         CAST(1 - (user_id + event_id // 6 + event_id % 3) % 2 AS INT),
+         'exp' || CAST((event_id // 6) % 3 AS VARCHAR),
+         CAST(1 - (user_id + event_id // 6 + (event_id // 6) % 3) % 2 AS INT),
          epoch_ms(ts) + 10
   FROM events WHERE event_id % 12 = 0
 ),
@@ -267,8 +268,8 @@ def cohort_membership_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4).alias("platform_id"),
         F.col("user_id").alias("uid"),
         F.concat(F.lit("mb"), F.col("event_id")).alias("membership_id"),
-        F.concat(F.lit("exp"), F.col("event_id") % 3).alias("cohort_id"),
-        ((F.col("user_id") + F.floor(F.col("event_id") / 6) + F.col("event_id") % 3) % 2)
+        F.concat(F.lit("exp"), F.floor(F.col("event_id") / 6) % 3).alias("cohort_id"),
+        ((F.col("user_id") + F.floor(F.col("event_id") / 6) + F.floor(F.col("event_id") / 6) % 3) % 2)
         .cast("int")
         .alias("arm"),
         F.unix_millis("ts").alias("ms"),
@@ -277,8 +278,8 @@ def cohort_membership_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("user_id") % 4).alias("platform_id"),
         F.col("user_id").alias("uid"),
         F.concat(F.lit("mb"), F.col("event_id")).alias("membership_id"),
-        F.concat(F.lit("exp"), F.col("event_id") % 3).alias("cohort_id"),
-        (1 - (F.col("user_id") + F.floor(F.col("event_id") / 6) + F.col("event_id") % 3) % 2)
+        F.concat(F.lit("exp"), F.floor(F.col("event_id") / 6) % 3).alias("cohort_id"),
+        (1 - (F.col("user_id") + F.floor(F.col("event_id") / 6) + F.floor(F.col("event_id") / 6) % 3) % 2)
         .cast("int")
         .alias("arm"),
         (F.unix_millis("ts") + 10).alias("ms"),

@@ -258,6 +258,12 @@ def main() -> int:
         release_caches()
         return dt, n
 
+    only = set(sys.argv[1:])
+    if only:
+        unknown = only - set(probes)
+        assert not unknown, f"unknown probes: {sorted(unknown)}"
+        probes = {k: v for k, v in probes.items() if k in only}
+
     results = {}
     for name, build in probes.items():
         small, big = inputs[name]

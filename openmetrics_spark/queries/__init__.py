@@ -104,6 +104,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_bfj_pipeline",
     "cohort_membership_intervals",
     "ann_lsh_recall",
+    "corpus_shuffle_shards",
     "bfj_pipeline_manifest",
     "raw_wire_roundtrip",
     # --- (b) the six rows displaced in r8 (promised queue head;
@@ -154,7 +155,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "q9_product_profit",
     "q10_returned_items",
     "q15_top_supplier",
-    "q16_supplier_part_counts",
+    # (q16_supplier_part_counts ceded its slot to the late-r9
+    # corpus_shuffle_shards addition; TPC-H keeps q7/q9/q10/q15
+    # in-window and q16 joins the r10 queue listed above)
 )
 
 

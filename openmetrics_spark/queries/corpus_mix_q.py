@@ -1966,3 +1966,95 @@ def doc_quality_train_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000000 DIV count(*) AS BIGINT)"
         ).alias("accuracy_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus_shuffle_shards — deterministic global shuffle into training
+# shards (r9): the step between curation and tokenization. Every doc
+# gets a pseudo-random sort key xxhash64(doc_id) (Spark's built-in
+# JVM hash, seed 42 — reproduced bit-exactly in DuckDB by
+# functions.hashing_sql.xxhash64_long_sql); shard = key mod 16 (a
+# power of two, so signed pmod == unsigned mod and both engines
+# agree), order within a shard = (key, doc_id). The manifest pins the
+# PERMUTATION, not just membership: one row per shard with doc count,
+# char mass, and a bit_xor checksum over (rank, doc_id) — any doc in
+# the wrong shard, any pair out of order, any skew in the hash flips
+# a row.
+#
+# 100 TB: the real writer is df.repartition(N, shard).
+# sortWithinPartitions(key) → partitionBy(shard) parquet — ONE hash
+# shuffle, no global sort; the rank window here partitions by shard
+# (16 independent sorts) purely to expose the order to the checksum.
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 16
+_U64 = "18446744073709551616"  # 2^64
+
+
+def _shuffle_oracle() -> str:
+    from openmetrics_spark.functions.hashing_sql import xxhash64_long_sql
+
+    hashed = xxhash64_long_sql(
+        "SELECT doc_id, n_chars, doc_id AS __v FROM documents"
+    )
+    return f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+         CAST(__hash % {_N_SHARDS} AS BIGINT) AS shard,
+         row_number() OVER (
+           PARTITION BY __hash % {_N_SHARDS} ORDER BY __hash, doc_id
+         ) AS rank
+  FROM {hashed}
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(coalesce(bit_xor(CAST(('0x' || substr(md5(
+         concat_ws('|', CAST(rank AS VARCHAR), CAST(doc_id AS VARCHAR))),
+         1, 15)) AS BIGINT)), 0) AS BIGINT) AS order_checksum
+FROM r GROUP BY shard
+"""
+
+
+@register(
+    "corpus_shuffle_shards", oracle=_shuffle_oracle(), tags=("llm", "pipeline")
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into 16 training shards,
+    gated as a per-shard permutation manifest (see block comment)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    h = F.xxhash64("doc_id")
+    # the unsigned view of the signed JVM hash: one total order shared
+    # with the DuckDB twin (decimal(20,0) holds [0, 2^64))
+    u = F.when(h < 0, h.cast("decimal(20,0)") + F.lit(_U64).cast("decimal(20,0)")).otherwise(
+        h.cast("decimal(20,0)")
+    )
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.pmod(h, F.lit(_N_SHARDS)).cast("long").alias("shard"),
+        u.alias("u"),
+    )
+    w = Window.partitionBy("shard").orderBy("u", "doc_id")
+    ranked = keyed.withColumn("rank", F.row_number().over(w))
+    cs = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.col("rank").cast("string"), F.col("doc_id").cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ranked.withColumn("__cs", cs)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.coalesce(F.expr("bit_xor(__cs)"), F.lit(0))
+            .cast("long")
+            .alias("order_checksum"),
+        )
+        .select("shard", "n_docs", "sum_chars", "order_checksum")
+    )

@@ -177,6 +177,7 @@ def all_queries() -> dict[str, QuerySpec]:
         graph_q,
         media_q,
         raw_archive_q,
+        scale_q,
         sinks_q,
         sketch_q,
         streaming_bfj_q,

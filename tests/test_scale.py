@@ -292,3 +292,32 @@ def test_add_latest_impressions_hot_user_runtime_within_bound(spark):
     # both runs emit O(n_act × max_output) rows (measured ~180k/~250k)
     assert n_uniform > 150_000 and n_hot > 150_000
     assert t_hot <= 2 * t_uniform + 2.0, (t_hot, t_uniform)
+
+
+def test_scale_join_strategies_bucketed_leg_plan(spark, sf_dir):
+    """The registered query's bucketed leg must keep its co-location
+    promise: SortMergeJoin with no Exchange above either bucketed
+    scan (the salted/plain legs shuffle by design)."""
+    from openmetrics_spark.queries.scale_q import _bucketed_leg
+
+    joined = _bucketed_leg(spark, sf_dir)
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_scale_join_strategies_legs_agree(spark, sf_dir):
+    """All three strategies must produce identical per-priority rows
+    (the driver's hash gate proves this vs DuckDB; this is the fast
+    local invariant)."""
+    from openmetrics_spark.queries.scale_q import scale_join_strategies
+
+    out = scale_join_strategies(spark, sf_dir).collect()
+    by_strategy = {}
+    for r in out:
+        by_strategy.setdefault(r.strategy, set()).add(
+            (r.o_orderpriority, r.n_items, r.revenue_e4)
+        )
+    assert set(by_strategy) == {"plain", "salted", "bucketed"}
+    assert by_strategy["plain"] == by_strategy["salted"]
+    assert by_strategy["plain"] == by_strategy["bucketed"]

@@ -1771,3 +1771,147 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_docs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget greedy selection (quality-ordered data curation)
+# ---------------------------------------------------------------------------
+#
+# The standard curation move once every document carries a quality
+# score: per source, keep the highest-quality documents until a token
+# budget is exhausted (greedy prefix of the quality-descending order;
+# ties break by doc_id). The budget here is 30% of each source's
+# total tokens, so the selection stays non-trivial at every SF.
+#
+# 100 TB posture: the naive form is ONE window over all documents
+# partitioned by source — a handful of sources means a handful of
+# reducers sorting the whole corpus. Instead the quality score is
+# bucketed onto a fixed 1001-point grid (the selection ORDER is the
+# grid value; same value in both engines, so semantics — not an
+# approximation — change to "greedy by quality bucket"), and then:
+#   1. one map-combinable shuffle builds the (source, q_int) level
+#      frame — at most 1001 rows per source;
+#   2. the running token total over that TINY frame finds, per
+#      source, the fully-admitted levels and the single boundary
+#      level where the budget crosses;
+#   3. fully-admitted levels join back broadcast; only the ~1/1001
+#      of documents sitting exactly on the boundary level flow
+#      through a per-(source, level) doc_id-ordered window.
+# Same shape as the RFM histogram-bounds rewrite
+# (sql_surface_q.py:676): the global sort collapses onto a bounded
+# grid, the corpus is touched by broadcast joins only.
+
+_BUDGET_SQL_QINT = (
+    "CAST(floor(round(0.5 * (CASE WHEN len(tok) > 0 THEN "
+    "CAST(len(list_distinct(tok)) AS DOUBLE) / len(tok) ELSE 0 END) "
+    "+ 0.5 * least((CASE WHEN len(tok) > 0 THEN "
+    f"CAST(len(list_filter(tok, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE) / len(tok) "
+    "ELSE 0 END) * 5, 1.0), 6) * 1000 + 0.5) AS BIGINT)"
+)
+
+_TOKEN_BUDGET_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), d AS (
+  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
+         {_BUDGET_SQL_QINT} AS q_int
+  FROM t
+), b AS (
+  SELECT source,
+         CAST(floor(0.3 * sum(n_tok)) AS BIGINT) AS budget_tokens
+  FROM d GROUP BY 1
+), c AS (
+  SELECT d.*, b.budget_tokens,
+         sum(n_tok) OVER (PARTITION BY d.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM d JOIN b USING (source)
+)
+SELECT source, budget_tokens,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_selected,
+       CAST(min(q_int) AS BIGINT) AS min_q_admitted
+FROM c WHERE cum_tok <= budget_tokens
+GROUP BY 1, 2
+"""
+
+
+@register(
+    "corpus_token_budget_select",
+    oracle=_TOKEN_BUDGET_ORACLE,
+    tags=("llm", "select"),
+)
+def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source greedy token-budget selection: keep the
+    highest-quality documents (1001-point quality grid, doc_id
+    tie-break) until 30% of the source's tokens are spent; emit per
+    source the docs/tokens admitted and the lowest quality level that
+    made the cut. Scale shape: level-frame running totals + broadcast
+    boundary join, never a corpus-wide sort (see block comment)."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "source", tokens("text").alias("tok"))
+    d = pin(
+        t.select(
+            "doc_id",
+            "source",
+            token_count(F.col("tok")).alias("n_tok"),
+            F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_int"),
+        )
+    )
+    lvl = d.groupBy("source", "q_int").agg(
+        F.sum("n_tok").cast("long").alias("lvl_tok")
+    )
+    b = lvl.groupBy("source").agg(
+        F.floor(F.sum("lvl_tok") * 0.3).cast("long").alias("budget_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = (
+        lvl.join(b, "source")
+        .withColumn("cum_tok", F.sum("lvl_tok").over(w))
+        .withColumn("cum_excl", F.col("cum_tok") - F.col("lvl_tok"))
+    )
+    full = lv.filter(F.col("cum_tok") <= F.col("budget_tokens")).select(
+        "source", "q_int"
+    )
+    bnd = lv.filter(
+        (F.col("cum_excl") <= F.col("budget_tokens"))
+        & (F.col("cum_tok") > F.col("budget_tokens"))
+    ).select("source", "q_int", "cum_excl", "budget_tokens")
+    full_docs = d.join(F.broadcast(full), ["source", "q_int"]).select(
+        "source", "q_int", "n_tok"
+    )
+    # boundary window: one q_int per source, ~1/grid of the corpus
+    wb = Window.partitionBy("source", "q_int").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bnd_admit = (
+        d.join(F.broadcast(bnd), ["source", "q_int"])
+        .withColumn("c", F.sum("n_tok").over(wb))
+        .filter(F.col("c") + F.col("cum_excl") <= F.col("budget_tokens"))
+        .select("source", "q_int", "n_tok")
+    )
+    return (
+        full_docs.unionByName(bnd_admit)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tok").cast("long").alias("tokens_selected"),
+            F.min("q_int").cast("long").alias("min_q_admitted"),
+        )
+        .join(b, "source")
+        .select(
+            "source",
+            "budget_tokens",
+            "n_selected",
+            "tokens_selected",
+            "min_q_admitted",
+        )
+    )

@@ -358,3 +358,68 @@ def test_manifest_v3_composes_standalone_results(spark, sf_dir):
         assert r.quality == v2[d].quality
         assert 0 <= r.n_removed <= r.n_tokens
         assert r.n_clean_tokens == r.n_tokens - r.n_removed
+
+
+def test_token_budget_select_matches_naive_window(spark, sf_dir):
+    """The grid-bounded selection must equal the naive per-source
+    window greedy (same q_int, same tie-break) — the scale rewrite is
+    an algorithm change, not a semantics change."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.llm.text import quality_score, token_count, tokens
+    from openmetrics_spark.queries.docs_q import corpus_token_budget_select
+    from openmetrics_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "source", tokens("text").alias("tok"))
+    d = t.select(
+        "doc_id",
+        "source",
+        token_count(F.col("tok")).alias("n_tok"),
+        F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+        .cast("long")
+        .alias("q_int"),
+    )
+    b = d.groupBy("source").agg(
+        F.floor(F.sum("n_tok") * 0.3).cast("long").alias("budget_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_int"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    naive = (
+        d.join(b, "source")
+        .withColumn("cum_tok", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tok") <= F.col("budget_tokens"))
+        .groupBy("source", "budget_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_selected"),
+            F.sum("n_tok").cast("long").alias("tokens_selected"),
+            F.min("q_int").cast("long").alias("min_q_admitted"),
+        )
+    )
+    got = sorted(
+        tuple(r)
+        for r in corpus_token_budget_select(spark, sf_dir)
+        .select(
+            "source",
+            "budget_tokens",
+            "n_selected",
+            "tokens_selected",
+            "min_q_admitted",
+        )
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in naive.select(
+            "source",
+            "budget_tokens",
+            "n_selected",
+            "tokens_selected",
+            "min_q_admitted",
+        ).collect()
+    )
+    assert got == want and len(got) > 0

@@ -91,20 +91,22 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining r5-stale rows — after this window no query's newest
     # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
     # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). The 17 r6 rows left for the r10 queue:
+    # dedup tier, TPC-H). The 19 r6 rows left for the r10 queue:
     # ann_ivf_kmeans_topk, corpus_bpe_encode,
     # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
     # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
     # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
-    # q17_small_qty_revenue, q19_disjunctive_revenue,
-    # q20_excess_suppliers, q22_dormant_customers, user_set_ops,
-    # user_versioned_join.
+    # q10_returned_items, q15_top_supplier, q17_small_qty_revenue,
+    # q19_disjunctive_revenue, q20_excess_suppliers,
+    # q22_dormant_customers, user_set_ops, user_versioned_join.
     # =====================================================================
     # --- (a) r9 additions + r9-modified fixtures/oracles
     "streaming_bfj_pipeline",
     "cohort_membership_intervals",
     "ann_lsh_recall",
     "corpus_shuffle_shards",
+    "scale_join_strategies",
+    "corpus_token_budget_select",
     "bfj_pipeline_manifest",
     "raw_wire_roundtrip",
     # --- (b) the six rows displaced in r8 (promised queue head;
@@ -153,11 +155,13 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "last_time_and_count",
     "q7_volume_shipping",
     "q9_product_profit",
-    "q10_returned_items",
-    "q15_top_supplier",
     # (q16_supplier_part_counts ceded its slot to the late-r9
-    # corpus_shuffle_shards addition; TPC-H keeps q7/q9/q10/q15
-    # in-window and q16 joins the r10 queue listed above)
+    # corpus_shuffle_shards addition, then q10_returned_items and
+    # q15_top_supplier ceded theirs to the two late-r9 additions
+    # scale_join_strategies and corpus_token_budget_select — new
+    # capability driver-green in its landing round beats refreshing
+    # an already-r6-green anchor. TPC-H keeps q7/q9 in-window;
+    # q10/q15/q16 join the r10 queue listed above)
 )
 
 

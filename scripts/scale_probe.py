@@ -177,16 +177,20 @@ def main() -> int:
     # parquet via tables.table, so the 8x leg patches the loader in the
     # query module's namespace to serve the content-disjoint replica —
     # the measured code path is exactly the registered query's.
-    def _patched(module, table_name, frame, fn):
+    def _patched(module, frames, fn):
+        """Serve the replicated frame(s) for the named table(s) while
+        ``fn`` builds the registered query's plan. ``frames`` maps
+        table name -> replica; every entry must be asked for at least
+        once (see the loud assert below)."""
         import openmetrics_spark.tables as _tables
 
         real = module.table
-        served = [0]
+        served = {name: 0 for name in frames}
 
         def fake(spark_, sf_dir_, name_):
-            if name_ == table_name:
-                served[0] += 1
-                return frame
+            if name_ in frames:
+                served[name_] += 1
+                return frames[name_]
             return _tables.table(spark_, sf_dir_, name_)
 
         module.table = fake
@@ -198,14 +202,17 @@ def main() -> int:
         # table() calls eagerly during plan build — a query that defers
         # the call into an action-time closure would silently probe the
         # un-replicated data, so fail loudly instead
-        assert served[0] > 0, (
-            f"{module.__name__}.table was never asked for {table_name!r} "
+        missing = [n for n, k in served.items() if k == 0]
+        assert not missing, (
+            f"{module.__name__}.table was never asked for {missing} "
             "while patched — the probe measured the wrong data"
         )
         return out
 
     import openmetrics_spark.queries.bfj_pipeline_q as _bfj_mod
     import openmetrics_spark.queries.corpus_mix_q as _corpus_mod
+    import openmetrics_spark.queries.docs_q as _docs_mod
+    import openmetrics_spark.queries.scale_q as _scale_mod
     from openmetrics_spark.queries import all_queries
 
     Q = all_queries()
@@ -216,7 +223,7 @@ def main() -> int:
 
     def probe_composed(name, module, table_name, frame):
         return _patched(
-            module, table_name, frame,
+            module, {table_name: frame},
             lambda: Q[name].fn(spark, sf_dir),
         )
 
@@ -226,6 +233,35 @@ def main() -> int:
     probes["bfj_pipeline"] = lambda e: probe_composed(
         "bfj_pipeline_manifest", _bfj_mod, "events", e
     )
+    probes["token_budget_select"] = lambda d: probe_composed(
+        "corpus_token_budget_select", _docs_mod, "documents", d
+    )
+
+    # scale_join_strategies reads TWO tables; replicate both with the
+    # SAME orderkey offset so each copy's lineitem still matches its
+    # own orders (8x rows on both sides, 8x join output upstream of
+    # the fixed 5-row-per-strategy aggregate). The bucketed leg's
+    # write-time shuffle happens eagerly at plan build — i.e. OUTSIDE
+    # the timed noop write, like every pin() warm — so the ratio
+    # measures the three read-side join legs; the write is the
+    # amortized once-per-dataset prep by design.
+    def _replicated_keyed(df, key, copies_):
+        out = None
+        for i in range(copies_):
+            c = df.withColumn(key, F.col(key) + F.lit(i * 1_000_000_000))
+            out = c if out is None else out.unionByName(c)
+        return out
+
+    li_full1 = table(spark, sf_dir, "lineitem")
+    o_full1 = table(spark, sf_dir, "orders")
+
+    def _probe_scale_strategies(frames):
+        return _patched(
+            _scale_mod, frames,
+            lambda: Q["scale_join_strategies"].fn(spark, sf_dir),
+        )
+
+    probes["scale_strategies"] = _probe_scale_strategies
 
     inputs = {
         "ngram_jaccard": (docs1, docsN),
@@ -240,6 +276,16 @@ def main() -> int:
         "counter_fanout": (ev1, evN),
         "corpus_manifest_v3": (docs_full1, docs_fullN),
         "bfj_pipeline": (ev_full1, ev_fullN),
+        "token_budget_select": (docs_full1, docs_fullN),
+        "scale_strategies": (
+            {"lineitem": li_full1, "orders": o_full1},
+            {
+                "lineitem": _replicated_keyed(
+                    li_full1, "l_orderkey", copies
+                ),
+                "orders": _replicated_keyed(o_full1, "o_orderkey", copies),
+            },
+        ),
     }
 
     def run(df) -> tuple[float, int]:

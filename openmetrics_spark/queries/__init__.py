@@ -91,8 +91,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining r5-stale rows — after this window no query's newest
     # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
     # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). The 19 r6 rows left for the r10 queue:
-    # ann_ivf_kmeans_topk, corpus_bpe_encode,
+    # dedup tier, TPC-H). The 20 r6 rows left for the r10 queue:
+    # ann_ivf_kmeans_topk, corpus_bpe_encode, ngram_jaccard_neardup,
     # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
     # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
     # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
@@ -107,6 +107,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_shuffle_shards",
     "scale_join_strategies",
     "corpus_token_budget_select",
+    "neardup_keep_best_quality",
     "bfj_pipeline_manifest",
     "raw_wire_roundtrip",
     # --- (b) the six rows displaced in r8 (promised queue head;
@@ -147,7 +148,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "doc_dedup_clusters",
     "minhash_lsh_neardup",
     "minhash_incremental_neardup",
-    "ngram_jaccard_neardup",
+    # (ngram_jaccard_neardup ceded its slot to the late-r9
+    # neardup_keep_best_quality, whose oracle replays the SAME
+    # 3-gram pair generator + CC end-to-end — the machinery stays
+    # cross-engine-watched in-window; the plain pair query joins
+    # the r10 queue)
     "asof_attribution",
     "gated_query_counts",
     "validation_error_split",

@@ -1915,3 +1915,131 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_q_admitted",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware near-dup canonical selection
+# ---------------------------------------------------------------------------
+#
+# min-id canonicalization (doc_dedup_clusters) is what a dedup REPORT
+# wants — stable ids. What a CURATION run wants is to keep the BEST
+# member of each near-dup family: the highest-quality variant, not
+# whichever happened to get the smallest id. The argmax must be
+# deterministic under ties for the cross-engine hash, and DuckDB's
+# arg_max leaves ties unspecified — so the keeper is selected by a
+# pure min() over an order-packed integer key:
+#     key = (1000 - q_int) * 2^44 + doc_id
+# min(key) IS lexicographic (quality DESC, doc_id ASC); the packed
+# key decodes back to (keeper_id, keeper quality) with div/mod — no
+# window, no tie ambiguity, one map-combinable aggregate per cluster.
+
+_KEY_BASE = 1 << 44  # doc_id < 2^44 asserted by the grid query above
+
+_KEEP_BEST_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+), sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.d
+), lab AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), dq AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok,
+         {_BUDGET_SQL_QINT} AS q_int
+  FROM t
+), m AS (
+  SELECT lab.cluster_id, dq.doc_id, dq.n_tok, dq.q_int,
+         (1000 - dq.q_int) * {_KEY_BASE} + dq.doc_id AS key
+  FROM lab JOIN dq USING (doc_id)
+), agg AS (
+  SELECT cluster_id,
+         CAST(count(*) AS BIGINT) AS cluster_size,
+         CAST(sum(n_tok) AS BIGINT) AS total_tok,
+         min(key) AS min_key
+  FROM m GROUP BY 1
+)
+SELECT agg.cluster_id,
+       CAST(agg.min_key % {_KEY_BASE} AS BIGINT) AS keeper_id,
+       CAST(1000 - agg.min_key // {_KEY_BASE} AS BIGINT) AS q_keeper,
+       agg.cluster_size,
+       CAST(agg.total_tok - k.n_tok AS BIGINT) AS tokens_dropped
+FROM agg JOIN dq k ON k.doc_id = agg.min_key % {_KEY_BASE}
+"""
+
+
+@register(
+    "neardup_keep_best_quality",
+    oracle=_KEEP_BEST_ORACLE,
+    tags=("llm", "dedup"),
+)
+def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup family (3-gram Jaccard >= 0.5, pointer-jumping
+    CC): keep the highest-quality member (1001-point quality grid,
+    doc_id tie-break) and report the tokens the drop reclaims. The
+    keeper argmax is a single min() over an order-packed integer key
+    (see block comment) — map-side combinable, no per-cluster window.
+    100 TB shape: pair generation + CC dominate (df-capped inverted
+    index, O(log d) pointer jumping, both bucketed); everything after
+    is one aggregate over cluster members plus a keeper re-join."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    pairs = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    dq = pin(
+        t.select(
+            "doc_id",
+            token_count(F.col("tok")).alias("n_tok"),
+            F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_int"),
+        )
+    )
+    m = comp.select(
+        F.col("component").alias("cluster_id"),
+        F.col("id").alias("doc_id"),
+    ).join(dq, "doc_id")
+    agg = m.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size"),
+        F.sum("n_tok").cast("long").alias("total_tok"),
+        F.min(
+            (F.lit(1000) - F.col("q_int")) * F.lit(_KEY_BASE)
+            + F.col("doc_id")
+        ).alias("min_key"),
+    )
+    # decode with exact integer arithmetic only: (min_key - mod) is an
+    # exact multiple of 2^44 with <= 10 significant bits, so even the
+    # double-typed division below is lossless; no raw min_key/2^44,
+    # whose low bits would round at ~2^54.
+    kid = F.col("min_key") % F.lit(_KEY_BASE)
+    keyed = agg.select(
+        "cluster_id",
+        kid.cast("long").alias("keeper_id"),
+        (
+            F.lit(1000)
+            - ((F.col("min_key") - kid) / F.lit(_KEY_BASE)).cast("long")
+        )
+        .cast("long")
+        .alias("q_keeper"),
+        "cluster_size",
+        "total_tok",
+    )
+    return keyed.join(
+        dq.select(F.col("doc_id").alias("keeper_id"), "n_tok"), "keeper_id"
+    ).select(
+        "cluster_id",
+        "keeper_id",
+        "q_keeper",
+        "cluster_size",
+        (F.col("total_tok") - F.col("n_tok")).cast("long").alias(
+            "tokens_dropped"
+        ),
+    )

@@ -91,8 +91,9 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining r5-stale rows — after this window no query's newest
     # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
     # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). The 20 r6 rows left for the r10 queue:
+    # dedup tier, TPC-H). The 22 r6 rows left for the r10 queue:
     # ann_ivf_kmeans_topk, corpus_bpe_encode, ngram_jaccard_neardup,
+    # streaming_top_event_types, upsert_mor_snapshot,
     # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
     # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
     # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
@@ -108,6 +109,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "scale_join_strategies",
     "corpus_token_budget_select",
     "neardup_keep_best_quality",
+    "compaction_roundtrip",
+    "schema_drift_union_read",
     "bfj_pipeline_manifest",
     "raw_wire_roundtrip",
     # --- (b) the six rows displaced in r8 (promised queue head;
@@ -138,10 +141,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_cumulate_hourly",
     "streaming_inferred_attribution",
     "streaming_session_rollup",
-    "streaming_top_event_types",
+    # (streaming_top_event_types and upsert_mor_snapshot ceded their
+    # slots to the late-r9 compaction_roundtrip and
+    # schema_drift_union_read; the streaming family keeps 5 rows
+    # in-window incl. the composed streaming BFJ chain, the upsert
+    # family keeps upsert_incremental_pull — the ceded pair joins the
+    # r10 queue listed above)
     "streaming_user_asof_join",
     "upsert_incremental_pull",
-    "upsert_mor_snapshot",
     "bfj_view_insertions",
     "bfj_merge_details_drops",
     "doc_exact_dedup",

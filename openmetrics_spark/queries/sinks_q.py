@@ -80,3 +80,145 @@ def csv_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema(daily.schema)
         .csv(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction round-trip
+# ---------------------------------------------------------------------------
+#
+# The operational sibling of the dt/hour sink: streaming jobs and
+# fine partitioning leave thousands of tiny parquet files per
+# partition, and a 100 TB table dies by metadata long before it dies
+# by bytes. The compaction pass is layout-only — same rows, fewer,
+# range-clustered files (operators/scale.py:optimize_layout) — so the
+# gate is content fidelity: aggregate the COMPACTED read-back and
+# hash it against DuckDB's view of the original table. A compaction
+# that drops/duplicates rows or corrupts values flips the hash; the
+# file-count collapse is asserted in the query itself (fail loudly
+# rather than silently skipping the compact step).
+
+_COMPACT_ORACLE = """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN doc_id ELSE 0 END) AS BIGINT)
+         AS even_id_sum
+FROM documents
+GROUP BY 1
+"""
+
+
+@register("compaction_roundtrip", oracle=_COMPACT_ORACLE, tags=("sink",))
+def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → deliberately-fragmented parquet (≤64 rows/file) →
+    range-clustered compaction to 4 files → read back → per-source
+    aggregate (see block comment). 100 TB: compaction is one
+    repartitionByRange shuffle of the partition being rewritten; the
+    range clustering doubles as the min/max-stats layout, so the
+    maintenance pass also buys scan-time pruning."""
+    from openmetrics_spark.operators.scale import optimize_layout
+    from openmetrics_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    frag = os.path.join(_SCRATCH_ROOT, "frag")
+    compacted = os.path.join(_SCRATCH_ROOT, "compacted")
+    shutil.rmtree(frag, ignore_errors=True)
+    shutil.rmtree(compacted, ignore_errors=True)
+    docs.write.option("maxRecordsPerFile", 64).parquet(frag)
+    n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
+    optimize_layout(spark.read.parquet(frag), ["doc_id"], n_files=4).write.parquet(
+        compacted
+    )
+    n_comp = len([f for f in os.listdir(compacted) if f.endswith(".parquet")])
+    if not (n_comp <= 4 < n_frag):
+        raise AssertionError(
+            f"compaction did not compact: {n_frag} -> {n_comp} files"
+        )
+    back = spark.read.parquet(compacted)
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.sum(
+            F.when(F.col("doc_id") % 2 == 0, F.col("doc_id")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("even_id_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema-drift merged read
+# ---------------------------------------------------------------------------
+#
+# Long-lived tables drift: a writer adds a column and history keeps
+# the old shape. The reference handles this at the Avro/proto layer
+# (schema registry + default values); Spark's storage-side answer is
+# parquet schema merging — old files surface the new column as NULL.
+# The gate writes the SAME documents table as two generations (gen 0
+# without `quality_tier`, gen 1 with it), reads them back merged, and
+# aggregates per (generation, tier) — DuckDB's oracle reconstructs
+# the drift with a CASE on the generation split. A merge that drops
+# the column, misaligns files, or backfills instead of NULLing flips
+# the hash.
+
+_DRIFT_ORACLE = """
+WITH unioned AS (
+  SELECT doc_id, source, n_chars,
+         0 AS generation, NULL AS quality_tier
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, source, n_chars,
+         1 AS generation,
+         CASE WHEN n_chars >= 600 THEN 'long' ELSE 'short' END AS quality_tier
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT generation,
+       coalesce(quality_tier, '<pre-drift>') AS quality_tier,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM unioned
+GROUP BY 1, 2
+"""
+
+
+@register("schema_drift_union_read", oracle=_DRIFT_ORACLE, tags=("sink",))
+def schema_drift_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet generations of the documents table — the older one
+    written BEFORE `quality_tier` existed — read back as one merged
+    scan (`mergeSchema`), aggregated per (generation, tier) with the
+    pre-drift rows surfacing NULL tiers (see block comment). 100 TB:
+    schema merging is a footer-only planning cost; the data path
+    stays a plain pruned parquet scan."""
+    from openmetrics_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    root = os.path.join(_SCRATCH_ROOT, "drift")
+    shutil.rmtree(root, ignore_errors=True)
+    docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "source", "n_chars", F.lit(0).cast("int").alias("generation")
+    ).write.parquet(os.path.join(root, "gen=0"))
+    docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.lit(1).cast("int").alias("generation"),
+        F.when(F.col("n_chars") >= 600, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("quality_tier"),
+    ).write.parquet(os.path.join(root, "gen=1"))
+    merged = spark.read.option("mergeSchema", True).parquet(
+        os.path.join(root, "gen=0"), os.path.join(root, "gen=1")
+    )
+    return merged.groupBy(
+        "generation",
+        F.coalesce(F.col("quality_tier"), F.lit("<pre-drift>")).alias(
+            "quality_tier"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars_total"),
+    )

@@ -423,3 +423,95 @@ def test_token_budget_select_matches_naive_window(spark, sf_dir):
         ).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_token_budget_select_adversarial_ties(spark):
+    """The grid algorithm's boundary-window path barely fires on the
+    organic testdata (1001 quality levels, few exact ties) — craft a
+    corpus where almost EVERY doc shares one quality level so the
+    budget boundary cuts inside a big tie group, plus zero-token docs
+    and a second level, and check against a pure-Python greedy model."""
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    import openmetrics_spark.queries.docs_q as docs_mod
+
+    rows = []
+    # source A: 12 unique-word docs (diversity 1, no stopwords ->
+    # quality exactly 0.5 -> level 500), growing token counts so the
+    # 30% budget cuts mid-group; doc_ids shuffled vs sizes
+    for i, n_tok in enumerate([7, 3, 9, 1, 5, 11, 2, 8, 4, 10, 6, 12]):
+        text = " ".join(f"w{i}x{j}" for j in range(n_tok))
+        rows.append((100 + i, text, "en", "A", len(text)))
+    # source A extras: two zero-token docs (level 0) and two
+    # stopword-heavy docs (higher level than 500)
+    rows.append((200, "", "en", "A", 0))
+    rows.append((201, "!!! ???", "en", "A", 7))
+    rows.append((202, "the and of to unique1", "en", "A", 21))
+    rows.append((203, "the and of to unique2 unique3", "en", "A", 29))
+    # source B: all ties, budget cuts inside the group
+    for i, n_tok in enumerate([4, 4, 4, 4, 4]):
+        text = " ".join(f"b{i}y{j}" for j in range(n_tok))
+        rows.append((300 + i, text, "en", "B", len(text)))
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    crafted = spark.createDataFrame(rows, schema)
+
+    real = docs_mod.table
+    docs_mod.table = lambda s_, d_, n_: crafted if n_ == "documents" else real(s_, d_, n_)
+    try:
+        got = sorted(
+            tuple(r)
+            for r in docs_mod.corpus_token_budget_select(spark, "ignored")
+            .select(
+                "source",
+                "budget_tokens",
+                "n_selected",
+                "tokens_selected",
+                "min_q_admitted",
+            )
+            .collect()
+        )
+    finally:
+        docs_mod.table = real
+
+    # pure-Python model of the same greedy
+    _STOP = {"the", "and", "of", "to", "a", "in", "is", "that", "it",
+             "for", "on", "with", "as", "this"}
+
+    def q_int(text):
+        tok = _re.findall(r"[a-z0-9]+", text.lower())
+        n = len(tok)
+        if n == 0:
+            return 0, 0
+        div = len(set(tok)) / n
+        stop = min(sum(t in _STOP for t in tok) / n * 5, 1.0)
+        q = round(0.5 * div + 0.5 * stop, 6)
+        return int(q * 1000 + 0.5), n
+
+    per_source = {}
+    for doc_id, text, _lang, source, _nc in rows:
+        qi, n = q_int(text)
+        per_source.setdefault(source, []).append((doc_id, n, qi))
+    want = []
+    for source, docs in per_source.items():
+        budget = int(0.3 * sum(n for _, n, _ in docs))
+        cum, sel_n, sel_tok, min_q = 0, 0, 0, None
+        for doc_id, n, qi in sorted(docs, key=lambda d: (-d[2], d[0])):
+            cum += n
+            if cum > budget:
+                break
+            sel_n += 1
+            sel_tok += n
+            min_q = qi if min_q is None else min(min_q, qi)
+        if sel_n:
+            want.append((source, budget, sel_n, sel_tok, min_q))
+    assert got == sorted(want), (got, sorted(want))

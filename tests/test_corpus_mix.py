@@ -515,3 +515,58 @@ def test_token_budget_select_adversarial_ties(spark):
         if sel_n:
             want.append((source, budget, sel_n, sel_tok, min_q))
     assert got == sorted(want), (got, sorted(want))
+
+
+def test_neardup_keep_best_quality_ties_and_nonmin_keeper(spark):
+    """Two crafted near-dup families: one where every member ties on
+    quality (keeper must fall back to min doc_id) and one where the
+    highest-quality member carries the LARGEST doc_id (keeper must NOT
+    be the min-id canonical) — the two cases that distinguish the
+    packed-key argmax from min-id canonicalization."""
+    from pyspark.sql import types as T
+
+    import openmetrics_spark.queries.docs_q as docs_mod
+
+    # family 1: three copies of the same 12 unique words, one word
+    # swapped per copy -> pairwise Jaccard >= 0.5, quality identical
+    base = [f"fam1tok{j}" for j in range(12)]
+    fam1 = []
+    for i, did in enumerate([510, 507, 503]):
+        words = list(base)
+        words[-1] = f"fam1var{i}"
+        fam1.append((did, " ".join(words)))
+    # family 2: same shingle core, but the LARGEST id member carries
+    # stopwords appended -> strictly higher quality than its twins
+    core = [f"fam2tok{j}" for j in range(12)]
+    fam2 = [
+        (601, " ".join(core)),
+        (602, " ".join(core + ["fam2pad1"])),
+        (699, " ".join(core + ["the", "and", "of", "to"])),
+    ]
+    rows = [
+        (did, text, "en", "X", len(text)) for did, text in fam1 + fam2
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    crafted = spark.createDataFrame(rows, schema)
+    real = docs_mod.table
+    docs_mod.table = lambda s_, d_, n_: crafted if n_ == "documents" else real(s_, d_, n_)
+    try:
+        got = {
+            r.cluster_id: (r.keeper_id, r.cluster_size)
+            for r in docs_mod.neardup_keep_best_quality(spark, "ignored").collect()
+        }
+    finally:
+        docs_mod.table = real
+    # family 1: all quality-tied -> keeper = smallest doc_id (503)
+    assert got[503] == (503, 3), got
+    # family 2: stopword-bearing 699 has the highest quality -> keeper
+    # is NOT the min-id canonical (601)
+    assert got[601][0] == 699 and got[601][1] == 3, got

@@ -91,15 +91,16 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining r5-stale rows — after this window no query's newest
     # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
     # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). The 22 r6 rows left for the r10 queue:
+    # dedup tier, TPC-H). The 23 r6 rows left for the r10 queue:
     # ann_ivf_kmeans_topk, corpus_bpe_encode, ngram_jaccard_neardup,
     # streaming_top_event_types, upsert_mor_snapshot,
     # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
     # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
     # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
-    # q10_returned_items, q15_top_supplier, q17_small_qty_revenue,
-    # q19_disjunctive_revenue, q20_excess_suppliers,
-    # q22_dormant_customers, user_set_ops, user_versioned_join.
+    # q10_returned_items, q15_top_supplier, q16_supplier_part_counts,
+    # q17_small_qty_revenue, q19_disjunctive_revenue,
+    # q20_excess_suppliers, q22_dormant_customers, user_set_ops,
+    # user_versioned_join.
     # =====================================================================
     # --- (a) r9 additions + r9-modified fixtures/oracles
     "streaming_bfj_pipeline",

@@ -1933,7 +1933,11 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # key decodes back to (keeper_id, keeper quality) with div/mod — no
 # window, no tie ambiguity, one map-combinable aggregate per cluster.
 
-_KEY_BASE = 1 << 44  # doc_id < 2^44 asserted by the grid query above
+# doc_id < 2^44 is ENFORCED per row (F.assert_true inside the key
+# projection below): an overflowing id would corrupt the quality bits
+# identically in both engines, which is the one failure class the
+# cross-engine hash gate cannot catch — so it must fail loudly instead.
+_KEY_BASE = 1 << 44
 
 _KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES}, edges AS (
@@ -1984,16 +1988,23 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper argmax is a single min() over an order-packed integer key
     (see block comment) — map-side combinable, no per-cluster window.
     100 TB shape: pair generation + CC dominate (df-capped inverted
-    index, O(log d) pointer jumping, both bucketed); everything after
-    is one aggregate over cluster members plus a keeper re-join."""
+    index, O(log d) pointer jumping, both bucketed); the quality pass
+    runs only over cluster MEMBERS (left-semi against the CC output),
+    and everything after is one aggregate plus a keeper re-join."""
     from openmetrics_spark.llm.dedup import connected_components
 
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
     pairs = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=3, threshold=0.5, max_df=50
     )
-    comp = connected_components(pairs, "doc_a", "doc_b")
-    t = docs.select("doc_id", tokens("text").alias("tok"))
+    comp = pin(connected_components(pairs, "doc_a", "doc_b"))
+    # quality is only ever read for CLUSTER MEMBERS (the member agg and
+    # the keeper re-join) — semi-join first so the tokenize + quality
+    # pass runs over the near-dup fraction of the corpus, not all of it
+    members = comp.select(F.col("id").alias("doc_id"))
+    t = docs.join(members, "doc_id", "left_semi").select(
+        "doc_id", "text", tokens("text").alias("tok")
+    )
     dq = pin(
         t.select(
             "doc_id",
@@ -2007,12 +2018,22 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         F.col("id").alias("doc_id"),
     ).join(dq, "doc_id")
+    # the assert_true rides the key expression (NULL on success, loud
+    # runtime error on an id that would overflow into the quality bits)
+    id_guard = F.coalesce(
+        F.assert_true(
+            F.col("doc_id") < F.lit(_KEY_BASE),
+            F.lit("doc_id >= 2^44 overflows the packed quality key"),
+        ).cast("long"),
+        F.lit(0),
+    )
     agg = m.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
         F.sum("n_tok").cast("long").alias("total_tok"),
         F.min(
             (F.lit(1000) - F.col("q_int")) * F.lit(_KEY_BASE)
             + F.col("doc_id")
+            + id_guard
         ).alias("min_key"),
     )
     # decode with exact integer arithmetic only: (min_key - mod) is an

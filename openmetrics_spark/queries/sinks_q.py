@@ -118,14 +118,17 @@ def compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     range clustering doubles as the min/max-stats layout, so the
     maintenance pass also buys scan-time pruning."""
     from openmetrics_spark.operators.scale import optimize_layout
-    from openmetrics_spark.tables import table as _table
 
-    docs = _table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     frag = os.path.join(_SCRATCH_ROOT, "frag")
     compacted = os.path.join(_SCRATCH_ROOT, "compacted")
     shutil.rmtree(frag, ignore_errors=True)
     shutil.rmtree(compacted, ignore_errors=True)
-    docs.write.option("maxRecordsPerFile", 64).parquet(frag)
+    # repartition(8) decouples the fragment count from the INPUT's
+    # split layout: any table with >= 5 rows fragments into > 4 files,
+    # so the compaction assert below can't fire on a small-but-valid
+    # input that happened to arrive as one scan partition
+    docs.repartition(8).write.option("maxRecordsPerFile", 64).parquet(frag)
     n_frag = len([f for f in os.listdir(frag) if f.endswith(".parquet")])
     optimize_layout(spark.read.parquet(frag), ["doc_id"], n_files=4).write.parquet(
         compacted
@@ -193,9 +196,7 @@ def schema_drift_union_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre-drift rows surfacing NULL tiers (see block comment). 100 TB:
     schema merging is a footer-only planning cost; the data path
     stays a plain pruned parquet scan."""
-    from openmetrics_spark.tables import table as _table
-
-    docs = _table(spark, sf_dir, "documents")
+    docs = table(spark, sf_dir, "documents")
     root = os.path.join(_SCRATCH_ROOT, "drift")
     shutil.rmtree(root, ignore_errors=True)
     docs.filter(F.col("doc_id") % 2 == 0).select(

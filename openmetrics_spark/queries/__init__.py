@@ -91,9 +91,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining r5-stale rows — after this window no query's newest
     # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
     # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). The 23 r6 rows left for the r10 queue:
-    # ann_ivf_kmeans_topk, corpus_bpe_encode, ngram_jaccard_neardup,
-    # streaming_top_event_types, upsert_mor_snapshot,
+    # dedup tier, TPC-H). The 24 r6 rows left for the r10 queue:
+    # ann_ivf_kmeans_topk, bfj_merge_details_drops, corpus_bpe_encode,
+    # ngram_jaccard_neardup, streaming_top_event_types,
+    # upsert_mor_snapshot,
     # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
     # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
     # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
@@ -112,6 +113,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "neardup_keep_best_quality",
     "compaction_roundtrip",
     "schema_drift_union_read",
+    "corpus_curation_pipeline",
     "bfj_pipeline_manifest",
     "raw_wire_roundtrip",
     # --- (b) the six rows displaced in r8 (promised queue head;
@@ -151,7 +153,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_user_asof_join",
     "upsert_incremental_pull",
     "bfj_view_insertions",
-    "bfj_merge_details_drops",
+    # (bfj_merge_details_drops ceded its slot to the late-r9
+    # corpus_curation_pipeline — MergeDetails + its dropped channel
+    # stay in-window as composed stages of bfj_pipeline_manifest;
+    # the standalone row joins the r10 queue listed above)
     "doc_exact_dedup",
     "doc_dedup_clusters",
     "minhash_lsh_neardup",

@@ -2064,3 +2064,228 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_dropped"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed curation pipeline over the r9 operators
+# ---------------------------------------------------------------------------
+#
+# The r9 additions composed as ONE chain, the way a curation run
+# would actually use them — composition is where stage-boundary bugs
+# live (the same thesis the composed BFJ manifest gates on the event
+# side):
+#   p0 input
+#   p1 near-dup keep-BEST-quality retention (packed-key argmax per
+#      3-gram/CC family; non-clustered docs keep themselves)
+#   p2 exact dedup of the kept set (md5 min-id — catches identical
+#      docs with < 3 tokens, which have no shingles and therefore
+#      never reach the near-dup pair generator)
+#   p3 per-source token-budget selection (30%, quality grid)
+#   p4 deterministic shard assignment of the selected set
+# The manifest carries (stage, n_docs, n_tokens) per stage plus one
+# row per shard, so every boundary's survivor multiset is pinned by
+# the cross-engine hash.
+
+_PIPE_SHARDS = 8
+_PIPE_SHARD_GATE = portable_hash60_sql("'shard_' || CAST(doc_id AS VARCHAR)")
+
+_CURATION_PIPELINE_ORACLE = f"""
+WITH RECURSIVE {_JACCARD_CTES}, edges AS (
+  SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
+), sym AS (
+  SELECT doc_a AS s, doc_b AS d FROM edges
+  UNION
+  SELECT doc_b AS s, doc_a AS d FROM edges
+), reach(id, r) AS (
+  SELECT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.id = sym.d
+), lab AS (
+  SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+), dq AS (
+  SELECT doc_id, CAST(len(tok) AS BIGINT) AS n_tok,
+         {_BUDGET_SQL_QINT} AS q_int
+  FROM t
+), keepers AS (
+  SELECT min((1000 - dq.q_int) * {_KEY_BASE} + dq.doc_id)
+         % {_KEY_BASE} AS doc_id
+  FROM lab JOIN dq USING (doc_id)
+  GROUP BY lab.cluster_id
+), s1 AS (
+  SELECT doc_id FROM keepers
+  UNION ALL
+  SELECT d.doc_id FROM documents d LEFT JOIN lab USING (doc_id)
+  WHERE lab.doc_id IS NULL
+), s2 AS (
+  SELECT min(d.doc_id) AS doc_id
+  FROM documents d JOIN s1 USING (doc_id)
+  GROUP BY md5(d.text)
+), s2q AS (
+  SELECT s2.doc_id, d.source, dq.n_tok, dq.q_int
+  FROM s2 JOIN documents d USING (doc_id) JOIN dq USING (doc_id)
+), bq AS (
+  SELECT source, CAST(floor(0.3 * sum(n_tok)) AS BIGINT) AS budget
+  FROM s2q GROUP BY 1
+), cq AS (
+  SELECT s2q.*, bq.budget,
+         sum(n_tok) OVER (PARTITION BY s2q.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s2q JOIN bq USING (source)
+), sel AS (
+  SELECT doc_id, n_tok FROM cq WHERE cum_tok <= budget
+)
+SELECT 'p0_input' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+FROM dq
+UNION ALL
+SELECT 'p1_neardup_keep_best',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(dq.n_tok) AS BIGINT)
+FROM s1 JOIN dq USING (doc_id)
+UNION ALL
+SELECT 'p2_exact_dedup',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(dq.n_tok) AS BIGINT)
+FROM s2 JOIN dq USING (doc_id)
+UNION ALL
+SELECT 'p3_budget_select',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_tok) AS BIGINT)
+FROM sel
+UNION ALL
+SELECT 'p4_shard_' || CAST({_PIPE_SHARD_GATE} % {_PIPE_SHARDS} AS VARCHAR),
+       CAST(count(*) AS BIGINT),
+       CAST(sum(n_tok) AS BIGINT)
+FROM sel
+GROUP BY 1
+"""
+
+
+@register(
+    "corpus_curation_pipeline",
+    oracle=_CURATION_PIPELINE_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best near-dup retention → exact dedup → token-budget
+    selection → shard assignment, as one per-stage manifest (see
+    block comment). 100 TB shape: each stage is the already-probed
+    operator (df-capped pair generation + pointer-jumping CC, one
+    md5 agg shuffle, grid-bounded budget windows, hash-mod shards);
+    the chain adds only keep-set semi-joins between stages."""
+    from openmetrics_spark.llm.dedup import connected_components
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = pin(
+        docs.select("doc_id", "text", "source", tokens("text").alias("tok"))
+    )
+    dq = pin(
+        t.select(
+            "doc_id",
+            "source",
+            token_count(F.col("tok")).alias("n_tok"),
+            F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_int"),
+        )
+    )
+    pairs = ngram_jaccard_pairs(
+        t.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.5, max_df=50
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    # p1: keep the best-quality member per family (packed-key argmax,
+    # the neardup_keep_best_quality core), everyone unclustered stays
+    keepers = (
+        comp.select(F.col("component").alias("cid"), F.col("id").alias("doc_id"))
+        .join(dq, "doc_id")
+        .groupBy("cid")
+        .agg(
+            F.min(
+                (F.lit(1000) - F.col("q_int")) * F.lit(_KEY_BASE)
+                + F.col("doc_id")
+            ).alias("min_key")
+        )
+        .select((F.col("min_key") % F.lit(_KEY_BASE)).cast("long").alias("doc_id"))
+    )
+    unclustered = dq.select("doc_id").join(
+        comp.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+    )
+    s1 = pin(keepers.unionByName(unclustered))
+    # p2: exact dedup of the kept set
+    s2 = pin(
+        t.join(s1, "doc_id", "left_semi")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    # p3: per-source token-budget selection over s2 (grid greedy — the
+    # corpus_token_budget_select core, here returning the admitted docs)
+    s2q = dq.join(s2, "doc_id", "left_semi")
+    lvl = s2q.groupBy("source", "q_int").agg(
+        F.sum("n_tok").cast("long").alias("lvl_tok")
+    )
+    bq = lvl.groupBy("source").agg(
+        F.floor(F.sum("lvl_tok") * 0.3).cast("long").alias("budget")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = (
+        lvl.join(bq, "source")
+        .withColumn("cum_tok", F.sum("lvl_tok").over(w))
+        .withColumn("cum_excl", F.col("cum_tok") - F.col("lvl_tok"))
+    )
+    full = lv.filter(F.col("cum_tok") <= F.col("budget")).select(
+        "source", "q_int"
+    )
+    bnd = lv.filter(
+        (F.col("cum_excl") <= F.col("budget"))
+        & (F.col("cum_tok") > F.col("budget"))
+    ).select("source", "q_int", "cum_excl", "budget")
+    wb = Window.partitionBy("source", "q_int").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sel = pin(
+        s2q.join(F.broadcast(full), ["source", "q_int"])
+        .select("doc_id", "n_tok")
+        .unionByName(
+            s2q.join(F.broadcast(bnd), ["source", "q_int"])
+            .withColumn("c", F.sum("n_tok").over(wb))
+            .filter(F.col("c") + F.col("cum_excl") <= F.col("budget"))
+            .select("doc_id", "n_tok")
+        )
+    )
+
+    def _stage(df, name):
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    p0 = _stage(dq, "p0_input")
+    p1 = _stage(s1.join(dq, "doc_id"), "p1_neardup_keep_best")
+    p2 = _stage(s2.join(dq, "doc_id"), "p2_exact_dedup")
+    p3 = _stage(sel, "p3_budget_select")
+    p4 = (
+        sel.groupBy(
+            F.concat(
+                F.lit("p4_shard_"),
+                (
+                    portable_hash60(
+                        F.concat(F.lit("shard_"), F.col("doc_id").cast("string"))
+                    )
+                    % _PIPE_SHARDS
+                ).cast("string"),
+            ).alias("stage")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select("stage", "n_docs", "n_tokens")
+    )
+    return p0.unionByName(p1).unionByName(p2).unionByName(p3).unionByName(p4)

@@ -236,6 +236,9 @@ def main() -> int:
     probes["token_budget_select"] = lambda d: probe_composed(
         "corpus_token_budget_select", _docs_mod, "documents", d
     )
+    probes["curation_pipeline"] = lambda d: probe_composed(
+        "corpus_curation_pipeline", _docs_mod, "documents", d
+    )
 
     # scale_join_strategies reads TWO tables; replicate both with the
     # SAME orderkey offset so each copy's lineitem still matches its
@@ -277,6 +280,7 @@ def main() -> int:
         "corpus_manifest_v3": (docs_full1, docs_fullN),
         "bfj_pipeline": (ev_full1, ev_fullN),
         "token_budget_select": (docs_full1, docs_fullN),
+        "curation_pipeline": (docs_full1, docs_fullN),
         "scale_strategies": (
             {"lineitem": li_full1, "orders": o_full1},
             {

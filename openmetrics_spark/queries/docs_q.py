@@ -1838,6 +1838,53 @@ GROUP BY 1, 2
 """
 
 
+def _grid_budget_admitted(d: DataFrame, frac: float) -> tuple[DataFrame, DataFrame]:
+    """The grid-bounded greedy admission core shared by
+    corpus_token_budget_select and corpus_curation_pipeline: over
+    ``d(doc_id, source, n_tok, q_int)``, admit the quality-descending
+    (doc_id tie-break) prefix of each source until ``frac`` of its
+    tokens are spent. Returns ``(admitted(doc_id, source, q_int,
+    n_tok), budgets(source, budget_tokens))``. Fully-admitted quality
+    levels resolve on the tiny (source, level) frame; only the single
+    boundary level per source flows through a doc_id-ordered window."""
+    lvl = d.groupBy("source", "q_int").agg(
+        F.sum("n_tok").cast("long").alias("lvl_tok")
+    )
+    b = lvl.groupBy("source").agg(
+        F.floor(F.sum("lvl_tok") * frac).cast("long").alias("budget_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("q_int"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    lv = (
+        lvl.join(b, "source")
+        .withColumn("cum_tok", F.sum("lvl_tok").over(w))
+        .withColumn("cum_excl", F.col("cum_tok") - F.col("lvl_tok"))
+    )
+    full = lv.filter(F.col("cum_tok") <= F.col("budget_tokens")).select(
+        "source", "q_int"
+    )
+    bnd = lv.filter(
+        (F.col("cum_excl") <= F.col("budget_tokens"))
+        & (F.col("cum_tok") > F.col("budget_tokens"))
+    ).select("source", "q_int", "cum_excl", "budget_tokens")
+    cols = ["doc_id", "source", "q_int", "n_tok"]
+    full_docs = d.join(F.broadcast(full), ["source", "q_int"]).select(cols)
+    # boundary window: one q_int per source, ~1/grid of the corpus
+    wb = Window.partitionBy("source", "q_int").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bnd_admit = (
+        d.join(F.broadcast(bnd), ["source", "q_int"])
+        .withColumn("c", F.sum("n_tok").over(wb))
+        .filter(F.col("c") + F.col("cum_excl") <= F.col("budget_tokens"))
+        .select(cols)
+    )
+    return full_docs.unionByName(bnd_admit), b
+
+
 @register(
     "corpus_token_budget_select",
     oracle=_TOKEN_BUDGET_ORACLE,
@@ -1862,45 +1909,9 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_int"),
         )
     )
-    lvl = d.groupBy("source", "q_int").agg(
-        F.sum("n_tok").cast("long").alias("lvl_tok")
-    )
-    b = lvl.groupBy("source").agg(
-        F.floor(F.sum("lvl_tok") * 0.3).cast("long").alias("budget_tokens")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("q_int"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lv = (
-        lvl.join(b, "source")
-        .withColumn("cum_tok", F.sum("lvl_tok").over(w))
-        .withColumn("cum_excl", F.col("cum_tok") - F.col("lvl_tok"))
-    )
-    full = lv.filter(F.col("cum_tok") <= F.col("budget_tokens")).select(
-        "source", "q_int"
-    )
-    bnd = lv.filter(
-        (F.col("cum_excl") <= F.col("budget_tokens"))
-        & (F.col("cum_tok") > F.col("budget_tokens"))
-    ).select("source", "q_int", "cum_excl", "budget_tokens")
-    full_docs = d.join(F.broadcast(full), ["source", "q_int"]).select(
-        "source", "q_int", "n_tok"
-    )
-    # boundary window: one q_int per source, ~1/grid of the corpus
-    wb = Window.partitionBy("source", "q_int").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    bnd_admit = (
-        d.join(F.broadcast(bnd), ["source", "q_int"])
-        .withColumn("c", F.sum("n_tok").over(wb))
-        .filter(F.col("c") + F.col("cum_excl") <= F.col("budget_tokens"))
-        .select("source", "q_int", "n_tok")
-    )
+    admitted, b = _grid_budget_admitted(d, 0.3)
     return (
-        full_docs.unionByName(bnd_admit)
-        .groupBy("source")
+        admitted.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_selected"),
             F.sum("n_tok").cast("long").alias("tokens_selected"),
@@ -2223,42 +2234,8 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # p3: per-source token-budget selection over s2 (grid greedy — the
     # corpus_token_budget_select core, here returning the admitted docs)
     s2q = dq.join(s2, "doc_id", "left_semi")
-    lvl = s2q.groupBy("source", "q_int").agg(
-        F.sum("n_tok").cast("long").alias("lvl_tok")
-    )
-    bq = lvl.groupBy("source").agg(
-        F.floor(F.sum("lvl_tok") * 0.3).cast("long").alias("budget")
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy(F.desc("q_int"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    lv = (
-        lvl.join(bq, "source")
-        .withColumn("cum_tok", F.sum("lvl_tok").over(w))
-        .withColumn("cum_excl", F.col("cum_tok") - F.col("lvl_tok"))
-    )
-    full = lv.filter(F.col("cum_tok") <= F.col("budget")).select(
-        "source", "q_int"
-    )
-    bnd = lv.filter(
-        (F.col("cum_excl") <= F.col("budget"))
-        & (F.col("cum_tok") > F.col("budget"))
-    ).select("source", "q_int", "cum_excl", "budget")
-    wb = Window.partitionBy("source", "q_int").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sel = pin(
-        s2q.join(F.broadcast(full), ["source", "q_int"])
-        .select("doc_id", "n_tok")
-        .unionByName(
-            s2q.join(F.broadcast(bnd), ["source", "q_int"])
-            .withColumn("c", F.sum("n_tok").over(wb))
-            .filter(F.col("c") + F.col("cum_excl") <= F.col("budget"))
-            .select("doc_id", "n_tok")
-        )
-    )
+    admitted, _ = _grid_budget_admitted(s2q, 0.3)
+    sel = pin(admitted.select("doc_id", "n_tok"))
 
     def _stage(df, name):
         return df.agg(

@@ -335,3 +335,19 @@ def test_bfj_pipeline_has_no_cartesian(spark, sf_dir):
     only nested-loop allowed is the broadcast of one-row yield bounds."""
     plan = _plan(spark, sf_dir, "bfj_pipeline_manifest")
     assert "CartesianProduct" not in plan, plan[:3000]
+
+
+def test_curation_pipeline_no_cartesian_no_raw_doc_window(spark, sf_dir):
+    """The composed curation chain must stay bucketed end to end: no
+    CartesianProduct anywhere, and every Window runs over either the
+    tiny (source, level) frame or the boundary/keeper subsets — never
+    a corpus-wide sort (the sort under any Window must sit above a
+    join/aggregate, not directly on the documents scan)."""
+    plan = _plan(spark, sf_dir, "corpus_curation_pipeline")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan  # boundary/full-level joins
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line and "WindowExec" not in line:
+            below = "\n".join(lines[i : i + 6])
+            assert "FileScan" not in below, below

@@ -2266,3 +2266,93 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("stage", "n_docs", "n_tokens")
     )
     return p0.unionByName(p1).unionByName(p2).unionByName(p3).unionByName(p4)
+
+
+# ---------------------------------------------------------------------------
+# Cluster-quality evaluation: per-cell label purity
+# ---------------------------------------------------------------------------
+#
+# The evaluation loop every clustering deployment runs: how well do
+# the unsupervised cells align with a known labeling? Purity per cell
+# = majority-label share. The majority argmax must be tie-deterministic
+# for the cross-engine hash, so it is one max() over a packed integer
+# key (n * 1024 - label: count dominant, ties -> smaller label), the
+# same trick as the dedup keeper; labels are runtime-asserted into
+# [0, 1024) so the packing cannot silently corrupt.
+
+_PURITY_PACK = 1024
+
+_CELL_PURITY_ORACLE = (
+    "WITH "
+    + ", ".join(_kmeans_ctes())
+    + f"""
+, m AS (
+  SELECT a.cell, e.label, count(*) AS n
+  FROM a{_KM_ITERS} a JOIN embeddings e USING (vec_id)
+  GROUP BY 1, 2
+), per AS (
+  SELECT cell,
+         CAST(sum(n) AS BIGINT) AS cell_size,
+         max(n * {_PURITY_PACK} - label) AS pk
+  FROM m GROUP BY 1
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       cell_size,
+       CAST((pk + {_PURITY_PACK - 1}) // {_PURITY_PACK} AS BIGINT) AS majority_n,
+       CAST(-(pk - ((pk + {_PURITY_PACK - 1}) // {_PURITY_PACK}) * {_PURITY_PACK}) AS BIGINT)
+         AS majority_label,
+       round(CAST((pk + {_PURITY_PACK - 1}) // {_PURITY_PACK} AS DOUBLE) / cell_size, 6)
+         AS purity
+FROM per
+"""
+)
+
+
+@register(
+    "embedding_cell_purity",
+    oracle=_CELL_PURITY_ORACLE,
+    tags=("llm", "similarity"),
+)
+def embedding_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per k-means cell: size, majority label (packed-key argmax,
+    ties to the smaller label) and purity — the cluster-vs-labels
+    evaluation report (see block comment). 100 TB shape: assignment
+    is the driver-inlined-centroid projection, then ONE (cell, label)
+    map-combinable aggregate and one tiny per-cell reduce; nothing
+    shuffles vectors."""
+    from openmetrics_spark.llm.cluster import kmeans_assign
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    assigned = kmeans_assign(
+        emb, "vec_id", "embedding", k=_KM_K, iters=_KM_ITERS, dim=_KM_DIM
+    )
+    lab_guard = F.coalesce(
+        F.assert_true(
+            (F.col("label") >= 0) & (F.col("label") < _PURITY_PACK),
+            F.lit("label outside [0, 1024) breaks the purity packing"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    m = (
+        assigned.join(
+            emb.select(F.col("vec_id").alias("vid"), "label"), "vid"
+        )
+        .groupBy("cell", "label")
+        .agg((F.count(F.lit(1)) + F.max(lab_guard)).cast("long").alias("n"))
+    )
+    per = m.groupBy("cell").agg(
+        F.sum("n").cast("long").alias("cell_size"),
+        F.max(F.col("n") * _PURITY_PACK - F.col("label")).alias("pk"),
+    )
+    maj_n = F.floor((F.col("pk") + (_PURITY_PACK - 1)) / _PURITY_PACK).cast(
+        "long"
+    )
+    return per.select(
+        F.col("cell").cast("long").alias("cell"),
+        "cell_size",
+        maj_n.alias("majority_n"),
+        (-(F.col("pk") - maj_n * _PURITY_PACK)).cast("long").alias(
+            "majority_label"
+        ),
+        F.round(maj_n / F.col("cell_size"), 6).alias("purity"),
+    )

@@ -91,9 +91,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining r5-stale rows — after this window no query's newest
     # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
     # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). embedding_cell_purity (landed after the r9
-    # window froze, never driver-gated) leads the r10 queue, then the
-    # 24 r6 rows left for it:
+    # dedup tier, TPC-H). embedding_cell_purity and
+    # corpus_chunk_overlap (landed after the r9 window froze, never
+    # driver-gated) lead the r10 queue, then the 24 r6 rows left for
+    # it:
     # ann_ivf_kmeans_topk, bfj_merge_details_drops, corpus_bpe_encode,
     # ngram_jaccard_neardup, streaming_top_event_types,
     # upsert_mor_snapshot,

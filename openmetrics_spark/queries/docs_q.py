@@ -2356,3 +2356,64 @@ def embedding_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(maj_n / F.col("cell_size"), 6).alias("purity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sliding-window chunking with overlap (RAG/context prep)
+# ---------------------------------------------------------------------------
+#
+# corpus_pack_chunks packs documents INTO fixed token budgets; the
+# retrieval-side prep is the opposite cut: split each document into
+# fixed-size windows with overlap (stride < window) so no boundary
+# sentence is ever lost to a hard cut. The gate is content-level:
+# every chunk row carries the md5 of its space-joined tokens, so a
+# one-token drift at any window boundary flips the hash.
+
+_CHUNK_TOKENS = 32
+_CHUNK_STRIDE = 24  # 25% overlap
+
+_CHUNK_OVERLAP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+)
+SELECT doc_id,
+       CAST(s // {_CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(s AS BIGINT) AS start_tok,
+       CAST(len(tok[s+1 : s+{_CHUNK_TOKENS}]) AS BIGINT) AS n_in_chunk,
+       md5(array_to_string(tok[s+1 : s+{_CHUNK_TOKENS}], ' ')) AS chunk_md5
+FROM t, unnest(range(0, len(tok), {_CHUNK_STRIDE})) AS u(s)
+"""
+
+
+@register(
+    "corpus_chunk_overlap",
+    oracle=_CHUNK_OVERLAP_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window chunking: every document becomes
+    ceil(n_tok/stride) windows of up to 32 tokens sliding by 24, each
+    chunk hash-pinned by the md5 of its joined tokens (see block
+    comment). 100 TB shape: pure per-row array ops — tokenize once,
+    one explode of start offsets, no shuffle at all until a consumer
+    aggregates; output grows ~n_tokens/stride, the expected chunk
+    inflation."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", tokens("text").alias("tok"))
+    n = F.size("tok")
+    exploded = t.filter(n > 0).select(
+        "doc_id",
+        "tok",
+        F.explode(
+            F.sequence(F.lit(0), n - 1, F.lit(_CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice(F.col("tok"), F.col("s") + 1, _CHUNK_TOKENS)
+    return exploded.select(
+        "doc_id",
+        F.floor(F.col("s") / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("s").cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_in_chunk"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )

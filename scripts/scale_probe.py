@@ -239,6 +239,9 @@ def main() -> int:
     probes["curation_pipeline"] = lambda d: probe_composed(
         "corpus_curation_pipeline", _docs_mod, "documents", d
     )
+    probes["chunk_overlap"] = lambda d: probe_composed(
+        "corpus_chunk_overlap", _docs_mod, "documents", d
+    )
 
     # scale_join_strategies reads TWO tables; replicate both with the
     # SAME orderkey offset so each copy's lineitem still matches its
@@ -281,6 +284,7 @@ def main() -> int:
         "bfj_pipeline": (ev_full1, ev_fullN),
         "token_budget_select": (docs_full1, docs_fullN),
         "curation_pipeline": (docs_full1, docs_fullN),
+        "chunk_overlap": (docs_full1, docs_fullN),
         "scale_strategies": (
             {"lineitem": li_full1, "orders": o_full1},
             {

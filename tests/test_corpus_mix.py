@@ -570,3 +570,45 @@ def test_neardup_keep_best_quality_ties_and_nonmin_keeper(spark):
     # family 2: stopword-bearing 699 has the highest quality -> keeper
     # is NOT the min-id canonical (601)
     assert got[601][0] == 699 and got[601][1] == 3, got
+
+
+def test_chunk_overlap_coverage_invariants(spark, sf_dir):
+    """Every token index of every non-empty doc must be covered by at
+    least one chunk, consecutive chunks must overlap by exactly
+    window-stride (except a short tail), and chunk token counts must
+    re-sum to the documented inflation."""
+    from pyspark.sql import functions as F
+
+    from openmetrics_spark.llm.text import tokens
+    from openmetrics_spark.queries.docs_q import (
+        _CHUNK_STRIDE,
+        _CHUNK_TOKENS,
+        corpus_chunk_overlap,
+    )
+    from openmetrics_spark.tables import table
+
+    chunks = corpus_chunk_overlap(spark, sf_dir).collect()
+    n_tok = {
+        r.doc_id: r.n
+        for r in table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokens("text")).alias("n"))
+        .collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        n = n_tok[doc_id]
+        assert rows[0].start_tok == 0
+        covered = 0
+        for r in rows:
+            assert r.start_tok == r.chunk_idx * _CHUNK_STRIDE
+            assert r.start_tok < n
+            assert r.n_in_chunk == min(_CHUNK_TOKENS, n - r.start_tok)
+            covered = max(covered, r.start_tok + r.n_in_chunk)
+        assert covered == n, (doc_id, covered, n)
+        # chunk count = ceil(n / stride)
+        assert len(rows) == -(-n // _CHUNK_STRIDE), (doc_id, len(rows), n)
+    # every non-empty doc chunked
+    assert set(by_doc) == {d for d, n in n_tok.items() if n > 0}

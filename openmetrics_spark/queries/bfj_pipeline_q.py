@@ -45,7 +45,9 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from openmetrics_spark.operators.dedup import keep_first
+from openmetrics_spark.operators.enrich import add_latest_impressions
 from openmetrics_spark.operators.flat import (
+    clear_user_id,
     combine_delivery_logs,
     fix_delivery_log,
     flat_response_insertions,
@@ -54,7 +56,7 @@ from openmetrics_spark.operators.flat import (
     repoint_actions,
     to_tiny_actions,
 )
-from openmetrics_spark.operators.joins import Scope, inferred_join
+from openmetrics_spark.operators.joins import Scope, asof_join, inferred_join
 from openmetrics_spark.operators.validate import (
     validate_action,
     validate_delivery_log,
@@ -75,6 +77,7 @@ MIN10 = 10 * 60 * 1000
 MIN30 = 30 * 60 * 1000
 DAY = 24 * 60 * 60 * 1000
 REDUNDANT_TTL_MS = 5000
+LOOKBACK7D = 7 * DAY
 
 
 # ---------------------------------------------------------------------------
@@ -471,6 +474,185 @@ def _j(*cols: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# the FlatOutputJob TAIL (stages 20-22), shared batch + streaming
+# ---------------------------------------------------------------------------
+#
+# The reference does not stop at flat sessions: joinUserAndOutput
+# (FlatOutputJob.java:962-996) temporally joins user data onto the
+# joined output, AddLatestImpressions (:980-989) attaches the <=30/<=25
+# most recent prior impressions to every joined action, and
+# outputJoinedEvents strips the authenticated userId from all three
+# sinks (:1181-1188 via UserInfoUtil.clearUserId). These three stages
+# consume the SAME kept/merged/flat frames both manifests already gate,
+# so one helper serves batch and streaming under the shared oracle.
+
+
+def _user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Versioned user-profile fixture: every id%6==0 event emits a
+    profile snapshot at its event time; same-(user, ms) collisions
+    collapse deterministically to the max id. Mirrors the oracle's
+    ``uvers`` CTE."""
+    e = _events(spark, sf_dir)
+    return (
+        e.filter(F.col("id") % 6 == 0)
+        .groupBy("platform_id", "log_user_id", F.col("ms").alias("ver_ms"))
+        .agg(F.max("id").alias("__mid"))
+        .select(
+            "platform_id",
+            "log_user_id",
+            "ver_ms",
+            F.concat(F.lit("s"), (F.col("__mid") % 5).cast("string")).alias(
+                "seg"
+            ),
+        )
+    )
+
+
+def _ukey() -> Column:
+    return F.concat_ws(
+        "|", F.col("platform_id").cast("string"), F.col("log_user_id")
+    )
+
+
+def _tail_stages(
+    spark: SparkSession,
+    sf_dir: str,
+    kept: DataFrame,
+    merged: DataFrame,
+    flat_rows: DataFrame,
+) -> list[DataFrame]:
+    """Manifest stages 20-22 over the pipeline's own outputs (see block
+    comment). 100 TB: the as-of is the one-shuffle union+last_value
+    core (never a range join), AddLatestImpressions is the pair-free
+    bounded-explode form (O(actions x 30), hot-user-safe), and the PII
+    strip is a pure projection."""
+    # -- 20: user temporal join on the joined output (impressions +
+    # actions through ONE as-of pass, the TemporalJoinFunction core)
+    uev = (
+        kept.select(
+            "platform_id",
+            "log_user_id",
+            F.col("impression_id").alias("pk"),
+            F.col("impression_ms").alias("ms"),
+        )
+        .unionByName(
+            merged.select(
+                "platform_id",
+                "log_user_id",
+                F.col("tiny_id").alias("pk"),
+                F.col("action_ts").alias("ms"),
+            )
+        )
+        .withColumn("__lts", F.timestamp_millis("ms"))
+    )
+    uvers = _user_versions(spark, sf_dir).withColumn(
+        "__rts", F.timestamp_millis("ver_ms")
+    )
+    uj = pin(
+        asof_join(
+            uev,
+            uvers,
+            on=["platform_id", "log_user_id"],
+            left_ts="__lts",
+            right_ts="__rts",
+            right_cols=["seg", "ver_ms"],
+        ).select("pk", "seg", "ver_ms")
+    )
+
+    # -- 21: AddLatestImpressions on the joined actions
+    imp_in = kept.select(
+        _ukey().alias("u"),
+        "impression_id",
+        F.col("impression_ms").alias("imp_ms"),
+        "content_id",
+    )
+    act_in = merged.select(
+        _ukey().alias("u"),
+        F.col("tiny_id").alias("action_id"),
+        F.col("action_ts").alias("act_ms"),
+        F.substring_index("tiny_id", "~", -1).alias("content_id"),
+    )
+    li = pin(
+        add_latest_impressions(
+            imp_in,
+            act_in,
+            user_col="u",
+            content_col="content_id",
+            max_state=30,
+            max_output=25,
+            lookback_ms=LOOKBACK7D,
+        )
+    )
+
+    # -- 22: clearUserId before every sink — the authenticated id rides
+    # the rows at THREE nesting depths (top level, struct field, struct
+    # inside array); the checksum reads all three post-strip, and the
+    # oracle hard-codes '-' for each, so a skipped or shallow strip
+    # flips the stage. log_user_id must SURVIVE (the reference keeps it).
+    def mk(df: DataFrame, kind: str, pk_col: Column) -> DataFrame:
+        uid = F.concat(F.lit("U"), F.substring("log_user_id", 2, 100))
+        return df.select(
+            F.lit(kind).alias("kind"),
+            pk_col.alias("pk"),
+            "log_user_id",
+            uid.alias("user_id"),
+            F.struct(
+                uid.alias("user_id"),
+                F.col("log_user_id").alias("log_user_id"),
+            ).alias("user_info"),
+            F.array(F.struct(uid.alias("user_id"))).alias("nested"),
+        )
+
+    pii = pin(
+        clear_user_id(
+            mk(kept, "imp", F.col("impression_id"))
+            .unionByName(mk(merged, "act", F.col("tiny_id")))
+            .unionByName(
+                mk(
+                    flat_rows,
+                    "flat",
+                    F.concat(
+                        F.col("insertion_id"),
+                        F.lit(":"),
+                        F.col("session_start_ms").cast("string"),
+                    ),
+                )
+            )
+        )
+    )
+
+    return [
+        _stage(20, "user_joined", uj, _j(_nz("pk"), _nz("seg"), _nz("ver_ms"))),
+        _stage(
+            21,
+            "latest_impressions",
+            li,
+            _j(
+                _nz("action_id"),
+                _nz("rank"),
+                _nz("impression_id"),
+                _nz("content"),
+                _nz("gap_ms"),
+            ),
+        ),
+        _stage(
+            22,
+            "pii_stripped_outputs",
+            pii,
+            _j(
+                _nz("kind"),
+                _nz("pk"),
+                _nz("user_id"),
+                _nz(F.col("user_info.user_id")),
+                _nz(F.col("user_info.log_user_id")),
+                _nz(F.element_at(F.col("nested"), 1)["user_id"]),
+                _nz("log_user_id"),
+            ),
+        ),
+    ]
+
+
+# ---------------------------------------------------------------------------
 # the pipeline
 # ---------------------------------------------------------------------------
 
@@ -781,6 +963,7 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             attributed.select("action_id").distinct(),
             act_joined.select("action_id").distinct(),
         ),
+        *_tail_stages(spark, sf_dir, kept, merged, flat_rows),
     ]
 
 
@@ -1213,6 +1396,71 @@ flat AS MATERIALIZED (
          CAST(coalesce(sum(qty), 0) AS BIGINT) AS total_quantity
   FROM fs
   GROUP BY platform_id, log_user_id, insertion_id, sess
+),
+-- tail: user temporal join ---------------------------------------------------------------
+ujl AS (
+  SELECT platform_id, log_user_id, impression_id AS pk, impression_ms AS ms
+  FROM kept
+  UNION ALL
+  SELECT platform_id, log_user_id, tiny_id, action_ts FROM merged
+),
+uvers AS MATERIALIZED (
+  SELECT platform_id, log_user_id, ms AS ver_ms,
+         's' || CAST(max(id) % 5 AS VARCHAR) AS seg
+  FROM w WHERE id % 6 = 0
+  GROUP BY 1, 2, 3
+),
+user_joined AS MATERIALIZED (
+  SELECT l.pk, u.seg, u.ver_ms
+  FROM ujl l ASOF LEFT JOIN uvers u
+    ON l.platform_id = u.platform_id AND l.log_user_id = u.log_user_id
+   AND l.ms >= u.ver_ms
+),
+-- tail: AddLatestImpressions --------------------------------------------------------------
+li_imp AS (
+  SELECT CAST(platform_id AS VARCHAR) || '|' || log_user_id AS u,
+         impression_id, impression_ms AS imp_ms, content_id
+  FROM kept
+),
+li_act AS (
+  SELECT CAST(platform_id AS VARCHAR) || '|' || log_user_id AS u,
+         tiny_id AS action_id, action_ts AS act_ms,
+         split_part(tiny_id, '~', 2) AS content_id
+  FROM merged
+),
+li_fa AS (
+  SELECT u, content_id, min(act_ms) AS first_act_ms FROM li_act GROUP BY 1, 2
+),
+li_cand AS (
+  SELECT a.action_id, a.act_ms, a.u, i.impression_id, i.imp_ms, i.content_id,
+         row_number() OVER (PARTITION BY a.action_id
+           ORDER BY i.imp_ms DESC, i.impression_id DESC) AS r1
+  FROM li_act a JOIN li_imp i ON a.u = i.u
+   AND i.imp_ms < a.act_ms AND i.imp_ms >= a.act_ms - {LOOKBACK7D}
+),
+li_kept AS (
+  SELECT c.action_id, c.impression_id, c.content_id, c.act_ms, c.imp_ms,
+         row_number() OVER (PARTITION BY c.action_id
+           ORDER BY c.imp_ms DESC, c.impression_id DESC) AS rnk
+  FROM li_cand c
+  LEFT JOIN li_fa fa ON fa.u = c.u AND fa.content_id = c.content_id
+  WHERE c.r1 <= 30
+    AND (fa.first_act_ms IS NULL OR fa.first_act_ms > c.act_ms)
+),
+latest_imps AS MATERIALIZED (
+  SELECT action_id, CAST(rnk AS BIGINT) AS rank, impression_id,
+         content_id AS content, act_ms - imp_ms AS gap_ms
+  FROM li_kept WHERE rnk <= 25
+),
+-- tail: clearUserId before every sink ------------------------------------------------------
+pii AS MATERIALIZED (
+  SELECT 'imp' AS kind, impression_id AS pk, log_user_id FROM kept
+  UNION ALL
+  SELECT 'act', tiny_id, log_user_id FROM merged
+  UNION ALL
+  SELECT 'flat', insertion_id || ':' || CAST(session_start_ms AS VARCHAR),
+         log_user_id
+  FROM flat
 )
 """
     stages = [
@@ -1277,6 +1525,15 @@ SELECT CAST(19 AS BIGINT), 'yield_action_bp',
             ELSE (SELECT count(DISTINCT action_id) FROM attributed) * 10000
                  // (SELECT count(DISTINCT action_id) FROM act_joined)
             END AS BIGINT), CAST(0 AS BIGINT)""",
+        _stage_sql(20, "user_joined", "user_joined",
+                   j(s("pk"), nz.format(c=s("seg")),
+                     nz.format(c=s("ver_ms")))),
+        _stage_sql(21, "latest_impressions", "latest_imps",
+                   j(s("action_id"), s("rank"), s("impression_id"),
+                     s("content"), s("gap_ms"))),
+        _stage_sql(22, "pii_stripped_outputs", "pii",
+                   j(s("kind"), s("pk"), "'-'", "'-'", s("log_user_id"),
+                     "'-'", s("log_user_id"))),
     ]
     return body + "\nUNION ALL\n".join(stages)
 

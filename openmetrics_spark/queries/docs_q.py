@@ -1950,6 +1950,21 @@ def corpus_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cross-engine hash gate cannot catch — so it must fail loudly instead.
 _KEY_BASE = 1 << 44
 
+
+def _guarded_packed_key(q_int_col, doc_id_col):
+    """(1000 - q_int) * 2^44 + doc_id, with the per-row overflow
+    assert riding the expression (NULL -> +0 on success, loud runtime
+    error on an id that would corrupt the quality bits — the one
+    failure class the cross-engine hash gate cannot catch)."""
+    id_guard = F.coalesce(
+        F.assert_true(
+            doc_id_col < F.lit(_KEY_BASE),
+            F.lit("doc_id >= 2^44 overflows the packed quality key"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    return (F.lit(1000) - q_int_col) * F.lit(_KEY_BASE) + doc_id_col + id_guard
+
 _KEEP_BEST_ORACLE = f"""
 WITH RECURSIVE {_JACCARD_CTES}, edges AS (
   SELECT doc_a, doc_b FROM scored WHERE jaccard >= 0.5
@@ -2029,22 +2044,11 @@ def neardup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         F.col("id").alias("doc_id"),
     ).join(dq, "doc_id")
-    # the assert_true rides the key expression (NULL on success, loud
-    # runtime error on an id that would overflow into the quality bits)
-    id_guard = F.coalesce(
-        F.assert_true(
-            F.col("doc_id") < F.lit(_KEY_BASE),
-            F.lit("doc_id >= 2^44 overflows the packed quality key"),
-        ).cast("long"),
-        F.lit(0),
-    )
     agg = m.groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("cluster_size"),
         F.sum("n_tok").cast("long").alias("total_tok"),
         F.min(
-            (F.lit(1000) - F.col("q_int")) * F.lit(_KEY_BASE)
-            + F.col("doc_id")
-            + id_guard
+            _guarded_packed_key(F.col("q_int"), F.col("doc_id"))
         ).alias("min_key"),
     )
     # decode with exact integer arithmetic only: (min_key - mod) is an
@@ -2148,22 +2152,22 @@ WITH RECURSIVE {_JACCARD_CTES}, edges AS (
 )
 SELECT 'p0_input' AS stage,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
 FROM dq
 UNION ALL
 SELECT 'p1_neardup_keep_best',
        CAST(count(*) AS BIGINT),
-       CAST(sum(dq.n_tok) AS BIGINT)
+       CAST(coalesce(sum(dq.n_tok), 0) AS BIGINT)
 FROM s1 JOIN dq USING (doc_id)
 UNION ALL
 SELECT 'p2_exact_dedup',
        CAST(count(*) AS BIGINT),
-       CAST(sum(dq.n_tok) AS BIGINT)
+       CAST(coalesce(sum(dq.n_tok), 0) AS BIGINT)
 FROM s2 JOIN dq USING (doc_id)
 UNION ALL
 SELECT 'p3_budget_select',
        CAST(count(*) AS BIGINT),
-       CAST(sum(n_tok) AS BIGINT)
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
 FROM sel
 UNION ALL
 SELECT 'p4_shard_' || CAST({_PIPE_SHARD_GATE} % {_PIPE_SHARDS} AS VARCHAR),
@@ -2214,8 +2218,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cid")
         .agg(
             F.min(
-                (F.lit(1000) - F.col("q_int")) * F.lit(_KEY_BASE)
-                + F.col("doc_id")
+                _guarded_packed_key(F.col("q_int"), F.col("doc_id"))
             ).alias("min_key")
         )
         .select((F.col("min_key") % F.lit(_KEY_BASE)).cast("long").alias("doc_id"))

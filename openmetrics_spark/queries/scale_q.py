@@ -33,6 +33,7 @@ identically regardless of partial-agg order.
 from __future__ import annotations
 
 import atexit
+import itertools
 import os
 import shutil
 import tempfile
@@ -53,6 +54,22 @@ _SCRATCH_ROOT = os.path.join(
     tempfile.gettempdir(), f"omx_scale_q_{os.getpid()}"
 )
 atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+
+# Catalog hygiene: saveAsTable registers session-catalog entries; a
+# pid-keyed name alone collides across concurrent SparkSessions in one
+# process and nothing would unregister it (the atexit above removes
+# only files). Every call gets a fresh nonce, and each new call drops
+# the catalog entries its predecessors registered (an already-analyzed
+# spark.table() DataFrame keeps its resolved relation, and DROP TABLE
+# on an external table leaves the parquet files in place, so dropping
+# is safe even if a prior result frame is still around).
+_CALL_SEQ = itertools.count()
+_LIVE_TABLES: list[str] = []
+
+
+def _drop_registered(spark: SparkSession) -> None:
+    while _LIVE_TABLES:
+        spark.sql(f"DROP TABLE IF EXISTS {_LIVE_TABLES.pop()}")
 
 _CUTOFF = "1996-01-01 00:00:00"
 _N_BUCKETS = 8
@@ -112,12 +129,14 @@ def _bucketed_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ``merge`` hint pins SortMergeJoin so the broadcast planner
     can't paper over a bucketing regression at test scale."""
     li, o = _fact_sides(spark, sf_dir)
-    tag = f"omx_scale_{os.getpid()}"
+    _drop_registered(spark)
+    tag = f"omx_scale_{os.getpid()}_{next(_CALL_SEQ)}"
     li_name, o_name = f"{tag}_li", f"{tag}_o"
+    _LIVE_TABLES.extend([li_name, o_name])
     write_bucketed(
         li,
         li_name,
-        os.path.join(_SCRATCH_ROOT, "li"),
+        os.path.join(_SCRATCH_ROOT, f"{tag}_li"),
         ["l_orderkey"],
         _N_BUCKETS,
         sort_cols=["l_orderkey"],
@@ -125,7 +144,7 @@ def _bucketed_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_bucketed(
         o,
         o_name,
-        os.path.join(_SCRATCH_ROOT, "o"),
+        os.path.join(_SCRATCH_ROOT, f"{tag}_o"),
         ["o_orderkey"],
         _N_BUCKETS,
         sort_cols=["o_orderkey"],

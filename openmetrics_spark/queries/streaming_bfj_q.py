@@ -87,6 +87,7 @@ from openmetrics_spark.queries.bfj_pipeline_q import (
     _j,
     _nz,
     _stage,
+    _tail_stages,
     _yield_bp,
 )
 from openmetrics_spark.queries.streaming_q import (
@@ -728,6 +729,10 @@ def _run_streaming_pipeline(
             attributed.select("action_id").distinct(),
             act_joined.select("action_id").distinct(),
         ),
+        # the FlatOutputJob tail (user temporal join, AddLatest-
+        # Impressions, clearUserId) over the SAME drained frames —
+        # shared with the batch manifest, gated by the shared oracle
+        *_tail_stages(spark, sf_dir, kept, merged, flat_rows),
     ]
 
 

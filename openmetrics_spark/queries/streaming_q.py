@@ -1655,3 +1655,260 @@ def streaming_bloom_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("has_orders"), F.lit(False)).alias("has_orders"),
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Production-TTL inferred join — bounded state, eviction under the gate
+# ---------------------------------------------------------------------------
+#
+# Every other streaming twin achieves exact batch parity by retaining
+# left candidates for the whole bounded replay. Production cannot: the
+# reference bounds the same state by SUMMED join-window cleanup delays
+# (FlatOutputJob.java:808-882) and accepts the consequence — an
+# explicit reference pointing at state older than the TTL joins
+# NOTHING and the row leaves unmatched (the etl_side drop channels).
+# This query gates exactly those semantics on the impression→action
+# join shape (explicit FK with unbounded reach + content-scope
+# fallback, window [-10 m, 0]):
+#
+# - event time is COMPRESSED to a ≲4 h window (ms2 = lo + (ms-lo) DIV
+#   K, K derived from the span identically in both engines) and the
+#   replay is cut into 8 30-min slices, so the watermark tracks event
+#   time the way a live stream's does instead of jumping half the
+#   span at one boundary;
+# - the join runs with ttl_floor=True and TTL = 45 min: the TTL
+#   exceeds the inference window (10 m) plus the worst decision
+#   latency (one slice + delay ≈ 30 m), so windowed inference is
+#   UNAFFECTED — exactly the reference's guarantee when it sizes
+#   cleanup as the SUM of join windows — while FK references reaching
+#   further than the TTL are genuinely dropped;
+# - the DuckDB oracle MODELS the eviction: on the deterministic slice
+#   grid the watermark sequence is computable (W_b = max staged input
+#   ms2 in slices < b, minus delay, plus the end-of-stream flush), a
+#   right row decides at the first W_b above its timestamp, and a
+#   candidate is visible iff l.ms2 >= decision_wm - TTL — the pure-wm
+#   floor ttl_floor guarantees. fk_dropped pins the drop population
+#   row by row.
+
+_TTL_MS = 2_700_000          # 45 min candidate TTL (summed budget)
+_TTL_BEFORE_MS = 600_000     # content-scope inference window
+_TTL_DELAY_MS = 2000
+_TTL_FLUSH_MS = 10_000       # end-of-stream flush offset (not far-future)
+_TTL_SLICE_MS = 1_800_000    # 30 min replay slices
+_TTL_N_SLICES = 8
+_TTL_TARGET_SPAN = _TTL_SLICE_MS * _TTL_N_SLICES  # compress span to <= this
+
+_TTL_JOIN_ORACLE = f"""
+WITH span AS (
+  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
+),
+kdiv AS (
+  SELECT lo, (hi - lo) // {_TTL_TARGET_SPAN} + 1 AS k FROM span
+),
+base AS (
+  SELECT e.event_id AS id, e.user_id, e.event_type,
+         kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k AS ms,
+         last_value(CASE WHEN e.event_type = 'click'
+                         THEN 'm' || CAST(e.event_id AS VARCHAR)
+                    END IGNORE NULLS) OVER w AS prev_imp,
+         last_value(CASE WHEN e.event_type = 'click'
+                         THEN 'c' || CAST(e.event_id % 40 AS VARCHAR)
+                    END IGNORE NULLS) OVER w AS prev_content
+  FROM events e, kdiv kd
+  WINDOW w AS (PARTITION BY e.user_id
+               ORDER BY kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+lefts AS (
+  SELECT user_id, id, ms, 'm' || CAST(id AS VARCHAR) AS impression_id,
+         'c' || CAST(id % 40 AS VARCHAR) AS content_id
+  FROM base WHERE event_type = 'click'
+),
+rights AS (
+  SELECT user_id, id, ms,
+         CASE WHEN id % 2 = 0 THEN prev_imp END AS fk,
+         coalesce(prev_content, 'c' || CAST(id % 40 AS VARCHAR)) AS content_id
+  FROM base WHERE event_type = 'purchase'
+),
+inp AS (
+  SELECT i.ms,
+         least({_TTL_N_SLICES - 1}, (i.ms - s.lo) // {_TTL_SLICE_MS}) AS sl
+  FROM (SELECT ms FROM lefts UNION ALL SELECT ms FROM rights) i, span s
+),
+wt AS (
+  SELECT t.i, max(p.ms) - {_TTL_DELAY_MS} AS wv
+  FROM range(1, {_TTL_N_SLICES + 1}) t(i) JOIN inp p ON p.sl < t.i
+  GROUP BY t.i
+  UNION ALL
+  SELECT {_TTL_N_SLICES + 1},
+         (SELECT max(ms) FROM inp) + {_TTL_FLUSH_MS} - {_TTL_DELAY_MS}
+),
+rdec AS (
+  SELECT r.*, (SELECT min(wv) FROM wt WHERE wv > r.ms) AS dec_wm
+  FROM rights r
+),
+fkm AS (
+  SELECT d.id, l.id AS lid, l.ms AS lms,
+         row_number() OVER (PARTITION BY d.id
+           ORDER BY l.ms, l.impression_id) AS rn
+  FROM rdec d JOIN lefts l
+    ON l.user_id = d.user_id AND l.impression_id = d.fk
+   AND l.ms >= d.dec_wm - {_TTL_MS}
+  WHERE d.fk IS NOT NULL
+),
+fk1 AS (SELECT id, lid, lms FROM fkm WHERE rn = 1),
+rem AS (SELECT * FROM rdec WHERE id NOT IN (SELECT id FROM fk1)),
+scm AS (
+  SELECT d.id, l.id AS lid, l.ms AS lms,
+         row_number() OVER (PARTITION BY d.id
+           ORDER BY abs(l.ms - d.ms), l.ms, l.impression_id) AS rn
+  FROM rem d JOIN lefts l
+    ON l.user_id = d.user_id AND l.content_id = d.content_id
+   AND l.ms BETWEEN d.ms - {_TTL_BEFORE_MS} AND d.ms
+   AND l.ms >= d.dec_wm - {_TTL_MS}
+),
+sc1 AS (SELECT id, lid, lms FROM scm WHERE rn = 1),
+m AS (SELECT * FROM fk1 UNION ALL SELECT * FROM sc1)
+SELECT r.id AS action_id, r.user_id, r.ms AS act_ms,
+       m.lid AS matched_click, m.lms AS click_ms,
+       CAST((r.fk IS NOT NULL AND m.lid IS NULL) AS BIGINT) AS fk_dropped
+FROM rights r LEFT JOIN m ON r.id = m.id
+"""
+
+
+@register(
+    "streaming_ttl_inferred_join",
+    oracle=_TTL_JOIN_ORACLE,
+    tags=("streaming", "join", "scale"),
+)
+def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inferred-reference join under PRODUCTION state budgeting:
+    45 min candidate TTL with evict-before-decide semantics
+    (``ttl_floor=True``) over a compressed-time 8-slice replay, so
+    windowed inference survives (TTL > window + decision latency, the
+    reference's summed-budget guarantee) while long-reach explicit FKs
+    are genuinely dropped — and the oracle models every eviction (see
+    block comment; reference FlatOutputJob.java:808-882). 100 TB:
+    state per key is bounded by TTL x arrival rate — the steady-state
+    budget the reference runs with — instead of the replay span the
+    parity twins use."""
+    from pyspark.sql import Window
+
+    from openmetrics_spark.streaming.stateful import stream_inferred_join
+
+    work = _workdir("ttl_join")
+    lo, hi = _events_span(spark, sf_dir)
+    k = (hi - lo) // _TTL_TARGET_SPAN + 1
+    e = table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr(f"{lo} + (unix_millis(ts) - {lo}) DIV {k}").alias("ms"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = e.withColumn(
+        "prev_imp",
+        F.last(
+            F.when(
+                F.col("event_type") == "click",
+                F.concat(F.lit("m"), F.col("event_id")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    ).withColumn(
+        "prev_content",
+        F.last(
+            F.when(
+                F.col("event_type") == "click",
+                F.concat(F.lit("c"), F.col("event_id") % 40),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+    lefts = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("lid"),
+        "ms",
+        F.concat(F.lit("m"), F.col("event_id")).alias("impression_id"),
+        F.concat(F.lit("c"), F.col("event_id") % 40).alias("content_id"),
+        F.timestamp_millis("ms").alias("ts"),
+    )
+    rights = base.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("rid"),
+        "ms",
+        F.when(F.col("event_id") % 2 == 0, F.col("prev_imp")).alias(
+            "impression_id"
+        ),
+        F.coalesce(
+            "prev_content", F.concat(F.lit("c"), F.col("event_id") % 40)
+        ).alias("content_id"),
+        F.timestamp_millis("ms").alias("ts"),
+    )
+    boundaries = [lo + i * _TTL_SLICE_MS for i in range(1, _TTL_N_SLICES)]
+    pl, pr = os.path.join(work, "l"), os.path.join(work, "r")
+    _restage(spark, lefts, pl, "ms", boundaries)
+    _restage(spark, rights, pr, "ms", boundaries)
+    # end-of-stream flush rides the LEFT dir as a key=-1 candidate: a
+    # NEAR-future sentinel (max staged input + 10 s, not the far-future
+    # constant) so the final flush watermark — and the TTL floor the
+    # tail decisions see — stays modellable and non-degenerate
+    hi2 = int(lefts.select(F.max("ms")).first()[0] or 0)
+    hi2 = max(hi2, int(rights.select(F.max("ms")).first()[0] or 0))
+    literal_df(
+        spark,
+        [(-1, -1, hi2 + _TTL_FLUSH_MS, "zz", "zz")],
+        "user_id LONG, lid LONG, ms LONG, impression_id STRING, content_id STRING",
+    ).select(
+        "user_id",
+        "lid",
+        "ms",
+        "impression_id",
+        "content_id",
+        F.timestamp_millis("ms").alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(pl)
+
+    j = stream_inferred_join(
+        _stream(spark, pl),
+        _stream(spark, pr),
+        user_col="user_id",
+        left_id_col="lid",
+        right_id_col="rid",
+        left_ts_col="ts",
+        right_ts_col="ts",
+        scopes=(("content_id",),),
+        fk_col="impression_id",
+        window_before_ms=_TTL_BEFORE_MS,
+        window_after_ms=0,
+        delay_ms=_TTL_DELAY_MS,
+        right_outer=True,
+        left_retention_ms=_TTL_MS,
+        ttl_floor=True,
+    )
+    out = os.path.join(work, "out")
+    with _stream_shuffle_partitions(spark):
+        _drain(j, out, os.path.join(work, "_chk", "out"))
+    res = spark.read.parquet(out).filter(
+        ~F.col("late") & (F.col("u") >= 0)
+    )
+    return res.join(
+        rights.select(
+            F.col("rid").alias("right_id"),
+            F.col("impression_id").alias("__fk"),
+        ),
+        "right_id",
+        "left",
+    ).select(
+        F.col("right_id").alias("action_id"),
+        F.col("u").alias("user_id"),
+        F.col("right_ms").alias("act_ms"),
+        F.col("left_id").alias("matched_click"),
+        F.col("left_ms").alias("click_ms"),
+        (F.col("__fk").isNotNull() & F.col("left_id").isNull())
+        .cast("long")
+        .alias("fk_dropped"),
+    )

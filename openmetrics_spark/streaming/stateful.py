@@ -227,6 +227,7 @@ def stream_inferred_join(
     fk_col: str | None = None,
     content_col: str | None = None,
     left_retention_ms: int | None = None,
+    ttl_floor: bool = False,
 ) -> DataFrame:
     """Streaming inferred-reference join — the transformWithState twin
     of ``operators.joins.inferred_join`` and the Spark port of the
@@ -279,6 +280,19 @@ def stream_inferred_join(
     rows), so exact batch parity on FK-bearing streams needs retention
     ≥ the FK reach — the reference sizes the same state by the join
     TTL, not the inference window (FlatOutputJob.java:808-882).
+
+    ``ttl_floor=True`` switches to the PRODUCTION eviction semantics:
+    candidates are evicted strictly by event-time TTL — at the top of
+    every invocation, before any decision, every left row older than
+    ``watermark - retention`` is dropped (the reference's summed
+    cleanup-delay timers, FlatOutputJob.java:808-882: state cleanup
+    fires at its TTL regardless of whether a joiner is still pending).
+    A right row whose explicit FK points at an evicted ancestor falls
+    through the scope walk and, failing that, emits unmatched — the
+    TTL-drop population the reference routes to its etl_side outputs.
+    The floor is a pure function of the invocation watermark (never of
+    the pending set), which is what makes the eviction semantics
+    oracle-modellable batch-exactly on a staged replay.
     """
     import pandas as pd  # noqa: F401
 
@@ -359,6 +373,13 @@ def stream_inferred_join(
             vj, pj = state.get
             views, pending = json.loads(vj), json.loads(pj)
         wm = state.getCurrentWatermarkMs()
+        if ttl_floor:
+            # production TTL: evict BEFORE decisions with the pure
+            # watermark floor — never the pending-dependent one — so a
+            # decision at watermark W sees exactly the state a TTL
+            # timer would have left alive (and the oracle can model
+            # availability as l.ms >= W_decision - retention)
+            views = [v for v in views if v[0] >= wm - retention]
         for pdf in pdf_iter:
             for row in pdf.itertuples(index=False):
                 sc = [
@@ -424,8 +445,9 @@ def stream_inferred_join(
                 out.append((cid, key[0], cms, best[1], best[0], False))
             elif right_outer:
                 out.append((cid, key[0], cms, None, None, False))
-        floor = min([wm] + [c[0] for c in pending]) - retention
-        views = [v for v in views if v[0] >= floor]
+        if not ttl_floor:
+            floor = min([wm] + [c[0] for c in pending]) - retention
+            views = [v for v in views if v[0] >= floor]
         if pending:
             state.setTimeoutTimestamp(min(c[0] for c in pending) + after + 1)
         if views or pending:

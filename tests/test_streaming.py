@@ -676,3 +676,32 @@ def test_stream_inferred_join_late_side_output(spark, tmp_path):
     rows = {r["right_id"]: (r["left_id"], r["late"]) for r in got.collect()}
     assert rows[11] == (10, False)   # on-time click joined to its view
     assert rows[13] == (None, True)  # late click -> side channel
+
+
+def test_streaming_ttl_inferred_join_semantics(spark, sf_dir):
+    """The production-TTL join's eviction semantics, as invariants:
+    the drop population is non-empty AND every FK match/drop respects
+    the TTL arithmetic (a match's reach is < TTL; a drop's reach
+    exceeds TTL minus the worst decision latency)."""
+    from openmetrics_spark.queries.streaming_q import (
+        _TTL_MS,
+        streaming_ttl_inferred_join,
+    )
+
+    df = streaming_ttl_inferred_join(spark, sf_dir).cache()
+    n = df.count()
+    matched = df.filter(F.col("matched_click").isNotNull())
+    dropped = df.filter(F.col("fk_dropped") == 1)
+    assert n > 0
+    assert matched.count() > 0, "TTL gate vacuous: nothing matched"
+    assert dropped.count() > 0, "TTL gate vacuous: nothing dropped"
+    # every match's reach is bounded by the TTL: availability floor is
+    # dec_wm - TTL and dec_wm > act_ms, so act_ms - click_ms < TTL
+    too_far = matched.filter(
+        F.col("act_ms") - F.col("click_ms") >= _TTL_MS
+    ).count()
+    assert too_far == 0
+    # (that drops happen ONLY for distant references is pinned by the
+    # DuckDB oracle's eviction model in the driver gate — the output
+    # frame deliberately does not re-expose the evicted target's time)
+    df.unpersist()

@@ -1838,21 +1838,30 @@ GROUP BY 1, 2
 """
 
 
-def _grid_budget_admitted(d: DataFrame, frac: float) -> tuple[DataFrame, DataFrame]:
+def _grid_budget_admitted(
+    d: DataFrame, frac: float, budgets: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
     """The grid-bounded greedy admission core shared by
-    corpus_token_budget_select and corpus_curation_pipeline: over
-    ``d(doc_id, source, n_tok, q_int)``, admit the quality-descending
-    (doc_id tie-break) prefix of each source until ``frac`` of its
-    tokens are spent. Returns ``(admitted(doc_id, source, q_int,
-    n_tok), budgets(source, budget_tokens))``. Fully-admitted quality
-    levels resolve on the tiny (source, level) frame; only the single
-    boundary level per source flows through a doc_id-ordered window."""
+    corpus_token_budget_select, corpus_curation_pipeline and
+    corpus_incremental_admit: over ``d(doc_id, source, n_tok,
+    q_int)``, admit the quality-descending (doc_id tie-break) prefix
+    of each source until ``frac`` of its tokens are spent — or, when
+    ``budgets(source, budget_tokens)`` is given, until that EXPLICIT
+    per-source budget is spent (the incremental shape: the remaining
+    standing budget, not a fraction of the incoming batch). Returns
+    ``(admitted(doc_id, source, q_int, n_tok), budgets(source,
+    budget_tokens))``. Fully-admitted quality levels resolve on the
+    tiny (source, level) frame; only the single boundary level per
+    source flows through a doc_id-ordered window."""
     lvl = d.groupBy("source", "q_int").agg(
         F.sum("n_tok").cast("long").alias("lvl_tok")
     )
-    b = lvl.groupBy("source").agg(
-        F.floor(F.sum("lvl_tok") * frac).cast("long").alias("budget_tokens")
-    )
+    if budgets is None:
+        b = lvl.groupBy("source").agg(
+            F.floor(F.sum("lvl_tok") * frac).cast("long").alias("budget_tokens")
+        )
+    else:
+        b = budgets.select("source", "budget_tokens")
     w = (
         Window.partitionBy("source")
         .orderBy(F.desc("q_int"))
@@ -2419,4 +2428,280 @@ def corpus_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s").cast("long").alias("start_tok"),
         F.size(chunk).cast("long").alias("n_in_chunk"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental curation admission: a new batch vs the STANDING corpus
+# ---------------------------------------------------------------------------
+#
+# The r9 curation pipeline is one-shot; the operational shape at
+# 100 TB is a new document batch arriving against an EXISTING curated
+# corpus. Even doc_ids play the standing corpus, odd the incoming
+# batch. The batch flows through the standing state:
+#   p1  exact dedup against the existing md5 set (a bloom/set probe
+#       at scale — never recomputes the corpus);
+#   p2  near-dup check against the STANDING LSH band index (the
+#       minhash_incremental_pairs asymmetric probe: per-batch cost
+#       linear in the batch, the existing side a persisted index);
+#   p3  token-budget admission against the REMAINING standing budget:
+#       the corpus-wide target is 30% of total tokens, the existing
+#       corpus's own greedy run already consumed C_s per source, and
+#       the arriving batch grows the pie — so the batch competes for
+#       floor(0.3 * (T_existing + T_surviving_batch)) - C_s, in
+#       quality order, through the same grid-bounded admission core;
+#   p4  deterministic shard assignment for the admitted docs (the
+#       corpus_curation_pipeline hash).
+# rem_<source> rows pin the remaining-budget arithmetic itself;
+# src_<source> rows pin the per-source admission. The DuckDB oracle
+# replays the FULL standing state (existing admission, band index,
+# budget ledger) relationally.
+
+_INCR_ADMIT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), d AS (
+  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
+         {_BUDGET_SQL_QINT} AS q_int
+  FROM t
+), de AS (SELECT * FROM d WHERE doc_id % 2 = 0),
+db AS (SELECT * FROM d WHERE doc_id % 2 = 1),
+be AS (
+  SELECT source, CAST(floor(0.3 * sum(n_tok)) AS BIGINT) AS budget_e
+  FROM de GROUP BY 1
+), ce AS (
+  SELECT de.*, be.budget_e,
+         sum(n_tok) OVER (PARTITION BY de.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM de JOIN be USING (source)
+), consumed AS (
+  SELECT source, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS c_tok
+  FROM ce WHERE cum_tok <= budget_e GROUP BY source
+),
+s1 AS (
+  SELECT db.* FROM db JOIN t USING (doc_id)
+  WHERE md5(t.text) NOT IN
+        (SELECT md5(t2.text) FROM t t2 WHERE t2.doc_id % 2 = 0)
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= 3
+), sig AS (
+  SELECT doc_id, sh,
+         list_transform(range(16),
+           i -> list_min(list_transform(sh, x -> {_MH_HASH}))) AS sg
+  FROM g
+), banded AS (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(4), b ->
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' ||
+             array_to_string(sg[(b*4+1):(b*4+4)], '_')), 1, 15)) AS BIGINT)
+         )) AS bk
+  FROM sig
+), ndp AS (
+  SELECT DISTINCT i.doc_id AS incoming_id, e.doc_id AS existing_id
+  FROM banded i JOIN banded e USING (bk)
+  WHERE i.doc_id IN (SELECT doc_id FROM s1) AND e.doc_id % 2 = 0
+), nds AS (
+  SELECT incoming_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS j
+  FROM ndp
+  JOIN g a ON a.doc_id = incoming_id
+  JOIN g b ON b.doc_id = existing_id
+), ndrej AS (SELECT DISTINCT incoming_id AS doc_id FROM nds WHERE j >= 0.5),
+s2 AS (
+  SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM ndrej)
+),
+tot AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS t_all
+  FROM (SELECT source, n_tok FROM de
+        UNION ALL SELECT source, n_tok FROM s2)
+  GROUP BY 1
+), remb AS (
+  SELECT tot.source,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor(0.3 * t_all) AS BIGINT)
+                  - coalesce(c.c_tok, 0)) AS rem_tokens
+  FROM tot LEFT JOIN consumed c USING (source)
+), adm AS (
+  SELECT s2.*, r.rem_tokens,
+         sum(n_tok) OVER (PARTITION BY s2.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s2 JOIN remb r USING (source)
+), admitted AS (SELECT * FROM adm WHERE cum_tok <= rem_tokens)
+SELECT 'p0_batch' AS stage,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens
+FROM db
+UNION ALL
+SELECT 'p1_exact_survivors', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+FROM s1
+UNION ALL
+SELECT 'p2_neardup_survivors', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+FROM s2
+UNION ALL
+SELECT 'p3_admitted', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+FROM admitted
+UNION ALL
+SELECT 'rem_' || source, CAST(0 AS BIGINT), rem_tokens FROM remb
+UNION ALL
+SELECT 'src_' || source, CAST(count(*) AS BIGINT),
+       CAST(sum(n_tok) AS BIGINT)
+FROM admitted GROUP BY source
+UNION ALL
+SELECT 'p4_shard_' || CAST({_PIPE_SHARD_GATE} % {_PIPE_SHARDS} AS VARCHAR),
+       CAST(count(*) AS BIGINT), CAST(sum(n_tok) AS BIGINT)
+FROM admitted GROUP BY 1
+"""
+
+
+@register(
+    "corpus_incremental_admit",
+    oracle=_INCR_ADMIT_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def corpus_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental curation admission: the odd-id batch dedupes
+    (exact, then asymmetric LSH) against the even-id STANDING corpus,
+    competes for the remaining standing token budget in quality order,
+    and gets shard assignments — one per-stage manifest with the
+    remaining-budget ledger pinned per source (see block comment).
+    100 TB: the existing side contributes a persisted md5 set, a
+    persisted band index and a per-source (budget, consumed) ledger —
+    per-batch cost is linear in the batch; admission reuses the
+    grid-bounded core (broadcast levels, one boundary window)."""
+    from openmetrics_spark.llm.dedup import minhash_incremental_pairs
+
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = pin(docs.select("doc_id", "source", "text", tokens("text").alias("tok")))
+    d = pin(
+        t.select(
+            "doc_id",
+            "source",
+            token_count(F.col("tok")).alias("n_tok"),
+            F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_int"),
+        )
+    )
+    de = d.filter(F.col("doc_id") % 2 == 0)
+    db = d.filter(F.col("doc_id") % 2 == 1)
+
+    # standing state: what the existing corpus's own greedy run consumed
+    adm_e, _be = _grid_budget_admitted(de, 0.3)
+    consumed = adm_e.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("c_tok")
+    )
+
+    # p1: exact dedup against the standing md5 set
+    eh = (
+        t.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("__h"))
+        .distinct()
+    )
+    s1 = pin(
+        db.join(t.select("doc_id", F.md5("text").alias("__h")), "doc_id")
+        .join(eh, "__h", "left_anti")
+        .drop("__h")
+    )
+
+    # p2: near-dup against the standing LSH band index
+    nd = minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.join(s1.select("doc_id"), "doc_id", "left_semi"),
+        "doc_id",
+        "text",
+        n=3,
+        num_hashes=16,
+        bands=4,
+        threshold=0.5,
+    )
+    s2 = pin(
+        s1.join(
+            nd.select(F.col("incoming_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        )
+    )
+
+    # p3: remaining standing budget per source (pie grows with the batch)
+    tot = (
+        de.select("source", "n_tok")
+        .unionByName(s2.select("source", "n_tok"))
+        .groupBy("source")
+        .agg(F.sum("n_tok").cast("long").alias("t_all"))
+    )
+    remb = pin(
+        tot.join(consumed, "source", "left").select(
+            "source",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.floor(F.col("t_all") * 0.3).cast("long")
+                - F.coalesce(F.col("c_tok"), F.lit(0).cast("long")),
+            ).alias("budget_tokens"),
+        )
+    )
+    admitted, _ = _grid_budget_admitted(s2, 0.3, budgets=remb)
+    admitted = pin(admitted)
+
+    def _row(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    rem_rows = remb.select(
+        F.concat(F.lit("rem_"), F.col("source")).alias("stage"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.col("budget_tokens").alias("n_tokens"),
+    )
+    src_rows = (
+        admitted.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.concat(F.lit("src_"), F.col("source")).alias("stage"),
+            "n_docs",
+            "n_tokens",
+        )
+    )
+    shard_rows = (
+        admitted.groupBy(
+            F.concat(
+                F.lit("p4_shard_"),
+                (
+                    portable_hash60(
+                        F.concat(F.lit("shard_"), F.col("doc_id").cast("string"))
+                    )
+                    % _PIPE_SHARDS
+                ).cast("string"),
+            ).alias("stage")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select("stage", "n_docs", "n_tokens")
+    )
+    return (
+        _row(db, "p0_batch")
+        .unionByName(_row(s1, "p1_exact_survivors"))
+        .unionByName(_row(s2, "p2_neardup_survivors"))
+        .unionByName(_row(admitted, "p3_admitted"))
+        .unionByName(rem_rows)
+        .unionByName(src_rows)
+        .unionByName(shard_rows)
     )

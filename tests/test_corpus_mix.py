@@ -612,3 +612,38 @@ def test_chunk_overlap_coverage_invariants(spark, sf_dir):
         assert len(rows) == -(-n // _CHUNK_STRIDE), (doc_id, len(rows), n)
     # every non-empty doc chunked
     assert set(by_doc) == {d for d, n in n_tok.items() if n > 0}
+
+
+def test_incremental_admit_invariants(spark, sf_dir):
+    """corpus_incremental_admit: the manifest's internal arithmetic —
+    monotone stage shrinkage, per-source admission within the standing
+    remaining budget, shards partitioning the admitted set — plus
+    non-vacuity of every rejection stage at the test SF."""
+    from openmetrics_spark.queries.docs_q import corpus_incremental_admit
+
+    rows = {r.stage: r for r in corpus_incremental_admit(spark, sf_dir).collect()}
+    p0, p1 = rows["p0_batch"], rows["p1_exact_survivors"]
+    p2, p3 = rows["p2_neardup_survivors"], rows["p3_admitted"]
+    # monotone shrink: each stage is a subset of the previous
+    assert p0.n_docs >= p1.n_docs >= p2.n_docs >= p3.n_docs
+    assert p0.n_tokens >= p1.n_tokens >= p2.n_tokens >= p3.n_tokens
+    # non-vacuous where SF-independent: the budget always bites (the
+    # remaining standing budget is ~30% of the surviving batch) and
+    # something is always admitted. The dedup stages' rejections are
+    # data-dependent (no cross-parity dupes at sf0.001; 12+12 at
+    # sf0.01) — their correctness is pinned by the driver's sf0.01
+    # oracle hash, not by this invariant.
+    assert p2.n_docs > p3.n_docs, "budget admission excluded nothing"
+    assert p3.n_docs > 0, "nothing admitted"
+    # per-source admission within the remaining standing budget
+    for stage, r in rows.items():
+        if stage.startswith("src_"):
+            rem = rows["rem_" + stage[4:]]
+            assert r.n_tokens <= rem.n_tokens, (stage, r.n_tokens, rem.n_tokens)
+    # shards partition the admitted set exactly
+    sh_docs = sum(r.n_docs for s, r in rows.items() if s.startswith("p4_shard_"))
+    sh_tok = sum(r.n_tokens for s, r in rows.items() if s.startswith("p4_shard_"))
+    assert (sh_docs, sh_tok) == (p3.n_docs, p3.n_tokens)
+    # src rows partition the admitted set too
+    src_docs = sum(r.n_docs for s, r in rows.items() if s.startswith("src_"))
+    assert src_docs == p3.n_docs

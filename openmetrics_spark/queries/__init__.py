@@ -80,109 +80,75 @@ DRIVER_WINDOW = 50
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND 9 WINDOW (r8 verdict #1/#2). Composition: (a) the r9
-    # additions/rewrites — the streaming BFJ pipeline (verdict #1), the
-    # SCD2 membership intervals (verdict #7), the planted-neighbor
-    # recall rewrite (verdict #4) — plus the two r8 rows whose
-    # fixture/oracle changed this round (the redundant-FK fixture
-    # pattern feeds bfj_pipeline_manifest; the wire-key oracle
-    # NULL-semantics fix feeds raw_wire_roundtrip); (b) the six rows
-    # displaced in r8 and promised the head of this queue; (c) ALL 15
-    # remaining r5-stale rows — after this window no query's newest
-    # driver row is older than r6; (d) 25 of the 42 r6 rows, oldest
-    # families first (streaming twins, upsert, bfj instances, the
-    # dedup tier, TPC-H). embedding_cell_purity and
-    # corpus_chunk_overlap (landed after the r9 window froze, never
-    # driver-gated) lead the r10 queue, then the 24 r6 rows left for
-    # it:
-    # ann_ivf_kmeans_topk, bfj_merge_details_drops, corpus_bpe_encode,
-    # ngram_jaccard_neardup, streaming_top_event_types,
-    # upsert_mor_snapshot,
-    # cumulated_metrics_envelope, doc_bm25_topk, doc_decontaminate,
-    # doc_repetition_stats, embedding_kmeans_cells, embedding_outliers,
-    # hourly_dense_series, hourly_event_metrics, multimodal_image_stats,
-    # q10_returned_items, q15_top_supplier, q16_supplier_part_counts,
-    # q17_small_qty_revenue, q19_disjunctive_revenue,
-    # q20_excess_suppliers, q22_dormant_customers, user_set_ops,
-    # user_versioned_join.
+    # ROUND 10 WINDOW (r9 verdict #1/#2/#3/#6). Composition: (a) the two
+    # rows that landed after the r9 freeze and have never faced the
+    # driver, exactly as promised at the head of this queue; (b) the r10
+    # additions (the production-TTL streaming join, the incremental
+    # admission manifest) and every query whose code or oracle changed
+    # this round (both BFJ manifests grew the FlatOutputJob tail stages
+    # 20-22; the curation pipeline gained the guarded packed key and the
+    # empty-edge oracle coalesce; neardup_keep_best_quality and
+    # corpus_token_budget_select share the refactored helpers;
+    # scale_join_strategies gained catalog hygiene; compaction_roundtrip
+    # switched to engine-side file counts); (c) ALL 24 r6-stale rows
+    # enumerated by the r9 verdict — after this window every registered
+    # query's newest driver row is r7 or newer; (d) 15 already-green
+    # family anchors so no SURVEY §2 family goes unwatched.
     # =====================================================================
-    # --- (a) r9 additions + r9-modified fixtures/oracles
-    "streaming_bfj_pipeline",
-    "cohort_membership_intervals",
-    "ann_lsh_recall",
-    "corpus_shuffle_shards",
-    "scale_join_strategies",
-    "corpus_token_budget_select",
-    "neardup_keep_best_quality",
-    "compaction_roundtrip",
-    "schema_drift_union_read",
-    "corpus_curation_pipeline",
+    # --- (a) never driver-gated, promised the queue head
+    "embedding_cell_purity",
+    "corpus_chunk_overlap",
+    # --- (b) r10 additions + r10-modified code/oracles
+    "streaming_ttl_inferred_join",
+    "corpus_incremental_admit",
     "bfj_pipeline_manifest",
-    "raw_wire_roundtrip",
-    # --- (b) the six rows displaced in r8 (promised queue head;
-    # ann_lsh_recall is already above as an r9 rewrite)
-    "ann_lsh_multiprobe_topk",
-    "daily_rollup_metrics",
-    "q2_min_cost_supplier",
-    "corpus_pack_chunks",
-    "doc_pii_scrub",
-    # --- (c) all 15 remaining r5-stale rows
-    "corpus_bpe_first_merges",
-    "corpus_sample_stratified",
-    "doc_dup_span_coverage",
-    "doc_quality_classifier",
-    "doc_unigram_logprob",
-    "doc_unigram_logprob_capped",
-    "domain_mix_weights",
-    "multimodal_av_features",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q18_large_volume_customer",
-    "q21_waiting_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "quality_filter_funnel",
-    # --- (d) 25 r6 rows, family-balanced
-    "streaming_content_lookup",
-    "streaming_cumulate_hourly",
-    "streaming_inferred_attribution",
-    "streaming_session_rollup",
-    # (streaming_top_event_types and upsert_mor_snapshot ceded their
-    # slots to the late-r9 compaction_roundtrip and
-    # schema_drift_union_read; the streaming family keeps 5 rows
-    # in-window incl. the composed streaming BFJ chain, the upsert
-    # family keeps upsert_incremental_pull — the ceded pair joins the
-    # r10 queue listed above)
-    "streaming_user_asof_join",
-    "upsert_incremental_pull",
-    "bfj_view_insertions",
-    # (bfj_merge_details_drops ceded its slot to the late-r9
-    # corpus_curation_pipeline — MergeDetails + its dropped channel
-    # stay in-window as composed stages of bfj_pipeline_manifest;
-    # the standalone row joins the r10 queue listed above)
-    "doc_exact_dedup",
-    "doc_dedup_clusters",
-    "minhash_lsh_neardup",
-    "minhash_incremental_neardup",
-    # (ngram_jaccard_neardup ceded its slot to the late-r9
-    # neardup_keep_best_quality, whose oracle replays the SAME
-    # 3-gram pair generator + CC end-to-end — the machinery stays
-    # cross-engine-watched in-window; the plain pair query joins
-    # the r10 queue)
-    "asof_attribution",
-    "gated_query_counts",
-    "validation_error_split",
-    "keep_first_dedup",
-    "last_time_and_count",
-    "q7_volume_shipping",
-    "q9_product_profit",
-    # (q16_supplier_part_counts ceded its slot to the late-r9
-    # corpus_shuffle_shards addition, then q10_returned_items and
-    # q15_top_supplier ceded theirs to the two late-r9 additions
-    # scale_join_strategies and corpus_token_budget_select — new
-    # capability driver-green in its landing round beats refreshing
-    # an already-r6-green anchor. TPC-H keeps q7/q9 in-window;
-    # q10/q15/q16 join the r10 queue listed above)
+    "streaming_bfj_pipeline",
+    "corpus_curation_pipeline",
+    "neardup_keep_best_quality",
+    "corpus_token_budget_select",
+    "scale_join_strategies",
+    "compaction_roundtrip",
+    # --- (c) the 24 r6-stale rows (r9 verdict's enumeration, verbatim)
+    "ann_ivf_kmeans_topk",
+    "bfj_merge_details_drops",
+    "corpus_bpe_encode",
+    "ngram_jaccard_neardup",
+    "streaming_top_event_types",
+    "upsert_mor_snapshot",
+    "cumulated_metrics_envelope",
+    "doc_bm25_topk",
+    "doc_decontaminate",
+    "doc_repetition_stats",
+    "embedding_kmeans_cells",
+    "embedding_outliers",
+    "hourly_dense_series",
+    "hourly_event_metrics",
+    "multimodal_image_stats",
+    "q10_returned_items",
+    "q15_top_supplier",
+    "q16_supplier_part_counts",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q20_excess_suppliers",
+    "q22_dormant_customers",
+    "user_set_ops",
+    "user_versioned_join",
+    # --- (d) one green anchor per operator family (all r7-r9 rows)
+    "raw_wire_roundtrip",          # envelope codec
+    "upsert_incremental_pull",     # hudi-style upsert
+    "validation_error_split",      # validate + side output
+    "keep_first_dedup",            # event dedup
+    "streaming_cumulate_hourly",   # streaming CUMULATE
+    "streaming_user_asof_join",    # streaming user join
+    "last_time_and_count",         # counter families
+    "gated_query_counts",          # top-query gating
+    "daily_rollup_metrics",        # unified event metrics
+    "asof_attribution",            # temporal join
+    "cohort_membership_intervals", # SCD2 experiments
+    "hll_segment_overlap",         # engine-exact sketches
+    "minhash_lsh_neardup",         # LSH dedup tier
+    "ann_lsh_recall",              # similarity/recall
+    "multimodal_av_features",      # multimodal
 )
 
 

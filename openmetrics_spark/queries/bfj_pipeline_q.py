@@ -5,7 +5,9 @@ side output) → keep-first dedup → CombineDeliveryLog → tiny insertions
 (3-scope fallback) → ReduceRedundantTinyImpressions + action
 re-pointing → ToTinyAction cart fan-out → impression→action inferred
 join → MergeDetails (+dropped side output) → FlatResponseInsertion
-session cogroup.
+session cogroup — and the TAIL (r10): user temporal join →
+AddLatestImpressions → clearUserId PII strip before every sink
+(stages 20-22; FlatOutputJob.java:962-996, :980-989, :1181-1188).
 
 Reference: the composed FlatOutputJob.java:394-1044 topology
 (pipeline/README.md:91). Every stage here is the SAME operator the

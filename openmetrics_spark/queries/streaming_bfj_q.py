@@ -19,6 +19,8 @@ pioneered the transport):
     Q7     stream_reduce_redundant_impressions (5 s epochs)
     Q8     impression → action stream_inferred_join ([-1d, +1s])
     Q9     flat sessions: session_window(1 d gap) cogroup
+    + the FlatOutputJob TAIL (r10, stages 20-22 shared with the batch
+      manifest): user temporal join, AddLatestImpressions, clearUserId
 
 Stateless glue between stateful anchors (payload re-attachment by
 xxhash64 id, tiny-action cart fan-out, action re-pointing through the

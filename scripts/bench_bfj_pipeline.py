@@ -38,7 +38,9 @@ def main() -> int:
         t0 = time.perf_counter()
         rows = bfj_pipeline_manifest(spark, sf_dir).collect()
         dt = time.perf_counter() - t0
-        assert len(rows) == 19, f"manifest returned {len(rows)} rows"
+        # 22 rows since r10 (stages 20-22: user join, AddLatest-
+        # Impressions, PII strip); 19 through r9
+        assert len(rows) == 22, f"manifest returned {len(rows)} rows"
         release_caches()
         spark.catalog.clearCache()
         return round(dt, 3)

@@ -242,6 +242,9 @@ def main() -> int:
     probes["chunk_overlap"] = lambda d: probe_composed(
         "corpus_chunk_overlap", _docs_mod, "documents", d
     )
+    probes["incremental_admit"] = lambda d: probe_composed(
+        "corpus_incremental_admit", _docs_mod, "documents", d
+    )
 
     # scale_join_strategies reads TWO tables; replicate both with the
     # SAME orderkey offset so each copy's lineitem still matches its
@@ -285,6 +288,7 @@ def main() -> int:
         "token_budget_select": (docs_full1, docs_fullN),
         "curation_pipeline": (docs_full1, docs_fullN),
         "chunk_overlap": (docs_full1, docs_fullN),
+        "incremental_admit": (docs_full1, docs_fullN),
         "scale_strategies": (
             {"lineitem": li_full1, "orders": o_full1},
             {

@@ -351,3 +351,18 @@ def test_curation_pipeline_no_cartesian_no_raw_doc_window(spark, sf_dir):
         if "Window" in line and "WindowExec" not in line:
             below = "\n".join(lines[i : i + 6])
             assert "FileScan" not in below, below
+
+
+def test_incremental_admit_no_cartesian_no_raw_doc_window(spark, sf_dir):
+    """The incremental-admission manifest composes the asymmetric LSH
+    probe, the md5 anti-join and the explicit-budget grid admission:
+    no CartesianProduct anywhere, and no Window directly over the raw
+    documents scan (admission windows run on the boundary-level
+    subset, the standing-state replay on the existing half only)."""
+    plan = _plan(spark, sf_dir, "corpus_incremental_admit")
+    assert "CartesianProduct" not in plan, plan[:3000]
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window" in line and "WindowExec" not in line:
+            below = "\n".join(lines[i : i + 6])
+            assert "FileScan" not in below, below

@@ -101,6 +101,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # --- (b) r10 additions + r10-modified code/oracles
     "streaming_ttl_inferred_join",
     "corpus_incremental_admit",
+    "corpus_two_batch_ledger",
     "bfj_pipeline_manifest",
     "streaming_bfj_pipeline",
     "corpus_curation_pipeline",
@@ -148,7 +149,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "hll_segment_overlap",         # engine-exact sketches
     "minhash_lsh_neardup",         # LSH dedup tier
     "ann_lsh_recall",              # similarity/recall
-    "multimodal_av_features",      # multimodal
+    # (multimodal_av_features, r9-green, ceded its anchor slot to the
+    # late-r10 corpus_two_batch_ledger — new capability driver-green in
+    # its landing round beats refreshing an r9 row; it joins the r11
+    # rotation queue)
 )
 
 

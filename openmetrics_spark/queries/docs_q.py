@@ -2705,3 +2705,371 @@ def corpus_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(src_rows)
         .unionByName(shard_rows)
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-batch ledger evolution: the standing state must actually evolve
+# ---------------------------------------------------------------------------
+#
+# corpus_incremental_admit proves ONE admission step against standing
+# state; operations run MANY. This query runs two consecutive batches
+# and gates the state EVOLUTION between them: batch 1 (doc_id%4==1)
+# admits against the standing evens exactly as corpus_incremental_admit
+# does; then the md5 set, the LSH band index and the budget ledger all
+# GROW by batch 1's admitted set before batch 2 (doc_id%4==3) arrives.
+# Budget pie at step k = standing tokens + all dedup-surviving batch
+# tokens seen so far; consumed_k = consumed_{k-1} + admitted_k.
+#
+# Evolution is made provably load-bearing with PLANTED rows (the
+# ann_lsh_recall r9 precedent — derived identically in both engines):
+# batch 2 additionally carries an exact copy (doc_id + 10^9) of every
+# batch-1 doc with doc_id%20==1. A planted copy is exact-rejected iff
+# its original's text entered the corpus — standing text, or ADMITTED
+# in batch 1 — and survives iff its original was budget-excluded. A
+# frozen (non-evolving) index flips plant_exact_rejected and every
+# downstream stage. Rejected batch docs never enter any standing
+# state; intra-batch exact duplicates are deliberately NOT collapsed
+# (both compete — deterministic in both engines; a production ingest
+# would pre-dedupe the batch, which is the one-shot pipeline's p2).
+
+_PLANT_OFF = 1_000_000_000
+
+_TWO_BATCH_ORACLE = f"""
+WITH alldocs AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFF}, source, text
+  FROM documents WHERE doc_id % 20 = 1
+), t AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM alldocs
+), d AS MATERIALIZED (
+  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
+         {_BUDGET_SQL_QINT} AS q_int
+  FROM t
+), de AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 2 = 0),
+b1 AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 4 = 1 AND doc_id < {_PLANT_OFF}),
+b2 AS MATERIALIZED (SELECT * FROM d
+       WHERE (doc_id % 4 = 3 AND doc_id < {_PLANT_OFF})
+          OR doc_id >= {_PLANT_OFF}),
+be AS (
+  SELECT source, CAST(floor(0.3 * sum(n_tok)) AS BIGINT) AS budget_e
+  FROM de GROUP BY 1
+), ce AS (
+  SELECT de.*, be.budget_e,
+         sum(n_tok) OVER (PARTITION BY de.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM de JOIN be USING (source)
+), c0 AS (
+  SELECT source, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS c_tok
+  FROM ce WHERE cum_tok <= budget_e GROUP BY source
+),
+emd5 AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM t WHERE doc_id % 2 = 0),
+-- shared near-dup machinery over alldocs (planted rows share shingles
+-- with their originals by construction)
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= 3
+), sig AS MATERIALIZED (
+  SELECT doc_id, sh,
+         list_transform(range(16),
+           i -> list_min(list_transform(sh, x -> {_MH_HASH}))) AS sg
+  FROM g
+), banded AS MATERIALIZED (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(4), b ->
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' ||
+             array_to_string(sg[(b*4+1):(b*4+4)], '_')), 1, 15)) AS BIGINT)
+         )) AS bk
+  FROM sig
+),
+-- ---- batch 1 ----
+s1_1 AS MATERIALIZED (
+  SELECT b1.* FROM b1 JOIN t USING (doc_id)
+  WHERE md5(t.text) NOT IN (SELECT h FROM emd5)
+), ndp1 AS (
+  SELECT DISTINCT i.doc_id AS incoming_id, e.doc_id AS existing_id
+  FROM banded i JOIN banded e USING (bk)
+  WHERE i.doc_id IN (SELECT doc_id FROM s1_1) AND e.doc_id % 2 = 0
+), nds1 AS (
+  SELECT incoming_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS j
+  FROM ndp1
+  JOIN g a ON a.doc_id = incoming_id
+  JOIN g b ON b.doc_id = existing_id
+), ndrej1 AS (SELECT DISTINCT incoming_id AS doc_id FROM nds1 WHERE j >= 0.5),
+s2_1 AS MATERIALIZED (SELECT * FROM s1_1 WHERE doc_id NOT IN (SELECT doc_id FROM ndrej1)),
+tot1 AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS pie
+  FROM (SELECT source, n_tok FROM de UNION ALL SELECT source, n_tok FROM s2_1)
+  GROUP BY 1
+), rem1 AS (
+  SELECT tot1.source,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor(0.3 * pie) AS BIGINT) - coalesce(c0.c_tok, 0))
+           AS rem_tokens
+  FROM tot1 LEFT JOIN c0 USING (source)
+), adm1 AS (
+  SELECT s2_1.*, r.rem_tokens,
+         sum(n_tok) OVER (PARTITION BY s2_1.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s2_1 JOIN rem1 r USING (source)
+), a1 AS MATERIALIZED (SELECT * FROM adm1 WHERE cum_tok <= rem_tokens),
+c1 AS MATERIALIZED (
+  SELECT s.source,
+         CAST(coalesce(c0.c_tok, 0)
+              + coalesce((SELECT sum(a1.n_tok) FROM a1
+                          WHERE a1.source = s.source), 0) AS BIGINT) AS c_tok
+  FROM (SELECT DISTINCT source FROM d) s LEFT JOIN c0 USING (source)
+),
+-- ---- batch 2 against the EVOLVED state ----
+md5_2 AS MATERIALIZED (
+  SELECT h FROM emd5
+  UNION
+  SELECT md5(t.text) AS h FROM a1 JOIN t USING (doc_id)
+), s1_2 AS MATERIALIZED (
+  SELECT b2.* FROM b2 JOIN t USING (doc_id)
+  WHERE md5(t.text) NOT IN (SELECT h FROM md5_2)
+), ndp2 AS (
+  SELECT DISTINCT i.doc_id AS incoming_id, e.doc_id AS existing_id
+  FROM banded i JOIN banded e USING (bk)
+  WHERE i.doc_id IN (SELECT doc_id FROM s1_2)
+    AND (e.doc_id % 2 = 0 OR e.doc_id IN (SELECT doc_id FROM a1))
+), nds2 AS (
+  SELECT incoming_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS j
+  FROM ndp2
+  JOIN g a ON a.doc_id = incoming_id
+  JOIN g b ON b.doc_id = existing_id
+), ndrej2 AS (SELECT DISTINCT incoming_id AS doc_id FROM nds2 WHERE j >= 0.5),
+s2_2 AS MATERIALIZED (SELECT * FROM s1_2 WHERE doc_id NOT IN (SELECT doc_id FROM ndrej2)),
+tot2 AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS pie
+  FROM (SELECT source, n_tok FROM de
+        UNION ALL SELECT source, n_tok FROM s2_1
+        UNION ALL SELECT source, n_tok FROM s2_2)
+  GROUP BY 1
+), rem2 AS MATERIALIZED (
+  SELECT tot2.source,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor(0.3 * pie) AS BIGINT) - coalesce(c1.c_tok, 0))
+           AS rem_tokens
+  FROM tot2 LEFT JOIN c1 USING (source)
+), adm2 AS (
+  SELECT s2_2.*, r.rem_tokens,
+         sum(n_tok) OVER (PARTITION BY s2_2.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s2_2 JOIN rem2 r USING (source)
+), a2 AS MATERIALIZED (SELECT * FROM adm2 WHERE cum_tok <= rem_tokens),
+plant AS (SELECT * FROM b2 WHERE doc_id >= {_PLANT_OFF})
+SELECT 'b1_in' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM b1
+UNION ALL SELECT 'b1_exact_surv', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s1_1
+UNION ALL SELECT 'b1_nd_surv', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2_1
+UNION ALL SELECT 'b1_admitted', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM a1
+UNION ALL SELECT 'b2_in', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM b2
+UNION ALL SELECT 'b2_exact_surv', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s1_2
+UNION ALL SELECT 'b2_nd_surv', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2_2
+UNION ALL SELECT 'b2_admitted', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM a2
+UNION ALL SELECT 'plant_in', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM plant
+UNION ALL
+SELECT 'plant_exact_rejected', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+FROM plant WHERE doc_id NOT IN (SELECT doc_id FROM s1_2)
+UNION ALL
+SELECT 'led_' || source, CAST(0 AS BIGINT),
+       CAST(c_tok + coalesce((SELECT sum(a2.n_tok) FROM a2
+                              WHERE a2.source = c1.source), 0) AS BIGINT)
+FROM c1
+UNION ALL
+SELECT 'rem_' || source, CAST(0 AS BIGINT), rem_tokens FROM rem2
+"""
+
+
+@register(
+    "corpus_two_batch_ledger",
+    oracle=_TWO_BATCH_ORACLE,
+    tags=("llm", "pipeline"),
+)
+def corpus_two_batch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two consecutive incremental admissions with the standing state
+    (md5 set, LSH band index, budget ledger) EVOLVING between them,
+    planted batch-1 copies in batch 2 making the evolution provably
+    load-bearing (see block comment). 100 TB: each step is the
+    linear-in-batch corpus_incremental_admit shape; the evolved state
+    is the same persisted md5 set / band index / two-longs-per-source
+    ledger, grown by one append per step."""
+    from openmetrics_spark.llm.dedup import minhash_incremental_pairs
+
+    base = spread_for_compute(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    planted = base.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFF)).alias("doc_id"), "source", "text"
+    )
+    alldocs = pin(base.unionByName(planted))
+    t = pin(
+        alldocs.select("doc_id", "source", "text", tokens("text").alias("tok"))
+    )
+    d = pin(
+        t.select(
+            "doc_id",
+            "source",
+            token_count(F.col("tok")).alias("n_tok"),
+            F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_int"),
+        )
+    )
+    de = d.filter(F.col("doc_id") % 2 == 0)
+    b1 = d.filter((F.col("doc_id") % 4 == 1) & (F.col("doc_id") < _PLANT_OFF))
+    b2 = d.filter(
+        ((F.col("doc_id") % 4 == 3) & (F.col("doc_id") < _PLANT_OFF))
+        | (F.col("doc_id") >= _PLANT_OFF)
+    )
+
+    adm_e, _ = _grid_budget_admitted(de, 0.3)
+    c0 = adm_e.groupBy("source").agg(F.sum("n_tok").cast("long").alias("c_tok"))
+    emd5 = (
+        t.filter(F.col("doc_id") % 2 == 0)
+        .select(F.md5("text").alias("__h"))
+        .distinct()
+    )
+    tmd5 = t.select("doc_id", F.md5("text").alias("__h"))
+
+    def step(
+        batch: DataFrame,
+        md5_set: DataFrame,
+        index_docs: DataFrame,
+        consumed: DataFrame,
+        prior_surv: list[DataFrame],
+    ):
+        """One admission step: (exact survivors, nd survivors,
+        admitted, remaining-budget frame)."""
+        s1 = pin(batch.join(tmd5, "doc_id").join(md5_set, "__h", "left_anti").drop("__h"))
+        nd = minhash_incremental_pairs(
+            index_docs,
+            alldocs.join(s1.select("doc_id"), "doc_id", "left_semi"),
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=16,
+            bands=4,
+            threshold=0.5,
+        )
+        s2 = pin(
+            s1.join(
+                nd.select(F.col("incoming_id").alias("doc_id")).distinct(),
+                "doc_id",
+                "left_anti",
+            )
+        )
+        pie = de.select("source", "n_tok")
+        for f in [*prior_surv, s2]:
+            pie = pie.unionByName(f.select("source", "n_tok"))
+        tot = pie.groupBy("source").agg(F.sum("n_tok").cast("long").alias("pie"))
+        remb = pin(
+            tot.join(consumed, "source", "left").select(
+                "source",
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(F.col("pie") * 0.3).cast("long")
+                    - F.coalesce(F.col("c_tok"), F.lit(0).cast("long")),
+                ).alias("budget_tokens"),
+            )
+        )
+        adm, _ = _grid_budget_admitted(s2, 0.3, budgets=remb)
+        return s1, s2, pin(adm), remb
+
+    evens = base.filter(F.col("doc_id") % 2 == 0)
+    s1_1, s2_1, a1, _rem1 = step(b1, emd5, evens, c0, [])
+    # ---- the state EVOLVES: md5 set, band index, ledger grow by a1.
+    # localCheckpoint CUTS the lineage here — semantically this IS the
+    # deployment boundary (the standing index/set/ledger are PERSISTED
+    # between batches), and without the cut batch 2's minhash subgraph
+    # re-expands batch 1's whole admission plan inside every one of its
+    # 16 signature aggregates (optimizer blow-up measured in minutes at
+    # sf0.001; the same lineage-cut the CC pointer-jumping loop uses).
+    a1 = a1.localCheckpoint(eager=True)
+    s2_1 = s2_1.localCheckpoint(eager=True)
+    md5_2 = emd5.unionByName(
+        tmd5.join(a1.select("doc_id"), "doc_id", "left_semi").select("__h")
+    ).distinct()
+    index_2 = evens.unionByName(
+        alldocs.join(a1.select("doc_id"), "doc_id", "left_semi")
+    )
+    all_sources = d.select("source").distinct()
+    c1 = pin(
+        all_sources.join(c0, "source", "left")
+        .join(
+            a1.groupBy("source").agg(F.sum("n_tok").cast("long").alias("__a1")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            (
+                F.coalesce(F.col("c_tok"), F.lit(0).cast("long"))
+                + F.coalesce(F.col("__a1"), F.lit(0).cast("long"))
+            ).alias("c_tok"),
+        )
+    )
+    s1_2, s2_2, a2, rem2 = step(b2, md5_2, index_2, c1, [s2_1])
+
+    plant = b2.filter(F.col("doc_id") >= _PLANT_OFF)
+    plant_rej = plant.join(s1_2.select("doc_id"), "doc_id", "left_anti")
+
+    def _row(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    led = c1.join(
+        a2.groupBy("source").agg(F.sum("n_tok").cast("long").alias("__a2")),
+        "source",
+        "left",
+    ).select(
+        F.concat(F.lit("led_"), F.col("source")).alias("stage"),
+        F.lit(0).cast("long").alias("n_docs"),
+        (
+            F.col("c_tok") + F.coalesce(F.col("__a2"), F.lit(0).cast("long"))
+        ).alias("n_tokens"),
+    )
+    rem = rem2.select(
+        F.concat(F.lit("rem_"), F.col("source")).alias("stage"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.col("budget_tokens").alias("n_tokens"),
+    )
+    return (
+        _row(b1, "b1_in")
+        .unionByName(_row(s1_1, "b1_exact_surv"))
+        .unionByName(_row(s2_1, "b1_nd_surv"))
+        .unionByName(_row(a1, "b1_admitted"))
+        .unionByName(_row(b2, "b2_in"))
+        .unionByName(_row(s1_2, "b2_exact_surv"))
+        .unionByName(_row(s2_2, "b2_nd_surv"))
+        .unionByName(_row(a2, "b2_admitted"))
+        .unionByName(_row(plant, "plant_in"))
+        .unionByName(_row(plant_rej, "plant_exact_rejected"))
+        .unionByName(led)
+        .unionByName(rem)
+    )

@@ -647,3 +647,31 @@ def test_incremental_admit_invariants(spark, sf_dir):
     # src rows partition the admitted set too
     src_docs = sum(r.n_docs for s, r in rows.items() if s.startswith("src_"))
     assert src_docs == p3.n_docs
+
+
+def test_two_batch_ledger_evolution(spark, sf_dir):
+    """corpus_two_batch_ledger: the standing state demonstrably
+    EVOLVES between batches — some planted batch-1 copies are
+    exact-rejected in batch 2 (their originals entered the corpus) and
+    some survive (their originals were budget-excluded) — plus the
+    ledger arithmetic holds per source."""
+    from openmetrics_spark.queries.docs_q import corpus_two_batch_ledger
+
+    rows = {r.stage: r for r in corpus_two_batch_ledger(spark, sf_dir).collect()}
+    plant, rej = rows["plant_in"], rows["plant_exact_rejected"]
+    assert plant.n_docs > 0
+    # both classes must exist or the evolution gate is vacuous
+    assert 0 < rej.n_docs < plant.n_docs, (rej.n_docs, plant.n_docs)
+    # monotone shrink within each batch
+    for b in ("b1", "b2"):
+        assert (
+            rows[f"{b}_in"].n_docs
+            >= rows[f"{b}_exact_surv"].n_docs
+            >= rows[f"{b}_nd_surv"].n_docs
+            >= rows[f"{b}_admitted"].n_docs
+        )
+    # something admitted in both batches, and batch 2 strictly
+    # rationed (the ledger carried batch 1's consumption forward)
+    assert rows["b1_admitted"].n_docs > 0
+    assert rows["b2_admitted"].n_docs > 0
+    assert rows["b2_admitted"].n_docs < rows["b2_nd_surv"].n_docs

@@ -102,6 +102,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_ttl_inferred_join",
     "corpus_incremental_admit",
     "corpus_two_batch_ledger",
+    "streaming_ttl_late_channel",
     "bfj_pipeline_manifest",
     "streaming_bfj_pipeline",
     "corpus_curation_pipeline",
@@ -138,7 +139,10 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "raw_wire_roundtrip",          # envelope codec
     "upsert_incremental_pull",     # hudi-style upsert
     "validation_error_split",      # validate + side output
-    "keep_first_dedup",            # event dedup
+    # (keep_first_dedup, r9-green, ceded its anchor slot to the
+    # late-r10 streaming_ttl_late_channel — the dedup operator stays
+    # compositely watched as stage 6 of BOTH in-window BFJ manifests;
+    # the standalone row joins the r11 rotation queue)
     "streaming_cumulate_hourly",   # streaming CUMULATE
     "streaming_user_asof_join",    # streaming user join
     "last_time_and_count",         # counter families

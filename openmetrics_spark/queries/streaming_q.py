@@ -1776,27 +1776,15 @@ FROM rights r LEFT JOIN m ON r.id = m.id
 """
 
 
-@register(
-    "streaming_ttl_inferred_join",
-    oracle=_TTL_JOIN_ORACLE,
-    tags=("streaming", "join", "scale"),
-)
-def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The inferred-reference join under PRODUCTION state budgeting:
-    45 min candidate TTL with evict-before-decide semantics
-    (``ttl_floor=True``) over a compressed-time 8-slice replay, so
-    windowed inference survives (TTL > window + decision latency, the
-    reference's summed-budget guarantee) while long-reach explicit FKs
-    are genuinely dropped — and the oracle models every eviction (see
-    block comment; reference FlatOutputJob.java:808-882). 100 TB:
-    state per key is bounded by TTL x arrival rate — the steady-state
-    budget the reference runs with — instead of the replay span the
-    parity twins use."""
+
+
+def _ttl_frames(spark, sf_dir):
+    """Shared fixture for the production-TTL join gates: compressed-
+    time click candidates and purchase rights with the explicit
+    prev-click FK (see streaming_ttl_inferred_join's block comment).
+    Returns (lefts, rights, lo)."""
     from pyspark.sql import Window
 
-    from openmetrics_spark.streaming.stateful import stream_inferred_join
-
-    work = _workdir("ttl_join")
     lo, hi = _events_span(spark, sf_dir)
     k = (hi - lo) // _TTL_TARGET_SPAN + 1
     e = table(spark, sf_dir, "events").select(
@@ -1849,6 +1837,30 @@ def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("content_id"),
         F.timestamp_millis("ms").alias("ts"),
     )
+    return lefts, rights, lo
+
+
+
+@register(
+    "streaming_ttl_inferred_join",
+    oracle=_TTL_JOIN_ORACLE,
+    tags=("streaming", "join", "scale"),
+)
+def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inferred-reference join under PRODUCTION state budgeting:
+    45 min candidate TTL with evict-before-decide semantics
+    (``ttl_floor=True``) over a compressed-time 8-slice replay, so
+    windowed inference survives (TTL > window + decision latency, the
+    reference's summed-budget guarantee) while long-reach explicit FKs
+    are genuinely dropped — and the oracle models every eviction (see
+    block comment; reference FlatOutputJob.java:808-882). 100 TB:
+    state per key is bounded by TTL x arrival rate — the steady-state
+    budget the reference runs with — instead of the replay span the
+    parity twins use."""
+    from openmetrics_spark.streaming.stateful import stream_inferred_join
+
+    lefts, rights, lo = _ttl_frames(spark, sf_dir)
+    work = _workdir("ttl_join")
     boundaries = [lo + i * _TTL_SLICE_MS for i in range(1, _TTL_N_SLICES)]
     pl, pr = os.path.join(work, "l"), os.path.join(work, "r")
     _restage(spark, lefts, pl, "ms", boundaries)
@@ -1912,3 +1924,252 @@ def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fk_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-arrival side channel under the oracle gate
+# ---------------------------------------------------------------------------
+#
+# The reference routes events that arrive behind the watermark to
+# LATE side outputs (BaseInferred LATE_EVENTS_TAG → etl_side/late_*)
+# instead of mis-joining them against evicted state. The twin
+# implements the same split (pytest-pinned since r6); this query puts
+# the CLASSIFICATION ITSELF under the cross-engine hash: every fifth
+# purchase is DELIVERED two replay slices after its event time
+# (arrival column ≠ event column in the staged transport), so when it
+# arrives the watermark — which rides EVENT time of everything
+# delivered so far — has usually passed it, and the twin must emit it
+# on the late channel with no join attempt. The DuckDB oracle models
+# the classification exactly: a row is late iff the watermark of its
+# ARRIVAL batch (max event-ms delivered in earlier batches − delay)
+# exceeds its event time; survivors decide/evict exactly as
+# streaming_ttl_inferred_join's model (same TTL floor).
+
+_TTL_LATE_SHIFT = 2 * _TTL_SLICE_MS
+
+_TTL_LATE_ORACLE = f"""
+WITH span AS (
+  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
+),
+kdiv AS (
+  SELECT lo, (hi - lo) // {_TTL_TARGET_SPAN} + 1 AS k FROM span
+),
+base AS (
+  SELECT e.event_id AS id, e.user_id, e.event_type,
+         kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k AS ms,
+         last_value(CASE WHEN e.event_type = 'click'
+                         THEN 'm' || CAST(e.event_id AS VARCHAR)
+                    END IGNORE NULLS) OVER w AS prev_imp,
+         last_value(CASE WHEN e.event_type = 'click'
+                         THEN 'c' || CAST(e.event_id % 40 AS VARCHAR)
+                    END IGNORE NULLS) OVER w AS prev_content
+  FROM events e, kdiv kd
+  WINDOW w AS (PARTITION BY e.user_id
+               ORDER BY kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k, e.event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+lefts AS (
+  SELECT user_id, id, ms, 'm' || CAST(id AS VARCHAR) AS impression_id,
+         'c' || CAST(id % 40 AS VARCHAR) AS content_id
+  FROM base WHERE event_type = 'click'
+),
+rights AS (
+  SELECT user_id, id, ms,
+         ms + CASE WHEN id % 5 = 0 THEN {_TTL_LATE_SHIFT} ELSE 0 END AS arr,
+         CASE WHEN id % 2 = 0 THEN prev_imp END AS fk,
+         coalesce(prev_content, 'c' || CAST(id % 40 AS VARCHAR)) AS content_id
+  FROM base WHERE event_type = 'purchase'
+),
+inp AS (
+  SELECT l.ms, least({_TTL_N_SLICES - 1}, (l.ms - s.lo) // {_TTL_SLICE_MS}) AS sl
+  FROM lefts l, span s
+  UNION ALL
+  SELECT r.ms, least({_TTL_N_SLICES - 1}, (r.arr - s.lo) // {_TTL_SLICE_MS})
+  FROM rights r, span s
+),
+wt AS (
+  SELECT t.i, max(p.ms) - {_TTL_DELAY_MS} AS wv
+  FROM range(1, {_TTL_N_SLICES + 1}) t(i) JOIN inp p ON p.sl < t.i
+  GROUP BY t.i
+  UNION ALL
+  SELECT {_TTL_N_SLICES + 1},
+         (SELECT max(ms) FROM inp) + {_TTL_FLUSH_MS} - {_TTL_DELAY_MS}
+),
+rdec AS (
+  SELECT r.*,
+         coalesce((SELECT wv FROM wt
+                   WHERE wt.i = least({_TTL_N_SLICES - 1},
+                                      (r.arr - s.lo) // {_TTL_SLICE_MS})),
+                  0) > r.ms AS is_late,
+         (SELECT min(wv) FROM wt WHERE wv > r.ms) AS dec_wm
+  FROM rights r, span s
+),
+fkm AS (
+  SELECT d.id, l.id AS lid, l.ms AS lms,
+         row_number() OVER (PARTITION BY d.id
+           ORDER BY l.ms, l.impression_id) AS rn
+  FROM rdec d JOIN lefts l
+    ON l.user_id = d.user_id AND l.impression_id = d.fk
+   AND l.ms >= d.dec_wm - {_TTL_MS}
+  WHERE d.fk IS NOT NULL AND NOT d.is_late
+),
+fk1 AS (SELECT id, lid, lms FROM fkm WHERE rn = 1),
+rem AS (SELECT * FROM rdec
+        WHERE NOT is_late AND id NOT IN (SELECT id FROM fk1)),
+scm AS (
+  SELECT d.id, l.id AS lid, l.ms AS lms,
+         row_number() OVER (PARTITION BY d.id
+           ORDER BY abs(l.ms - d.ms), l.ms, l.impression_id) AS rn
+  FROM rem d JOIN lefts l
+    ON l.user_id = d.user_id AND l.content_id = d.content_id
+   AND l.ms BETWEEN d.ms - {_TTL_BEFORE_MS} AND d.ms
+   AND l.ms >= d.dec_wm - {_TTL_MS}
+),
+sc1 AS (SELECT id, lid, lms FROM scm WHERE rn = 1),
+m AS (SELECT * FROM fk1 UNION ALL SELECT * FROM sc1)
+SELECT r.id AS action_id, r.user_id, r.ms AS act_ms,
+       m.lid AS matched_click, m.lms AS click_ms,
+       CASE WHEN r.is_late THEN 'late' ELSE 'ok' END AS channel,
+       CAST((NOT r.is_late AND r.fk IS NOT NULL AND m.lid IS NULL) AS BIGINT)
+         AS fk_dropped
+FROM rdec r LEFT JOIN m ON r.id = m.id
+"""
+
+
+@register(
+    "streaming_ttl_late_channel",
+    oracle=_TTL_LATE_ORACLE,
+    tags=("streaming", "join", "scale"),
+)
+def streaming_ttl_late_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The late side channel itself under the cross-engine hash: every
+    fifth purchase is DELIVERED two replay slices after its event time
+    (the staged transport slices rights by an arrival column), so the
+    watermark has passed it on arrival and the production-TTL twin
+    must route it late — no join attempt, no state mutation — while
+    on-time rows match/drop exactly as streaming_ttl_inferred_join
+    (see block comment; reference BaseInferred.java:317-325
+    LATE_EVENTS_TAG → etl_side/late_*). 100 TB: the late split is a
+    per-row comparison against engine-managed watermark state — zero
+    extra shuffle; the channel lands in its own partition of the sink."""
+    from openmetrics_spark.streaming import stream_late_split
+    from openmetrics_spark.streaming.stateful import stream_inferred_join
+
+    lefts, rights, lo = _ttl_frames(spark, sf_dir)
+    rights = rights.withColumn(
+        "arr_ms",
+        F.col("ms")
+        + F.when(F.col("rid") % 5 == 0, F.lit(_TTL_LATE_SHIFT)).otherwise(
+            F.lit(0)
+        ),
+    )
+    work = _workdir("ttl_late")
+    boundaries = [lo + i * _TTL_SLICE_MS for i in range(1, _TTL_N_SLICES)]
+
+    # ---- Q1: the late split runs IN FRONT of the join over the union
+    # of both sides (the reference's side-output placement). It is a
+    # stateless NoTimeout pass-through, so the engine's stateful-input
+    # filter — which would SILENTLY drop sub-watermark rows before an
+    # event-time-timeout operator ever saw them — does not apply, and
+    # every late row reaches the side channel. The join then consumes
+    # only on-time survivors and never meets a late row.
+    common = ["user_id", "id", "ms", "arr_ms", "impression_id",
+              "content_id", "side", "ts"]
+    l_u = lefts.select(
+        "user_id", F.col("lid").alias("id"), "ms",
+        F.col("ms").alias("arr_ms"), "impression_id", "content_id",
+        F.lit(0).alias("side"), "ts",
+    )
+    r_u = rights.select(
+        "user_id", F.col("rid").alias("id"), "ms", "arr_ms",
+        "impression_id", "content_id", F.lit(1).alias("side"), "ts",
+    )
+    pl1, pr1 = os.path.join(work, "l1"), os.path.join(work, "r1")
+    _restage(spark, l_u, pl1, "ms", boundaries)
+    # rights are SLICED BY ARRIVAL, watermarked by event ts — the
+    # transport reorders relative to event time, like a real topic
+    _restage(spark, r_u, pr1, "arr_ms", boundaries)
+    tagged_s = stream_late_split(
+        _stream(spark, pl1).unionByName(_stream(spark, pr1)),
+        "ts",
+        delay_ms=_TTL_DELAY_MS,
+        key_cols=["user_id"],
+    )
+    tagged_p = os.path.join(work, "tagged")
+    with _stream_shuffle_partitions(spark):
+        _drain(tagged_s, tagged_p, os.path.join(work, "_chk", "tagged"))
+    tagged = spark.read.parquet(tagged_p)
+    late_rights = tagged.filter((F.col("side") == 1) & F.col("late"))
+    ok_rights = tagged.filter((F.col("side") == 1) & ~F.col("late"))
+    lefts2 = tagged.filter(F.col("side") == 0)
+
+    # ---- Q2: the production-TTL join over the on-time survivors;
+    # per-slice event-time maxima are carried by on-time rows, so the
+    # watermark sequence is the same one Q1 tagged against (and the
+    # same one the oracle computes from ALL inputs)
+    pl2, pr2 = os.path.join(work, "l2"), os.path.join(work, "r2")
+    _restage(spark, lefts2.select(*common), pl2, "ms", boundaries)
+    _restage(spark, ok_rights.select(*common), pr2, "arr_ms", boundaries)
+    hi2 = int(l_u.select(F.max("ms")).first()[0] or 0)
+    hi2 = max(hi2, int(r_u.select(F.max("ms")).first()[0] or 0))
+    literal_df(
+        spark,
+        [(-1, -1, hi2 + _TTL_FLUSH_MS, hi2 + _TTL_FLUSH_MS, "zz", "zz", 0)],
+        "user_id LONG, id LONG, ms LONG, arr_ms LONG,"
+        " impression_id STRING, content_id STRING, side INT",
+    ).select(
+        *[c for c in common if c != "ts"],
+        F.timestamp_millis("ms").alias("ts"),
+    ).coalesce(1).write.mode("append").parquet(pl2)
+
+    j = stream_inferred_join(
+        _stream(spark, pl2),
+        _stream(spark, pr2),
+        user_col="user_id",
+        left_id_col="id",
+        right_id_col="id",
+        left_ts_col="ts",
+        right_ts_col="ts",
+        scopes=(("content_id",),),
+        fk_col="impression_id",
+        window_before_ms=_TTL_BEFORE_MS,
+        window_after_ms=0,
+        delay_ms=_TTL_DELAY_MS,
+        right_outer=True,
+        left_retention_ms=_TTL_MS,
+        ttl_floor=True,
+    )
+    out = os.path.join(work, "out")
+    with _stream_shuffle_partitions(spark):
+        _drain(j, out, os.path.join(work, "_chk", "out"))
+    res = spark.read.parquet(out).filter(
+        ~F.col("late") & (F.col("u") >= 0)
+    )
+    ok_rows = res.join(
+        rights.select(
+            F.col("rid").alias("right_id"),
+            F.col("impression_id").alias("__fk"),
+        ),
+        "right_id",
+        "left",
+    ).select(
+        F.col("right_id").alias("action_id"),
+        F.col("u").alias("user_id"),
+        F.col("right_ms").alias("act_ms"),
+        F.col("left_id").alias("matched_click"),
+        F.col("left_ms").alias("click_ms"),
+        F.lit("ok").alias("channel"),
+        (F.col("__fk").isNotNull() & F.col("left_id").isNull())
+        .cast("long")
+        .alias("fk_dropped"),
+    )
+    late_rows = late_rights.select(
+        F.col("id").alias("action_id"),
+        "user_id",
+        F.col("ms").alias("act_ms"),
+        F.lit(None).cast("long").alias("matched_click"),
+        F.lit(None).cast("long").alias("click_ms"),
+        F.lit("late").alias("channel"),
+        F.lit(0).cast("long").alias("fk_dropped"),
+    )
+    return ok_rows.unionByName(late_rows)

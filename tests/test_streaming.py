@@ -705,3 +705,29 @@ def test_streaming_ttl_inferred_join_semantics(spark, sf_dir):
     # DuckDB oracle's eviction model in the driver gate — the output
     # frame deliberately does not re-expose the evicted target's time)
     df.unpersist()
+
+
+def test_streaming_ttl_late_channel_semantics(spark, sf_dir):
+    """The late side channel catches EVERY delivery-delayed row (the
+    split runs in front of the join, so the engine's stateful-input
+    filter can silently drop nothing) and late rows never join."""
+    from openmetrics_spark.queries.streaming_q import (
+        streaming_ttl_inferred_join,
+        streaming_ttl_late_channel,
+    )
+
+    df = streaming_ttl_late_channel(spark, sf_dir).cache()
+    late = df.filter(F.col("channel") == "late")
+    ok = df.filter(F.col("channel") == "ok")
+    n_late, n_ok = late.count(), ok.count()
+    assert n_late > 0, "late channel vacuous"
+    # the channels partition the purchase stream: same total as the
+    # all-on-time variant's output
+    total = streaming_ttl_inferred_join(spark, sf_dir).count()
+    assert n_late + n_ok == total, (n_late, n_ok, total)
+    # late rows are side-output only: no join attempt, no match
+    assert late.filter(F.col("matched_click").isNotNull()).count() == 0
+    assert late.filter(F.col("fk_dropped") != 0).count() == 0
+    # exactly the delivery-shifted population can be late
+    assert late.filter(F.col("action_id") % 5 != 0).count() == 0
+    df.unpersist()

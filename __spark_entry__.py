@@ -27,7 +27,24 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    """Each callable releases the PREVIOUS query's pinned caches before
+    running: the driver executes many queries in one session, and the
+    heavier manifests each pin several intermediates — accumulated
+    pins OOM a default-memory driver JVM partway through the window
+    (measured: 3 heavy queries + the 22-stage manifest on local[8]
+    defaults). Releasing at the query boundary is safe — the prior
+    result has been collected by the time the next callable runs, and
+    an unpersisted frame would only recompute, never corrupt."""
+    from openmetrics_spark.tables import release_caches
+
+    def wrap(fn: Callable[[SparkSession, str], DataFrame]):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            release_caches()
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: wrap(spec.fn) for name, spec in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

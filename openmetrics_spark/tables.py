@@ -54,6 +54,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+        # the composed manifests' pinned subtrees REPRINT inside every
+        # consumer, so their untruncated plan strings reach ~53 MB per
+        # execution; the UI listener retains one per execution and a
+        # default-memory driver JVM OOMs mid-window (measured on
+        # local[8] defaults). 1 MB keeps every real plan readable while
+        # capping listener retention at ~MBs across a 50-query window.
+        spark.conf.set("spark.sql.maxPlanStringLength", "1000000")
     except Exception:
         pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))

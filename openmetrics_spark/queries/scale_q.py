@@ -37,6 +37,7 @@ import itertools
 import os
 import shutil
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,13 +59,16 @@ atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
 # Catalog hygiene: saveAsTable registers session-catalog entries; a
 # pid-keyed name alone collides across concurrent SparkSessions in one
 # process and nothing would unregister it (the atexit above removes
-# only files). Every call gets a fresh nonce, and each new call drops
-# the catalog entries its predecessors registered (an already-analyzed
-# spark.table() DataFrame keeps its resolved relation, and DROP TABLE
-# on an external table leaves the parquet files in place, so dropping
-# is safe even if a prior result frame is still around).
+# only files). Every call gets a fresh nonce; create+analyze+swap runs
+# under one lock so a concurrent call can only ever drop PREDECESSOR
+# tables whose DataFrames are already analyzed (an analyzed
+# spark.table() frame keeps its resolved relation, and DROP TABLE on
+# an external table leaves the parquet files in place — safe even if
+# a prior result frame is still being consumed). The final call's two
+# entries live until process exit, bounded by construction.
 _CALL_SEQ = itertools.count()
 _LIVE_TABLES: list[str] = []
+_CATALOG_LOCK = threading.Lock()
 
 
 def _drop_registered(spark: SparkSession) -> None:
@@ -129,28 +133,32 @@ def _bucketed_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
     The ``merge`` hint pins SortMergeJoin so the broadcast planner
     can't paper over a bucketing regression at test scale."""
     li, o = _fact_sides(spark, sf_dir)
-    _drop_registered(spark)
-    tag = f"omx_scale_{os.getpid()}_{next(_CALL_SEQ)}"
-    li_name, o_name = f"{tag}_li", f"{tag}_o"
-    _LIVE_TABLES.extend([li_name, o_name])
-    write_bucketed(
-        li,
-        li_name,
-        os.path.join(_SCRATCH_ROOT, f"{tag}_li"),
-        ["l_orderkey"],
-        _N_BUCKETS,
-        sort_cols=["l_orderkey"],
-    )
-    write_bucketed(
-        o,
-        o_name,
-        os.path.join(_SCRATCH_ROOT, f"{tag}_o"),
-        ["o_orderkey"],
-        _N_BUCKETS,
-        sort_cols=["o_orderkey"],
-    )
-    lb = bucketed_table(spark, li_name)
-    ob = bucketed_table(spark, o_name)
+    with _CATALOG_LOCK:
+        tag = f"omx_scale_{os.getpid()}_{next(_CALL_SEQ)}"
+        li_name, o_name = f"{tag}_li", f"{tag}_o"
+        write_bucketed(
+            li,
+            li_name,
+            os.path.join(_SCRATCH_ROOT, f"{tag}_li"),
+            ["l_orderkey"],
+            _N_BUCKETS,
+            sort_cols=["l_orderkey"],
+        )
+        write_bucketed(
+            o,
+            o_name,
+            os.path.join(_SCRATCH_ROOT, f"{tag}_o"),
+            ["o_orderkey"],
+            _N_BUCKETS,
+            sort_cols=["o_orderkey"],
+        )
+        # analyze BEFORE dropping predecessors / registering ourselves:
+        # once spark.table() has resolved the relation, a later drop of
+        # the catalog entry cannot break this frame
+        lb = bucketed_table(spark, li_name)
+        ob = bucketed_table(spark, o_name)
+        _drop_registered(spark)
+        _LIVE_TABLES.extend([li_name, o_name])
     return lb.join(ob.hint("merge"), lb.l_orderkey == ob.o_orderkey)
 
 

@@ -29,7 +29,7 @@ from openmetrics_spark.jobs.streaming_flat_output import (
 )
 from openmetrics_spark.functions.money import exact_sum, exact_units
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import literal_df, table
+from openmetrics_spark.tables import literal_df, pin, table
 
 HOUR_MS = 3_600_000
 
@@ -1698,8 +1698,11 @@ _TTL_SLICE_MS = 1_800_000    # 30 min replay slices
 _TTL_N_SLICES = 8
 _TTL_TARGET_SPAN = _TTL_SLICE_MS * _TTL_N_SLICES  # compress span to <= this
 
-_TTL_JOIN_ORACLE = f"""
-WITH span AS (
+# Shared CTE fragments of the two TTL-gate oracles — ONE copy of the
+# eviction model (fix to either gate lands in both). The prefix builds
+# the compressed-time fixture; the match chain is parameterized on the
+# late-variant's on-time filters.
+_TTL_SQL_PREFIX = f"""span AS (
   SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
 ),
 kdiv AS (
@@ -1723,7 +1726,48 @@ lefts AS (
   SELECT user_id, id, ms, 'm' || CAST(id AS VARCHAR) AS impression_id,
          'c' || CAST(id % 40 AS VARCHAR) AS content_id
   FROM base WHERE event_type = 'click'
+)"""
+
+_TTL_SQL_WT = f"""wt AS (
+  SELECT t.i, max(p.ms) - {_TTL_DELAY_MS} AS wv
+  FROM range(1, {_TTL_N_SLICES + 1}) t(i) JOIN inp p ON p.sl < t.i
+  GROUP BY t.i
+  UNION ALL
+  SELECT {_TTL_N_SLICES + 1},
+         (SELECT max(ms) FROM inp) + {_TTL_FLUSH_MS} - {_TTL_DELAY_MS}
+)"""
+
+
+def _ttl_match_sql(fk_ontime: str = "", rem_ontime: str = "") -> str:
+    """The FK-then-scope match chain with the TTL availability floor
+    (candidate visible iff l.ms >= decision_wm - TTL)."""
+    return f"""fkm AS (
+  SELECT d.id, l.id AS lid, l.ms AS lms,
+         row_number() OVER (PARTITION BY d.id
+           ORDER BY l.ms, l.impression_id) AS rn
+  FROM rdec d JOIN lefts l
+    ON l.user_id = d.user_id AND l.impression_id = d.fk
+   AND l.ms >= d.dec_wm - {_TTL_MS}
+  WHERE d.fk IS NOT NULL{fk_ontime}
 ),
+fk1 AS (SELECT id, lid, lms FROM fkm WHERE rn = 1),
+rem AS (SELECT * FROM rdec
+        WHERE {rem_ontime}id NOT IN (SELECT id FROM fk1)),
+scm AS (
+  SELECT d.id, l.id AS lid, l.ms AS lms,
+         row_number() OVER (PARTITION BY d.id
+           ORDER BY abs(l.ms - d.ms), l.ms, l.impression_id) AS rn
+  FROM rem d JOIN lefts l
+    ON l.user_id = d.user_id AND l.content_id = d.content_id
+   AND l.ms BETWEEN d.ms - {_TTL_BEFORE_MS} AND d.ms
+   AND l.ms >= d.dec_wm - {_TTL_MS}
+),
+sc1 AS (SELECT id, lid, lms FROM scm WHERE rn = 1),
+m AS (SELECT * FROM fk1 UNION ALL SELECT * FROM sc1)"""
+
+
+_TTL_JOIN_ORACLE = f"""
+WITH {_TTL_SQL_PREFIX},
 rights AS (
   SELECT user_id, id, ms,
          CASE WHEN id % 2 = 0 THEN prev_imp END AS fk,
@@ -1735,40 +1779,12 @@ inp AS (
          least({_TTL_N_SLICES - 1}, (i.ms - s.lo) // {_TTL_SLICE_MS}) AS sl
   FROM (SELECT ms FROM lefts UNION ALL SELECT ms FROM rights) i, span s
 ),
-wt AS (
-  SELECT t.i, max(p.ms) - {_TTL_DELAY_MS} AS wv
-  FROM range(1, {_TTL_N_SLICES + 1}) t(i) JOIN inp p ON p.sl < t.i
-  GROUP BY t.i
-  UNION ALL
-  SELECT {_TTL_N_SLICES + 1},
-         (SELECT max(ms) FROM inp) + {_TTL_FLUSH_MS} - {_TTL_DELAY_MS}
-),
+{_TTL_SQL_WT},
 rdec AS (
   SELECT r.*, (SELECT min(wv) FROM wt WHERE wv > r.ms) AS dec_wm
   FROM rights r
 ),
-fkm AS (
-  SELECT d.id, l.id AS lid, l.ms AS lms,
-         row_number() OVER (PARTITION BY d.id
-           ORDER BY l.ms, l.impression_id) AS rn
-  FROM rdec d JOIN lefts l
-    ON l.user_id = d.user_id AND l.impression_id = d.fk
-   AND l.ms >= d.dec_wm - {_TTL_MS}
-  WHERE d.fk IS NOT NULL
-),
-fk1 AS (SELECT id, lid, lms FROM fkm WHERE rn = 1),
-rem AS (SELECT * FROM rdec WHERE id NOT IN (SELECT id FROM fk1)),
-scm AS (
-  SELECT d.id, l.id AS lid, l.ms AS lms,
-         row_number() OVER (PARTITION BY d.id
-           ORDER BY abs(l.ms - d.ms), l.ms, l.impression_id) AS rn
-  FROM rem d JOIN lefts l
-    ON l.user_id = d.user_id AND l.content_id = d.content_id
-   AND l.ms BETWEEN d.ms - {_TTL_BEFORE_MS} AND d.ms
-   AND l.ms >= d.dec_wm - {_TTL_MS}
-),
-sc1 AS (SELECT id, lid, lms FROM scm WHERE rn = 1),
-m AS (SELECT * FROM fk1 UNION ALL SELECT * FROM sc1)
+{_ttl_match_sql()}
 SELECT r.id AS action_id, r.user_id, r.ms AS act_ms,
        m.lid AS matched_click, m.lms AS click_ms,
        CAST((r.fk IS NOT NULL AND m.lid IS NULL) AS BIGINT) AS fk_dropped
@@ -1837,7 +1853,10 @@ def _ttl_frames(spark, sf_dir):
         ).alias("content_id"),
         F.timestamp_millis("ms").alias("ts"),
     )
-    return lefts, rights, lo
+    # pin: each frame is consumed 3-5x per query (restage, max-ms
+    # probe, payload re-join) and the per-user window over the full
+    # events table should run once, not per consumer
+    return pin(lefts), pin(rights), lo
 
 
 
@@ -1948,31 +1967,7 @@ def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TTL_LATE_SHIFT = 2 * _TTL_SLICE_MS
 
 _TTL_LATE_ORACLE = f"""
-WITH span AS (
-  SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
-),
-kdiv AS (
-  SELECT lo, (hi - lo) // {_TTL_TARGET_SPAN} + 1 AS k FROM span
-),
-base AS (
-  SELECT e.event_id AS id, e.user_id, e.event_type,
-         kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k AS ms,
-         last_value(CASE WHEN e.event_type = 'click'
-                         THEN 'm' || CAST(e.event_id AS VARCHAR)
-                    END IGNORE NULLS) OVER w AS prev_imp,
-         last_value(CASE WHEN e.event_type = 'click'
-                         THEN 'c' || CAST(e.event_id % 40 AS VARCHAR)
-                    END IGNORE NULLS) OVER w AS prev_content
-  FROM events e, kdiv kd
-  WINDOW w AS (PARTITION BY e.user_id
-               ORDER BY kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k, e.event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-),
-lefts AS (
-  SELECT user_id, id, ms, 'm' || CAST(id AS VARCHAR) AS impression_id,
-         'c' || CAST(id % 40 AS VARCHAR) AS content_id
-  FROM base WHERE event_type = 'click'
-),
+WITH {_TTL_SQL_PREFIX},
 rights AS (
   SELECT user_id, id, ms,
          ms + CASE WHEN id % 5 = 0 THEN {_TTL_LATE_SHIFT} ELSE 0 END AS arr,
@@ -1987,14 +1982,7 @@ inp AS (
   SELECT r.ms, least({_TTL_N_SLICES - 1}, (r.arr - s.lo) // {_TTL_SLICE_MS})
   FROM rights r, span s
 ),
-wt AS (
-  SELECT t.i, max(p.ms) - {_TTL_DELAY_MS} AS wv
-  FROM range(1, {_TTL_N_SLICES + 1}) t(i) JOIN inp p ON p.sl < t.i
-  GROUP BY t.i
-  UNION ALL
-  SELECT {_TTL_N_SLICES + 1},
-         (SELECT max(ms) FROM inp) + {_TTL_FLUSH_MS} - {_TTL_DELAY_MS}
-),
+{_TTL_SQL_WT},
 rdec AS (
   SELECT r.*,
          coalesce((SELECT wv FROM wt
@@ -2004,29 +1992,7 @@ rdec AS (
          (SELECT min(wv) FROM wt WHERE wv > r.ms) AS dec_wm
   FROM rights r, span s
 ),
-fkm AS (
-  SELECT d.id, l.id AS lid, l.ms AS lms,
-         row_number() OVER (PARTITION BY d.id
-           ORDER BY l.ms, l.impression_id) AS rn
-  FROM rdec d JOIN lefts l
-    ON l.user_id = d.user_id AND l.impression_id = d.fk
-   AND l.ms >= d.dec_wm - {_TTL_MS}
-  WHERE d.fk IS NOT NULL AND NOT d.is_late
-),
-fk1 AS (SELECT id, lid, lms FROM fkm WHERE rn = 1),
-rem AS (SELECT * FROM rdec
-        WHERE NOT is_late AND id NOT IN (SELECT id FROM fk1)),
-scm AS (
-  SELECT d.id, l.id AS lid, l.ms AS lms,
-         row_number() OVER (PARTITION BY d.id
-           ORDER BY abs(l.ms - d.ms), l.ms, l.impression_id) AS rn
-  FROM rem d JOIN lefts l
-    ON l.user_id = d.user_id AND l.content_id = d.content_id
-   AND l.ms BETWEEN d.ms - {_TTL_BEFORE_MS} AND d.ms
-   AND l.ms >= d.dec_wm - {_TTL_MS}
-),
-sc1 AS (SELECT id, lid, lms FROM scm WHERE rn = 1),
-m AS (SELECT * FROM fk1 UNION ALL SELECT * FROM sc1)
+{_ttl_match_sql(fk_ontime=" AND NOT d.is_late", rem_ontime="NOT is_late AND ")}
 SELECT r.id AS action_id, r.user_id, r.ms AS act_ms,
        m.lid AS matched_click, m.lms AS click_ms,
        CASE WHEN r.is_late THEN 'late' ELSE 'ok' END AS channel,

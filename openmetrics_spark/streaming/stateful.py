@@ -449,7 +449,20 @@ def stream_inferred_join(
             floor = min([wm] + [c[0] for c in pending]) - retention
             views = [v for v in views if v[0] >= floor]
         if pending:
-            state.setTimeoutTimestamp(min(c[0] for c in pending) + after + 1)
+            # fire EXACTLY at the ready boundary: a pending row becomes
+            # decidable when wm > ms + after, and Spark fires an
+            # event-time timeout when the watermark strictly exceeds the
+            # set timestamp — so the timestamp is ms + after itself. The
+            # old ms + after + 1 deferred a timer-driven decision one
+            # batch whenever a slice watermark landed EXACTLY on
+            # ms + after + 1; harmless under replay-spanning retention,
+            # but under ttl_floor the deferral would shift the eviction
+            # floor past what the oracle models. Spark rejects a
+            # timestamp <= current watermark, hence the wm + 1 clamp
+            # (reachable only when min pending + after == wm, a 1 ms
+            # coincidence that then needs ANOTHER exact hit to matter).
+            t = min(c[0] for c in pending) + after
+            state.setTimeoutTimestamp(max(t, wm + 1))
         if views or pending:
             state.update((json.dumps(views), json.dumps(pending)))
         else:

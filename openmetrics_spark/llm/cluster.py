@@ -113,6 +113,35 @@ def kmeans_assign(
     return assigned.select("vid", F.col("cell").cast("long").alias("cell"))
 
 
+def kmeans_assign_new(
+    train: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 8,
+    iters: int = 3,
+    dim: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Index MAINTENANCE: train the codebook on ``train`` only, then
+    assign ``new`` vectors against the standing centroids WITHOUT
+    retraining — the operational shape of every IVF/cell index as data
+    arrives (a retrain would move every standing vector's cell and
+    force a full index rebuild). Returns (standing assignment, new
+    assignment), both (vid, cell). 100 TB: the centroids are k x dim
+    longs of driver state (the MLlib pattern); assigning the incoming
+    batch is a narrow join-free projection over that broadcast, linear
+    in the batch."""
+    assigned, cents = _lloyd(train, id_col, vec_col, k, iters, dim)
+    base = new.select(
+        F.col(id_col).alias("vid"), quantized(F.col(vec_col)).alias("qv")
+    ).withColumn("v", F.transform("qv", lambda x: x.cast("double")))
+    newa = base.withColumn("cell", _nearest(F.col("v"), cents))
+    return (
+        assigned.select("vid", F.col("cell").cast("long").alias("cell")),
+        newa.select("vid", F.col("cell").cast("long").alias("cell")),
+    )
+
+
 def kmeans_ivf_topk(
     embeddings: DataFrame,
     id_col: str,

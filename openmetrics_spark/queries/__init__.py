@@ -103,6 +103,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_incremental_admit",
     "corpus_two_batch_ledger",
     "streaming_ttl_late_channel",
+    "embedding_incremental_assign",
     "bfj_pipeline_manifest",
     "streaming_bfj_pipeline",
     "corpus_curation_pipeline",
@@ -146,7 +147,8 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_cumulate_hourly",   # streaming CUMULATE
     "streaming_user_asof_join",    # streaming user join
     "last_time_and_count",         # counter families
-    "gated_query_counts",          # top-query gating
+    # (gated_query_counts, r9-green, ceded its anchor slot to the
+    # late-r10 embedding_incremental_assign; it joins the r11 queue)
     "daily_rollup_metrics",        # unified event metrics
     "asof_attribution",            # temporal join
     "cohort_membership_intervals", # SCD2 experiments

@@ -180,7 +180,12 @@ _KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
 
 def _kmeans_ctes_for(
-    pref: str, k: int, iters: int, dim: int, vec_expr: str = "embedding"
+    pref: str,
+    k: int,
+    iters: int,
+    dim: int,
+    vec_expr: str = "embedding",
+    where: str = "",
 ) -> list[str]:
     """Unrolled Lloyd iterations as CTEs — they replay the exact
     integer/double op sequence of llm/cluster.py. The final assignment
@@ -196,7 +201,7 @@ def _kmeans_ctes_for(
   SELECT vec_id,
          list_transform({vec_expr},
            x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings{where}
 ), {pref}d AS (
   SELECT vec_id, list_transform(qv, x -> CAST(x AS DOUBLE)) AS v FROM {pref}e
 ), {pref}c0 AS (
@@ -3072,4 +3077,116 @@ def corpus_two_batch_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_row(plant_rej, "plant_exact_rejected"))
         .unionByName(led)
         .unionByName(rem)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance: assign new vectors, no retrain
+# ---------------------------------------------------------------------------
+#
+# The IVF/cell tier's operational counterpart of corpus_incremental_admit:
+# a batch of NEW vectors (odd vec_ids) arrives against a STANDING cell
+# index trained on the existing vectors (even vec_ids). Retraining
+# would move every standing vector's cell — a full index rebuild — so
+# maintenance assigns the new batch against the FROZEN centroids. The
+# manifest pins, per cell, the standing population, the incoming
+# population, and a bit_xor hash over the incoming (vec_id, cell)
+# assignments — any single vector landing in the wrong cell flips it.
+
+_INCR_ASSIGN_HASH = (
+    "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR) || '_' "
+    "|| CAST(cell AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+_INCR_ASSIGN_ORACLE = (
+    "WITH "
+    + ", ".join(
+        _kmeans_ctes_for(
+            "", _KM_K, _KM_ITERS, _KM_DIM, "embedding",
+            where=" WHERE vec_id % 2 = 0",
+        )
+    )
+    + f""",
+newd AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                     AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+newa AS (
+  SELECT vec_id, cid AS cell FROM (
+    SELECT d.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY d.vec_id
+             ORDER BY list_cosine_similarity(d.v, c.cv) DESC, c.cid DESC
+           ) AS rn
+    FROM newd d CROSS JOIN c{_KM_ITERS - 1} c
+  ) WHERE rn = 1
+),
+cells AS (
+  SELECT cell FROM a{_KM_ITERS}
+  UNION
+  SELECT cell FROM newa
+),
+sn AS (SELECT cell, count(*) AS n FROM a{_KM_ITERS} GROUP BY 1),
+nn AS (
+  SELECT cell, count(*) AS n,
+         bit_xor({_INCR_ASSIGN_HASH}) AS h
+  FROM newa GROUP BY 1
+)
+SELECT CAST(cells.cell AS BIGINT) AS cell,
+       CAST(coalesce(sn.n, 0) AS BIGINT) AS standing_n,
+       CAST(coalesce(nn.n, 0) AS BIGINT) AS incoming_n,
+       CAST(coalesce(nn.h, 0) AS BIGINT) AS assign_hash
+FROM cells LEFT JOIN sn USING (cell) LEFT JOIN nn USING (cell)
+"""
+)
+
+
+@register(
+    "embedding_incremental_assign",
+    oracle=_INCR_ASSIGN_ORACLE,
+    tags=("llm", "similarity"),
+)
+def embedding_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index maintenance: the odd-id vector batch is assigned to
+    the cell index trained on the even-id standing vectors WITHOUT
+    retraining; per cell, the standing and incoming populations plus a
+    per-vector assignment hash (see block comment). 100 TB: centroids
+    are k x dim longs of driver state; the incoming assignment is a
+    join-free narrow projection, linear in the batch — the standing
+    corpus is never rescanned."""
+    from openmetrics_spark.llm.cluster import kmeans_assign_new
+
+    emb = spread_for_compute(table(spark, sf_dir, "embeddings"))
+    standing, incoming = kmeans_assign_new(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        "vec_id",
+        "embedding",
+        k=_KM_K,
+        iters=_KM_ITERS,
+        dim=_KM_DIM,
+    )
+    sn = standing.groupBy("cell").agg(F.count(F.lit(1)).alias("sn"))
+    nn = incoming.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("nn"),
+        F.expr(
+            "bit_xor(CAST(conv(substring(md5(concat(CAST(vid AS STRING), '_',"
+            " CAST(cell AS STRING))), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("h"),
+    )
+    cells = (
+        standing.select("cell").unionByName(incoming.select("cell")).distinct()
+    )
+    return (
+        cells.join(sn, "cell", "left")
+        .join(nn, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce(F.col("sn"), F.lit(0)).cast("long").alias("standing_n"),
+            F.coalesce(F.col("nn"), F.lit(0)).cast("long").alias("incoming_n"),
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("assign_hash"),
+        )
     )

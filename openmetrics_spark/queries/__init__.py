@@ -94,6 +94,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # enumerated by the r9 verdict — after this window every registered
     # query's newest driver row is r7 or newer; (d) 15 already-green
     # family anchors so no SURVEY §2 family goes unwatched.
+    # corpus_quality_drift (landed after the r10 window was frozen and
+    # its 50/50 rehearsal run; green in the local both-SF checks) leads
+    # the r11 queue, followed by the three anchors that ceded slots to
+    # late-r10 additions: multimodal_av_features, keep_first_dedup,
+    # gated_query_counts, then the remaining r6/r7 rows by age.
     # =====================================================================
     # --- (a) never driver-gated, promised the queue head
     "embedding_cell_purity",

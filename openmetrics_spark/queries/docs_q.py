@@ -3190,3 +3190,130 @@ def embedding_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("assign_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-drift monitor: incoming batch vs standing corpus
+# ---------------------------------------------------------------------------
+#
+# The monitoring op every ingest pipeline runs next to admission: has
+# the incoming batch's quality DISTRIBUTION drifted from the standing
+# corpus's? Both halves histogram onto a shared 10-bucket grid of the
+# (already cross-engine-exact) 1001-point quality score, and the drift
+# statistic is an EXACT integer form of the L1 histogram distance:
+#     l1_scaled = sum_i | c_inc[i] * n_sta - c_sta[i] * n_inc |
+# (the common-denominator form of sum |p_inc - p_sta| — no division,
+# no float, hash-exact in both engines). Alerting thresholds divide by
+# n_sta * n_inc downstream.
+
+_DRIFT_BUCKETS = 10
+
+_QUALITY_DRIFT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), d AS (
+  SELECT doc_id, source, doc_id % 2 AS half,
+         least({_DRIFT_BUCKETS - 1}, {_BUDGET_SQL_QINT} * {_DRIFT_BUCKETS} // 1001)
+           AS b
+  FROM t
+), h AS (
+  SELECT source, half, b, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY 1, 2, 3
+), n AS (
+  SELECT source,
+         CAST(coalesce(sum(CASE WHEN half = 0 THEN c END), 0) AS BIGINT) AS n_sta,
+         CAST(coalesce(sum(CASE WHEN half = 1 THEN c END), 0) AS BIGINT) AS n_inc
+  FROM h GROUP BY 1
+), grid AS (
+  SELECT s.source, g.b, n.n_sta, n.n_inc,
+         CAST(coalesce(sta.c, 0) AS BIGINT) AS c_sta,
+         CAST(coalesce(inc.c, 0) AS BIGINT) AS c_inc
+  FROM (SELECT DISTINCT source FROM d) s
+  CROSS JOIN range({_DRIFT_BUCKETS}) g(b)
+  JOIN n USING (source)
+  LEFT JOIN h sta ON sta.source = s.source AND sta.b = g.b AND sta.half = 0
+  LEFT JOIN h inc ON inc.source = s.source AND inc.b = g.b AND inc.half = 1
+)
+SELECT source, n_sta, n_inc,
+       CAST(sum(abs(c_inc * n_sta - c_sta * n_inc)) AS BIGINT) AS l1_scaled
+FROM grid GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "corpus_quality_drift",
+    oracle=_QUALITY_DRIFT_ORACLE,
+    tags=("llm", "monitor"),
+)
+def corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality-distribution drift between the standing
+    corpus (even ids) and the incoming batch (odd ids): shared
+    10-bucket histograms over the exact quality grid, L1 distance in
+    the common-denominator integer form (see block comment). 100 TB:
+    one map-combinable (source, half, bucket) aggregate over the scan;
+    the drift arithmetic runs on the tiny histogram frame."""
+    docs = spread_for_compute(table(spark, sf_dir, "documents"))
+    t = docs.select("doc_id", "source", tokens("text").alias("tok"))
+    q_int = (
+        F.floor(quality_score("text", F.col("tok")) * 1000 + F.lit(0.5))
+        .cast("long")
+    )
+    d = t.select(
+        "source",
+        (F.col("doc_id") % 2).alias("half"),
+        F.least(
+            F.lit(_DRIFT_BUCKETS - 1).cast("long"),
+            ((q_int * _DRIFT_BUCKETS) / F.lit(1001)).cast("long"),
+        ).alias("b"),
+    )
+    h = d.groupBy("source", "half", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    n = h.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("half") == 0, F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_sta"),
+        F.coalesce(
+            F.sum(F.when(F.col("half") == 1, F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_inc"),
+    )
+    grid = (
+        d.select("source").distinct()
+        .crossJoin(
+            spark.range(_DRIFT_BUCKETS).select(F.col("id").alias("b"))
+        )
+        .join(n, "source")
+        .join(
+            h.filter(F.col("half") == 0).select(
+                "source", "b", F.col("c").alias("c_sta")
+            ),
+            ["source", "b"],
+            "left",
+        )
+        .join(
+            h.filter(F.col("half") == 1).select(
+                "source", "b", F.col("c").alias("c_inc")
+            ),
+            ["source", "b"],
+            "left",
+        )
+        .select(
+            "source",
+            "n_sta",
+            "n_inc",
+            F.coalesce(F.col("c_sta"), F.lit(0)).cast("long").alias("c_sta"),
+            F.coalesce(F.col("c_inc"), F.lit(0)).cast("long").alias("c_inc"),
+        )
+    )
+    return grid.groupBy("source", "n_sta", "n_inc").agg(
+        F.sum(
+            F.abs(
+                F.col("c_inc") * F.col("n_sta")
+                - F.col("c_sta") * F.col("n_inc")
+            )
+        )
+        .cast("long")
+        .alias("l1_scaled")
+    )

@@ -3198,7 +3198,11 @@ def embedding_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # The monitoring op every ingest pipeline runs next to admission: has
 # the incoming batch's quality DISTRIBUTION drifted from the standing
-# corpus's? Both halves histogram onto a shared 10-bucket grid of the
+# corpus's? The halves split on a HASH of the doc id (not a modulus:
+# the fixture's source rides doc_id % 20, so any small-modulus split
+# is constant within a source and the monitor would degenerate to
+# one-sided zero-drift rows). Both halves histogram onto a shared
+# 10-bucket grid of the
 # (already cross-engine-exact) 1001-point quality score, and the drift
 # statistic is an EXACT integer form of the L1 histogram distance:
 #     l1_scaled = sum_i | c_inc[i] * n_sta - c_sta[i] * n_inc |
@@ -3214,7 +3218,9 @@ WITH t AS (
          regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
   FROM documents
 ), d AS (
-  SELECT doc_id, source, doc_id % 2 AS half,
+  SELECT doc_id, source,
+         CAST(('0x' || substr(md5('drift_' || CAST(doc_id AS VARCHAR)),
+                              1, 15)) AS BIGINT) % 2 AS half,
          least({_DRIFT_BUCKETS - 1}, {_BUDGET_SQL_QINT} * {_DRIFT_BUCKETS} // 1001)
            AS b
   FROM t
@@ -3262,7 +3268,12 @@ def corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = t.select(
         "source",
-        (F.col("doc_id") % 2).alias("half"),
+        (
+            portable_hash60(
+                F.concat(F.lit("drift_"), F.col("doc_id").cast("string"))
+            )
+            % 2
+        ).alias("half"),
         F.least(
             F.lit(_DRIFT_BUCKETS - 1).cast("long"),
             ((q_int * _DRIFT_BUCKETS) / F.lit(1001)).cast("long"),

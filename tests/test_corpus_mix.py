@@ -675,3 +675,16 @@ def test_two_batch_ledger_evolution(spark, sf_dir):
     assert rows["b1_admitted"].n_docs > 0
     assert rows["b2_admitted"].n_docs > 0
     assert rows["b2_admitted"].n_docs < rows["b2_nd_surv"].n_docs
+
+
+def test_quality_drift_bounds(spark, sf_dir):
+    """corpus_quality_drift: the scaled L1 respects its algebraic
+    bounds (0 <= l1 <= 2 * n_sta * n_inc, the total-variation ceiling)
+    and every source reports both halves non-empty at the test SF."""
+    from openmetrics_spark.queries.docs_q import corpus_quality_drift
+
+    rows = corpus_quality_drift(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_sta > 0 and r.n_inc > 0, r
+        assert 0 <= r.l1_scaled <= 2 * r.n_sta * r.n_inc, r

@@ -87,14 +87,25 @@ LOOKBACK7D = 7 * DAY
 # ---------------------------------------------------------------------------
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events(spark: SparkSession, sf_dir: str, skew: bool = False) -> DataFrame:
     """Base derivation + the two same-user FK windows (prev_view /
-    prev_imp) — identical to bfj_q's conventions."""
+    prev_imp) — identical to bfj_q's conventions.
+
+    ``skew=True`` plants ONE power-law hot key: every ``user_id % 8 == 0``
+    user collapses onto ``log_user_id = 'uhot'`` (~12-13% of ALL events on
+    one key; those users are all ``% 4 == 0`` so the hot key lives on a
+    single ``(platform_id=0, 'uhot')`` state partition). This is the
+    reference's logged-out/bot shape — a shared id concentrating a whole
+    key's state and compute on one task (KeyUtil.java:27-98) — and the
+    skewed manifest gates that every stage still hash-matches under it."""
+    lu = F.concat(F.lit("u"), F.col("user_id"))
+    if skew:
+        lu = F.when(F.col("user_id") % 8 == 0, F.lit("uhot")).otherwise(lu)
     e = table(spark, sf_dir, "events").select(
         F.col("event_id").alias("id"),
         F.unix_millis("ts").alias("ms"),
         (F.col("user_id") % 4).alias("platform_id"),
-        F.concat(F.lit("u"), F.col("user_id")).alias("log_user_id"),
+        lu.alias("log_user_id"),
         "event_type",
     )
     w = (
@@ -166,8 +177,10 @@ def _opt(cond: Column, struct: Column) -> Column:
     )
 
 
-def _envelopes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _events(spark, sf_dir)
+def _envelopes(
+    spark: SparkSession, sf_dir: str, skew: bool = False
+) -> DataFrame:
+    e = _events(spark, sf_dir, skew)
     empty = {
         name: F.lit(None)
         .cast(T.ArrayType(_nullable(EVENT_SCHEMAS[name])))
@@ -489,12 +502,14 @@ def _j(*cols: Column) -> Column:
 # so one helper serves batch and streaming under the shared oracle.
 
 
-def _user_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _user_versions(
+    spark: SparkSession, sf_dir: str, skew: bool = False
+) -> DataFrame:
     """Versioned user-profile fixture: every id%6==0 event emits a
     profile snapshot at its event time; same-(user, ms) collisions
     collapse deterministically to the max id. Mirrors the oracle's
     ``uvers`` CTE."""
-    e = _events(spark, sf_dir)
+    e = _events(spark, sf_dir, skew)
     return (
         e.filter(F.col("id") % 6 == 0)
         .groupBy("platform_id", "log_user_id", F.col("ms").alias("ver_ms"))
@@ -522,6 +537,7 @@ def _tail_stages(
     kept: DataFrame,
     merged: DataFrame,
     flat_rows: DataFrame,
+    skew: bool = False,
 ) -> list[DataFrame]:
     """Manifest stages 20-22 over the pipeline's own outputs (see block
     comment). 100 TB: the as-of is the one-shuffle union+last_value
@@ -547,7 +563,7 @@ def _tail_stages(
         )
         .withColumn("__lts", F.timestamp_millis("ms"))
     )
-    uvers = _user_versions(spark, sf_dir).withColumn(
+    uvers = _user_versions(spark, sf_dir, skew).withColumn(
         "__rts", F.timestamp_millis("ver_ms")
     )
     uj = pin(
@@ -659,8 +675,10 @@ def _tail_stages(
 # ---------------------------------------------------------------------------
 
 
-def _run_pipeline(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    env = _envelopes(spark, sf_dir)
+def _run_pipeline(
+    spark: SparkSession, sf_dir: str, skew: bool = False
+) -> list[DataFrame]:
+    env = _envelopes(spark, sf_dir, skew)
     streams = split_log_requests(env)
     views_raw = pin(streams["view"])
     dls_raw = pin(fix_delivery_log(streams["delivery_log"]))
@@ -965,7 +983,7 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             attributed.select("action_id").distinct(),
             act_joined.select("action_id").distinct(),
         ),
-        *_tail_stages(spark, sf_dir, kept, merged, flat_rows),
+        *_tail_stages(spark, sf_dir, kept, merged, flat_rows, skew),
     ]
 
 
@@ -973,13 +991,25 @@ def _run_pipeline(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
 # the oracle
 # ---------------------------------------------------------------------------
 
-_E_SQL = """
+def _e_sql(skew: bool = False) -> str:
+    # the SQL twin of _events' skew knob: user_id % 8 == 0 collapses to
+    # ONE hot log_user_id (same CASE both engines → oracle stays exact)
+    lu = (
+        "CASE WHEN user_id % 8 = 0 THEN 'uhot'"
+        " ELSE 'u' || CAST(user_id AS VARCHAR) END"
+        if skew
+        else "'u' || CAST(user_id AS VARCHAR)"
+    )
+    return f"""
   SELECT event_id AS id, epoch_ms(ts) AS ms,
          user_id % 4 AS platform_id,
-         'u' || CAST(user_id AS VARCHAR) AS log_user_id,
+         {lu} AS log_user_id,
          event_type
   FROM events
 """
+
+
+_E_SQL = _e_sql()
 
 _CS = "CAST(('0x' || substr(md5({s}), 1, 15)) AS BIGINT)"
 
@@ -996,7 +1026,7 @@ SELECT CAST({ord_} AS BIGINT) AS stage_ord, '{name}' AS stage,
 FROM {from_sql}"""
 
 
-def _oracle() -> str:
+def _oracle(skew: bool = False) -> str:
     nz = "coalesce({c}, '-')"
 
     def j(*parts: str) -> str:
@@ -1004,7 +1034,7 @@ def _oracle() -> str:
 
     s = lambda c: f"CAST({c} AS VARCHAR)"  # noqa: E731
     body = f"""
-WITH RECURSIVE e AS ({_E_SQL}),
+WITH RECURSIVE e AS ({_e_sql(skew)}),
 w AS MATERIALIZED (
   SELECT *,
     last_value(CASE WHEN event_type = 'view'
@@ -1541,6 +1571,7 @@ SELECT CAST(19 AS BIGINT), 'yield_action_bp',
 
 
 _PIPELINE_ORACLE = _oracle()
+_PIPELINE_ORACLE_SKEWED = _oracle(skew=True)
 
 
 @register(
@@ -1565,6 +1596,31 @@ def bfj_pipeline_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate per stage over pinned intermediates, so the chain is
     scanned once per stage boundary, not once per manifest row."""
     parts = _run_pipeline(spark, sf_dir)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "bfj_pipeline_manifest_skewed",
+    oracle=_PIPELINE_ORACLE_SKEWED,
+    tags=("bfj", "pipeline", "skew"),
+)
+def bfj_pipeline_manifest_skewed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The full 22-stage FlatOutputJob manifest under a PLANTED HOT KEY:
+    ~12-13% of all events collapse onto one ``(platform_id=0, 'uhot')``
+    key (the reference's logged-out/bot shape, KeyUtil.java:27-98 —
+    a power-law user that concentrates an entire key's windows, dedup
+    groups, session cogroups, as-of joins and AddLatestImpressions state
+    on one task). Every stage must still hash-match the DuckDB oracle
+    computed over the SAME skewed derivation — correctness under skew,
+    not just uniform fixtures. The sf0.1 skewed-vs-uniform wall-clock
+    probe is recorded in docs/SCALE.md (the 100x concern: sub-linear
+    degradation, no single-task blow-up)."""
+    parts = _run_pipeline(spark, sf_dir, skew=True)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

@@ -84,6 +84,7 @@ from openmetrics_spark.queries.bfj_pipeline_q import (
     MIN30,
     REDUNDANT_TTL_MS,
     _PIPELINE_ORACLE,
+    _PIPELINE_ORACLE_SKEWED,
     _child,
     _envelopes,
     _j,
@@ -151,9 +152,9 @@ def _sentinel_envelope(env: DataFrame) -> DataFrame:
 
 
 def _run_streaming_pipeline(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, skew: bool = False
 ) -> list[DataFrame]:
-    work = _workdir("bfj_stream")
+    work = _workdir("bfj_stream_skew" if skew else "bfj_stream")
 
     def p(name: str) -> str:
         return os.path.join(work, name)
@@ -171,7 +172,7 @@ def _run_streaming_pipeline(
     # batch FK path has no window, so parity needs every ancestor live
     retention = (hi - lo) + 2 * DAY
 
-    env = _envelopes(spark, sf_dir)
+    env = _envelopes(spark, sf_dir, skew)
     _restage(
         spark,
         env.unionByName(_sentinel_envelope(env)),
@@ -734,7 +735,7 @@ def _run_streaming_pipeline(
         # the FlatOutputJob tail (user temporal join, AddLatest-
         # Impressions, clearUserId) over the SAME drained frames —
         # shared with the batch manifest, gated by the shared oracle
-        *_tail_stages(spark, sf_dir, kept, merged, flat_rows),
+        *_tail_stages(spark, sf_dir, kept, merged, flat_rows, skew),
     ]
 
 
@@ -758,4 +759,31 @@ def streaming_bfj_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materialize while the scoped shuffle conf is active: the
         # streaming sinks are already drained, but the batch manifest
         # aggregates still plan off this frame
+        return out.localCheckpoint(eager=True)
+
+
+@register(
+    "streaming_bfj_pipeline_skewed",
+    oracle=_PIPELINE_ORACLE_SKEWED,
+    tags=("bfj", "pipeline", "streaming", "skew"),
+)
+def streaming_bfj_pipeline_skewed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 22-stage streaming FlatOutputJob chain under the PLANTED HOT
+    KEY (~12-13% of events on one ``(platform_id=0, 'uhot')`` key — see
+    ``bfj_pipeline_manifest_skewed``). This is the gate the r10 verdict
+    named as the one untested 100x failure mode: every stateful twin
+    (keep-first, combine, the three inferred joins, session cogroup)
+    keys on ``(platform_id, log_user_id)`` exactly like the reference
+    (KeyUtil.java:27-98), so a power-law user concentrates a whole key's
+    state on one task. The skewed run must stay bit-identical to the
+    same DuckDB oracle as the batch skewed manifest; the hot key's state
+    stays TTL/window-bounded (pytest asserts via the state probe), and
+    the sf0.1 skewed-vs-uniform wall probe is in docs/SCALE.md."""
+    with _stream_shuffle_partitions(spark):
+        parts = _run_streaming_pipeline(spark, sf_dir, skew=True)
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
         return out.localCheckpoint(eager=True)

@@ -21,6 +21,7 @@ large keyspaces — state per key here is O(horizon/bucket), so the
 from __future__ import annotations
 
 import json
+from bisect import bisect_left, bisect_right
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
@@ -228,6 +229,7 @@ def stream_inferred_join(
     content_col: str | None = None,
     left_retention_ms: int | None = None,
     ttl_floor: bool = False,
+    state_probe_dir: str | None = None,
 ) -> DataFrame:
     """Streaming inferred-reference join — the transformWithState twin
     of ``operators.joins.inferred_join`` and the Spark port of the
@@ -412,29 +414,56 @@ def stream_inferred_join(
                 return v[2][fk_i] or ""
             return v[1]
 
+        # Indexed candidate lookup, rebuilt per invocation (r10 verdict
+        # ask: the old per-ready-row linear scan was O(|ready|x|views|),
+        # which a planted hot key turns into the dominant cost — the
+        # reference binary-searches SORTED per-scope lists,
+        # BaseInferred.java:359-377,605-650). Build once: ms-sorted
+        # views (stable, so same-ms arrival order — hence min() winners
+        # — are preserved bit-for-bit), an fk-value bucket map, and one
+        # (scope-values → ms-sorted bucket) map per scope set; each
+        # ready row then bisects its time window inside one bucket.
+        # Cost: O(|views| x (1+|walk|)) build + O(log + window hits)
+        # per ready row, vs O(|views| x |walk|) per ready row before.
+        if ready:
+            vsorted = sorted(views, key=lambda v: v[0])
+            fk_buckets: dict = {}
+            if fk_i is not None:
+                for v in vsorted:
+                    fv = v[2][fk_i]
+                    if fv is not None:
+                        fk_buckets.setdefault(fv, []).append(v)
+            scope_buckets: list[dict] = []
+            for s in walk_idx:
+                d: dict = {}
+                for v in vsorted:
+                    d.setdefault(tuple(v[2][i] for i in s), []).append(v)
+                scope_buckets.append(
+                    {k: ([x[0] for x in lst], lst) for k, lst in d.items()}
+                )
         for cms, cid, csc in ready:
             best = None
             # explicit-FK path: no window, earliest left (batch
             # inferred_join's fk join); a miss falls through to scopes
             if fk_i is not None and csc[fk_i] is not None:
-                cands = [v for v in views if v[2][fk_i] == csc[fk_i]]
+                cands = fk_buckets.get(csc[fk_i])
                 if cands:
                     best = min(cands, key=lambda v: (v[0], okey(v)))
             if best is None:
                 rc = csc[content_i] if content_i is not None else None
-                for s in walk_idx:
+                for si, s in enumerate(walk_idx):
                     if any(csc[i] is None or csc[i] == "" for i in s):
                         continue
+                    bucket = scope_buckets[si].get(tuple(csc[i] for i in s))
+                    if not bucket:
+                        continue
+                    bms, blst = bucket
+                    lo = bisect_left(bms, cms - before)
+                    hi = bisect_right(bms, cms + after)
                     cands = [
                         v
-                        for v in views
-                        if cms - before <= v[0] <= cms + after
-                        and all(v[2][i] == csc[i] for i in s)
-                        and (
-                            rc is None
-                            or rc == ""
-                            or v[2][content_i] == rc
-                        )
+                        for v in blst[lo:hi]
+                        if rc is None or rc == "" or v[2][content_i] == rc
                     ]
                     if cands:
                         best = min(
@@ -463,6 +492,17 @@ def stream_inferred_join(
             # coincidence that then needs ANOTHER exact hit to matter).
             t = min(c[0] for c in pending) + after
             state.setTimeoutTimestamp(max(t, wm + 1))
+        if state_probe_dir is not None:
+            # test-only instrumentation (skew/TTL gates): record the
+            # per-key state size AT STORE TIME so a pytest can assert
+            # the hot key's candidate list stays TTL-bounded. Workers
+            # share the local FS in local mode; one file per worker pid.
+            import os as _os
+
+            with open(
+                _os.path.join(state_probe_dir, f"{_os.getpid()}.log"), "a"
+            ) as fh:
+                fh.write(f"{key[0]}\t{len(views)}\t{len(pending)}\t{wm}\n")
         if views or pending:
             state.update((json.dumps(views), json.dumps(pending)))
         else:

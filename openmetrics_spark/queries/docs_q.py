@@ -3328,3 +3328,201 @@ def corpus_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("l1_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming quality-drift monitor (r10 verdict #7): the batch L1 form is
+# map-combinable, so the windowed streaming monitor is one tumbling
+# window()-groupBy over the SAME (source, half, bucket) histogram — the
+# operational shape: per-hour drift alarms over an arriving corpus.
+# Event time is derived deterministically from doc_id (documents carry
+# no timestamp), spreading the corpus over four hours so the gate
+# covers multiple window emissions, a mid-stream watermark, and the
+# final flush. The drift arithmetic stays a batch post-pass over the
+# drained histogram (O(windows x sources x 10) rows).
+# ---------------------------------------------------------------------------
+
+_DRIFT_HOUR_MS = 3_600_000
+_DRIFT_SPAN_MS = 4 * _DRIFT_HOUR_MS
+_DRIFT_BASE_MS = 1_700_000_000_000
+# Knuth multiplicative constant: big enough that consecutive doc_ids
+# land hours apart (997 put every sf0.001 doc in hour 0 — one window
+# emission gates nothing)
+_DRIFT_MULT = 2_654_435_761
+
+_STREAM_DRIFT_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+         {_DRIFT_BASE_MS} + (doc_id * {_DRIFT_MULT}) % {_DRIFT_SPAN_MS} AS ms,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM documents
+), d AS (
+  SELECT source,
+         (ms // {_DRIFT_HOUR_MS}) * {_DRIFT_HOUR_MS} AS window_start_ms,
+         {portable_hash60_sql("'drift_' || CAST(doc_id AS VARCHAR)")} % 2
+           AS half,
+         least({_DRIFT_BUCKETS - 1}, {_BUDGET_SQL_QINT} * {_DRIFT_BUCKETS} // 1001)
+           AS b
+  FROM t
+), h AS (
+  SELECT source, window_start_ms, half, b, CAST(count(*) AS BIGINT) AS c
+  FROM d GROUP BY 1, 2, 3, 4
+), n AS (
+  SELECT source, window_start_ms,
+         CAST(coalesce(sum(CASE WHEN half = 0 THEN c END), 0) AS BIGINT) AS n_sta,
+         CAST(coalesce(sum(CASE WHEN half = 1 THEN c END), 0) AS BIGINT) AS n_inc
+  FROM h GROUP BY 1, 2
+), grid AS (
+  SELECT s.source, s.window_start_ms, g.b, n.n_sta, n.n_inc,
+         CAST(coalesce(sta.c, 0) AS BIGINT) AS c_sta,
+         CAST(coalesce(inc.c, 0) AS BIGINT) AS c_inc
+  FROM (SELECT DISTINCT source, window_start_ms FROM d) s
+  CROSS JOIN range({_DRIFT_BUCKETS}) g(b)
+  JOIN n USING (source, window_start_ms)
+  LEFT JOIN h sta ON sta.source = s.source
+                 AND sta.window_start_ms = s.window_start_ms
+                 AND sta.b = g.b AND sta.half = 0
+  LEFT JOIN h inc ON inc.source = s.source
+                 AND inc.window_start_ms = s.window_start_ms
+                 AND inc.b = g.b AND inc.half = 1
+)
+SELECT source, window_start_ms, n_sta, n_inc,
+       CAST(sum(abs(c_inc * n_sta - c_sta * n_inc)) AS BIGINT) AS l1_scaled
+FROM grid GROUP BY 1, 2, 3, 4
+"""
+
+
+@register(
+    "streaming_quality_drift",
+    oracle=_STREAM_DRIFT_ORACLE,
+    tags=("llm", "monitor", "streaming"),
+)
+def streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_quality_drift as a WINDOWED STREAMING monitor: documents
+    arrive as a multi-batch file stream; a tumbling 1 h window x
+    (source, half, quality-bucket) histogram aggregates in append mode
+    behind a watermark (windows emit exactly once, when the watermark
+    passes their end), and the integer-form L1 drift runs as a batch
+    post-pass over the tiny drained histogram. 100 TB: the streaming
+    stage is one map-combinable shuffle per window over the scan —
+    state per key is a single count — and the drift pass touches
+    O(windows x sources x buckets) rows."""
+    import os as _os
+
+    from openmetrics_spark.jobs.streaming_flat_output import (
+        _drain,
+        _restage,
+        _stream,
+    )
+    from openmetrics_spark.queries.streaming_q import (
+        _stream_shuffle_partitions,
+        _workdir,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        (
+            F.lit(_DRIFT_BASE_MS)
+            + (F.col("doc_id") * _DRIFT_MULT) % _DRIFT_SPAN_MS
+        ).alias("ms"),
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    work = _workdir("quality_drift")
+    staged = _os.path.join(work, "docs")
+    boundaries = [_DRIFT_BASE_MS + _DRIFT_SPAN_MS // 2]
+    _restage(spark, docs, staged, "ms", boundaries, sentinel=True)
+
+    # NO in-stream sentinel filter: Catalyst pushes a doc_id predicate
+    # BELOW the EventTimeWatermark node (it doesn't touch the event-time
+    # column), which would strip the sentinel before it can advance the
+    # watermark and leave the last window unflushed. The sentinel
+    # self-excludes instead: its far-future window can never emit (the
+    # watermark stops 1 ms short of it), so no 'zz' row reaches output.
+    s = _stream(spark, staged).withWatermark("ts", "1 millisecond")
+    tok = tokens("text")
+    q_int = (
+        F.floor(quality_score("text", tok) * 1000 + F.lit(0.5)).cast("long")
+    )
+    hist = (
+        s.select(
+            "ts",
+            "source",
+            (
+                portable_hash60(
+                    F.concat(F.lit("drift_"), F.col("doc_id").cast("string"))
+                )
+                % 2
+            ).alias("half"),
+            F.least(
+                F.lit(_DRIFT_BUCKETS - 1).cast("long"),
+                ((q_int * _DRIFT_BUCKETS) / F.lit(1001)).cast("long"),
+            ).alias("b"),
+        )
+        .groupBy(
+            F.window("ts", f"{_DRIFT_HOUR_MS} milliseconds").alias("w"),
+            "source",
+            "half",
+            "b",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "source",
+            "half",
+            "b",
+            "c",
+        )
+    )
+    out = _os.path.join(work, "hist")
+    with _stream_shuffle_partitions(spark):
+        _drain(hist, out, _os.path.join(work, "_chk", "hist"))
+
+    h = pin(spark.read.parquet(out))
+    n = h.groupBy("source", "window_start_ms").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("half") == 0, F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_sta"),
+        F.coalesce(
+            F.sum(F.when(F.col("half") == 1, F.col("c"))), F.lit(0)
+        ).cast("long").alias("n_inc"),
+    )
+    grid = (
+        h.select("source", "window_start_ms").distinct()
+        .crossJoin(
+            spark.range(_DRIFT_BUCKETS).select(F.col("id").alias("b"))
+        )
+        .join(n, ["source", "window_start_ms"])
+        .join(
+            h.filter(F.col("half") == 0).select(
+                "source", "window_start_ms", "b", F.col("c").alias("c_sta")
+            ),
+            ["source", "window_start_ms", "b"],
+            "left",
+        )
+        .join(
+            h.filter(F.col("half") == 1).select(
+                "source", "window_start_ms", "b", F.col("c").alias("c_inc")
+            ),
+            ["source", "window_start_ms", "b"],
+            "left",
+        )
+        .select(
+            "source",
+            "window_start_ms",
+            "n_sta",
+            "n_inc",
+            F.coalesce(F.col("c_sta"), F.lit(0)).cast("long").alias("c_sta"),
+            F.coalesce(F.col("c_inc"), F.lit(0)).cast("long").alias("c_inc"),
+        )
+    )
+    return grid.groupBy("source", "window_start_ms", "n_sta", "n_inc").agg(
+        F.sum(
+            F.abs(
+                F.col("c_inc") * F.col("n_sta")
+                - F.col("c_sta") * F.col("n_inc")
+            )
+        )
+        .cast("long")
+        .alias("l1_scaled")
+    )

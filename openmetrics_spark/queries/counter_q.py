@@ -111,7 +111,16 @@ _UA_FIXTURE: tuple[tuple[str, str, str], ...] = (
 )
 
 
-def _flat_and_luu(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _flat_and_luu(
+    spark: SparkSession, sf_dir: str, skew: bool = False
+) -> tuple[DataFrame, DataFrame]:
+    """``skew=True`` plants a heavy-hitter content id: every odd user's
+    events carry ONE content ('chot', ~50% of the stream vs ~5% per
+    regular content) — the shape a viral item or a crawler loop puts
+    through the counter job's per-content key families. The user key
+    stays unskewed here (the BFJ skew pair owns that axis; skewing the
+    LUU as-of key would collapse distinct uid mappings onto tied
+    timestamps and make the pick engine-dependent)."""
     ev = table(spark, sf_dir, "events")
     base = ev.select(
         (F.col("user_id") % 4).alias("platform_id"),
@@ -136,9 +145,15 @@ def _flat_and_luu(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
             "ts",
             os_family(ua).alias("os"),
             agent_family(ua).alias("user_agent_family"),
-            F.concat(F.lit("c"), (F.col("__k") % 10).cast("string")).alias(
-                "content_id"
-            ),
+            (
+                F.when(F.col("__uid") % 2 == 1, F.lit("chot")).otherwise(
+                    F.concat(F.lit("c"), (F.col("__k") % 10).cast("string"))
+                )
+                if skew
+                else F.concat(
+                    F.lit("c"), (F.col("__k") % 10).cast("string")
+                )
+            ).alias("content_id"),
             F.concat(F.lit("Q"), F.col("__k").cast("string")).alias("query_raw"),
             F.when(F.col("event_type") == "view", 32)
             .when(F.col("event_type") == "click", 64)
@@ -284,7 +299,7 @@ def _metadata_sql() -> str:
     return "\nUNION ALL\n".join(parts)
 
 
-def _counter_oracle() -> str:
+def _counter_oracle(skew: bool = False) -> str:
     fl1 = """
 SELECT f.*, l.user_id
 FROM fl0 f ASOF JOIN luu l
@@ -326,7 +341,7 @@ fl0 AS (
   SELECT platform_id, log_user_id, ms,
          CASE uid % {n_ua} {os_cases} END AS os,
          CASE uid % {n_ua} {fam_cases} END AS user_agent_family,
-         'c' || CAST(k % 10 AS VARCHAR) AS content_id,
+         {"CASE WHEN uid % 2 = 1 THEN 'chot' ELSE 'c' || CAST(k % 10 AS VARCHAR) END" if skew else "'c' || CAST(k % 10 AS VARCHAR)"} AS content_id,
          lower('Q' || CAST(k AS VARCHAR)) AS __q,
          CAST(CASE event_type WHEN 'view' THEN 32 WHEN 'click' THEN 64 ELSE 96 END AS BIGINT) AS agg_metric
   FROM base WHERE event_type IN ('view', 'click', 'purchase')
@@ -349,6 +364,30 @@ def counter_commands_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     6 sliding families × (HOUR, DAY) + 4 Last* families + metadata,
     as one (command, key, field, value, ttl_s, emit_ms) stream."""
     flat, luu = _flat_and_luu(spark, sf_dir)
+    return full_counter_commands(
+        flat,
+        log_user_user=luu,
+        window_configs=DRIVER_WINDOWS,
+        last_horizon_ms=_90D_MS,
+    )
+
+
+@register(
+    "counter_commands_skewed",
+    oracle=_counter_oracle(skew=True),
+    tags=("counter", "skew"),
+)
+def counter_commands_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """counter_commands_full with a PLANTED heavy-hitter content id
+    (~50% of the stream on one content — see _flat_and_luu). Gates
+    that the fused per-family fan-out stays correct when one content
+    key dominates its families. 100 TB posture (docs/SCALE.md plan
+    audit): every sliding family is a partial-aggregating hash
+    aggregate — the hot (content, window, slide) key pre-combines
+    map-side, so the shuffle carries O(partitions) rows per hot key,
+    not O(events); no AQE skew-split is needed because no join keys
+    on content."""
+    flat, luu = _flat_and_luu(spark, sf_dir, skew=True)
     return full_counter_commands(
         flat,
         log_user_user=luu,

@@ -3526,3 +3526,246 @@ def streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("l1_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming incremental admission (r10 verdict #4): the two-batch
+# ledger replay as an ACTUAL micro-batched stream. corpus_two_batch_
+# ledger drives the state evolution through explicit dataframe plumbing
+# in one job; operations run it as arrivals against PERSISTED standing
+# state. Here the same two batches arrive as a 2-file stream consumed
+# by foreachBatch; the handler knows nothing about batch composition —
+# it dedupes whatever arrived (exact md5 anti-join, then asymmetric LSH
+# probe against the standing band index), competes it against the
+# per-source remaining-budget ledger, appends the admitted set to every
+# piece of standing state (md5 set, index docs, pie, ledger — each a
+# parquet the next batch reads), and emits the same manifest stages.
+# The gate is the SAME full-replay DuckDB oracle as the batch query:
+# the stream must reproduce the replay bit-for-bit, planted copies and
+# all. 100 TB: per-batch cost linear in the batch (the standing side is
+# persisted, band-indexed, never rescanned); state writes are appends.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_corpus_admission",
+    oracle=_TWO_BATCH_ORACLE,
+    tags=("llm", "pipeline", "streaming"),
+)
+def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_two_batch_ledger as a Structured Streaming foreachBatch
+    loop over staged arrivals, standing state persisted between
+    micro-batches (see block comment). Unites the curation tier with
+    the streaming machinery — the operational form of incremental
+    admission."""
+    import os as _os
+
+    from openmetrics_spark.jobs.streaming_flat_output import _restage, _stream
+    from openmetrics_spark.llm.dedup import minhash_incremental_pairs
+    from openmetrics_spark.queries.streaming_q import (
+        _stream_shuffle_partitions,
+        _workdir,
+    )
+
+    work = _workdir("corpus_admission")
+
+    def p(name: str) -> str:
+        return _os.path.join(work, name)
+
+    base = spread_for_compute(table(spark, sf_dir, "documents")).select(
+        "doc_id", "source", "text"
+    )
+    planted = base.filter(F.col("doc_id") % 20 == 1).select(
+        (F.col("doc_id") + F.lit(_PLANT_OFF)).alias("doc_id"), "source", "text"
+    )
+    alldocs = base.unionByName(planted)
+
+    def enrich(docs: DataFrame) -> DataFrame:
+        """(doc_id, source, text) -> + n_tok, q_int (the d derivation)."""
+        tok = tokens("text")
+        return docs.select(
+            "doc_id",
+            "source",
+            "text",
+            token_count(tok).alias("n_tok"),
+            F.floor(quality_score("text", tok) * 1000 + F.lit(0.5))
+            .cast("long")
+            .alias("q_int"),
+        )
+
+    # ---- standing state at deploy time (the evens corpus) ----------
+    evens = base.filter(F.col("doc_id") % 2 == 0)
+    de = enrich(evens)
+    adm_e, _ = _grid_budget_admitted(de.drop("text"), 0.3)
+    c0 = adm_e.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("c_tok")
+    )
+    # every source the replay can see starts on the ledger at 0 — the
+    # oracle's c1 CTE spans DISTINCT source FROM d the same way
+    all_sources = enrich(alldocs).select("source").distinct()
+    all_sources.join(c0, "source", "left").select(
+        "source",
+        F.coalesce(F.col("c_tok"), F.lit(0).cast("long")).alias("c_tok"),
+    ).write.parquet(p("ledger_v0"))
+    evens.select(F.md5("text").alias("__h")).distinct().write.parquet(
+        p("md5")
+    )
+    evens.write.parquet(p("index"))
+    de.groupBy("source").agg(
+        F.sum("n_tok").cast("long").alias("tok")
+    ).write.parquet(p("pie"))
+
+    # ---- the incoming stream: one file per arrival batch ------------
+    incoming = (
+        alldocs.filter(
+            (F.col("doc_id") % 4 == 1) & (F.col("doc_id") < _PLANT_OFF)
+        )
+        .withColumn("__b", F.lit(0).cast("long"))
+        .unionByName(
+            alldocs.filter(
+                ((F.col("doc_id") % 4 == 3) & (F.col("doc_id") < _PLANT_OFF))
+                | (F.col("doc_id") >= _PLANT_OFF)
+            ).withColumn("__b", F.lit(1).cast("long"))
+        )
+    )
+    _restage(spark, incoming, p("in"), "__b", [1])
+
+    manifest = p("manifest")
+    _os.makedirs(manifest)
+    step_file = p("step.txt")
+
+    def row(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
+
+    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+        raw = batch_df.drop("__b").localCheckpoint(eager=True)
+        if raw.isEmpty():
+            return
+        k = 1
+        if _os.path.exists(step_file):
+            with open(step_file) as fh:
+                k = int(fh.read()) + 1
+        dq = enrich(raw).localCheckpoint(eager=True)
+
+        # exact dedup against the standing md5 set
+        s1 = (
+            dq.withColumn("__h", F.md5("text"))
+            .join(spark.read.parquet(p("md5")), "__h", "left_anti")
+            .drop("__h")
+            .localCheckpoint(eager=True)
+        )
+        # LSH probe against the standing band index
+        nd = minhash_incremental_pairs(
+            spark.read.parquet(p("index")),
+            raw.join(s1.select("doc_id"), "doc_id", "left_semi"),
+            "doc_id",
+            "text",
+            n=3,
+            num_hashes=16,
+            bands=4,
+            threshold=0.5,
+        )
+        s2 = s1.join(
+            nd.select(F.col("incoming_id").alias("doc_id")).distinct(),
+            "doc_id",
+            "left_anti",
+        ).localCheckpoint(eager=True)
+
+        # the budget pie grows by this batch's dedup survivors; the
+        # ledger holds what previous steps consumed
+        tot = (
+            spark.read.parquet(p("pie"))
+            .unionByName(
+                s2.groupBy("source").agg(
+                    F.sum("n_tok").cast("long").alias("tok")
+                )
+            )
+            .groupBy("source")
+            .agg(F.sum("tok").cast("long").alias("pie"))
+        )
+        ledger = spark.read.parquet(p(f"ledger_v{k - 1}"))
+        remb = (
+            tot.join(ledger, "source", "left")
+            .select(
+                "source",
+                F.greatest(
+                    F.lit(0).cast("long"),
+                    F.floor(F.col("pie") * 0.3).cast("long")
+                    - F.coalesce(F.col("c_tok"), F.lit(0).cast("long")),
+                ).alias("budget_tokens"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        adm, _ = _grid_budget_admitted(s2.drop("text"), 0.3, budgets=remb)
+        adm = adm.localCheckpoint(eager=True)
+
+        # ---- manifest rows for this arrival ----
+        out = (
+            row(dq, f"b{k}_in")
+            .unionByName(row(s1, f"b{k}_exact_surv"))
+            .unionByName(row(s2, f"b{k}_nd_surv"))
+            .unionByName(row(adm, f"b{k}_admitted"))
+        )
+        plants = dq.filter(F.col("doc_id") >= _PLANT_OFF)
+        if not plants.isEmpty():
+            out = out.unionByName(row(plants, "plant_in")).unionByName(
+                row(
+                    plants.join(s1.select("doc_id"), "doc_id", "left_anti"),
+                    "plant_exact_rejected",
+                )
+            )
+        out.coalesce(1).write.mode("append").parquet(manifest)
+
+        # ---- evolve the standing state (appends + versioned ledger) --
+        raw.join(adm.select("doc_id"), "doc_id", "left_semi").select(
+            F.md5("text").alias("__h")
+        ).distinct().write.mode("append").parquet(p("md5"))
+        raw.join(adm.select("doc_id"), "doc_id", "left_semi").write.mode(
+            "append"
+        ).parquet(p("index"))
+        s2.groupBy("source").agg(
+            F.sum("n_tok").cast("long").alias("tok")
+        ).write.mode("append").parquet(p("pie"))
+        ledger.join(
+            adm.groupBy("source").agg(
+                F.sum("n_tok").cast("long").alias("__a")
+            ),
+            "source",
+            "left",
+        ).select(
+            "source",
+            (
+                F.col("c_tok")
+                + F.coalesce(F.col("__a"), F.lit(0).cast("long"))
+            ).alias("c_tok"),
+        ).write.parquet(p(f"ledger_v{k}"))
+        remb.write.mode("overwrite").parquet(p("rem_last"))
+        with open(step_file, "w") as fh:
+            fh.write(str(k))
+
+    with _stream_shuffle_partitions(spark):
+        q = (
+            _stream(spark, p("in"))
+            .writeStream.foreachBatch(handle)
+            .option("checkpointLocation", p("_chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with open(step_file) as fh:
+        k_final = int(fh.read())
+    led = spark.read.parquet(p(f"ledger_v{k_final}")).select(
+        F.concat(F.lit("led_"), F.col("source")).alias("stage"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.col("c_tok").alias("n_tokens"),
+    )
+    rem = spark.read.parquet(p("rem_last")).select(
+        F.concat(F.lit("rem_"), F.col("source")).alias("stage"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.col("budget_tokens").alias("n_tokens"),
+    )
+    return spark.read.parquet(manifest).unionByName(led).unionByName(rem)

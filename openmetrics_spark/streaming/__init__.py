@@ -26,6 +26,7 @@ from openmetrics_spark.streaming.stateful import (
     stream_combine_delivery_logs,
     stream_cumulate_counter,
     stream_inferred_join,
+    stream_inferred_join_tws,
     stream_last_time_and_count,
     stream_late_split,
     stream_reduce_redundant_impressions,
@@ -38,6 +39,7 @@ __all__ = [
     "stream_cumulate_counter",
     "stream_reduce_redundant_impressions",
     "stream_inferred_join",
+    "stream_inferred_join_tws",
     "stream_interval_join",
     "stream_keep_first",
     "stream_last_time_and_count",

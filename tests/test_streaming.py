@@ -232,6 +232,62 @@ def test_stream_last_time_and_count_tws_parity(spark, events_dir):
     assert outs[0] == outs[1]
 
 
+def test_stream_inferred_join_tws_parity(spark, events_dir, tmp_path):
+    """The inferred join's transformWithStateInPandas twin (typed list
+    state + native per-key event-time timers — SURVEY §2.7's migration
+    target) must emit exactly what the GroupState path emits on the
+    same staged replay. Both run _decide_ready, so a divergence can
+    only be state/timer plumbing. The TWS state protocol needs the
+    protobuf package at runtime; where it is absent (this container
+    does not bundle it) the test records a skip — the GroupState path
+    remains the verified operator."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas state protocol needs protobuf",
+    )
+    from openmetrics_spark.streaming.stateful import (
+        stream_inferred_join,
+        stream_inferred_join_tws,
+    )
+
+    b = _batch(spark, events_dir).withColumn(
+        "k", (F.col("event_id") % 3).cast("string")
+    )
+    src_dir = str(tmp_path / "events_tws")
+    b.drop("k").write.mode("overwrite").parquet(src_dir)
+    spark.createDataFrame(
+        [(999_999, -1, "view", 1_900_000_000_000)],
+        "event_id LONG, user_id LONG, event_type STRING, ts_ms LONG",
+    ).withColumn("ts", F.timestamp_millis(F.col("ts_ms"))).select(
+        *[f.name for f in b.drop("k").schema.fields]
+    ).write.mode("append").parquet(src_dir)
+
+    cols = ["right_id", "u", "right_ms", "left_id", "left_ms", "late"]
+    outs = []
+    for op in (stream_inferred_join, stream_inferred_join_tws):
+        s = stream_from_dir(
+            spark, src_dir, b.drop("k").schema, max_files_per_trigger=4
+        ).withColumn("k", (F.col("event_id") % 3).cast("string"))
+        got = run_to_memory(
+            op(
+                s.filter(F.col("event_type") == "view"),
+                s.filter(F.col("event_type") == "click"),
+                user_col="user_id",
+                left_id_col="event_id",
+                right_id_col="event_id",
+                left_ts_col="ts",
+                right_ts_col="ts",
+                scope_cols=("k",),
+                window_before_ms=600_000,
+                window_after_ms=0,
+                delay_ms=2000,
+            ),
+            output_mode="append",
+        )
+        outs.append(_rows_nonesafe(got, cols))
+    assert outs[0] == outs[1]
+
+
 def test_stream_inferred_join_parity(spark, events_dir, tmp_path):
     """The BaseInferred state machine twin: scope-fallback (user, k) →
     (user) nearest-prior-view attribution of clicks, drained across

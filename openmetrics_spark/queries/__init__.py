@@ -80,90 +80,86 @@ DRIVER_WINDOW = 50
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND 10 WINDOW (r9 verdict #1/#2/#3/#6). Composition: (a) the two
-    # rows that landed after the r9 freeze and have never faced the
-    # driver, exactly as promised at the head of this queue; (b) the r10
-    # additions (the production-TTL streaming join, the incremental
-    # admission manifest) and every query whose code or oracle changed
-    # this round (both BFJ manifests grew the FlatOutputJob tail stages
-    # 20-22; the curation pipeline gained the guarded packed key and the
-    # empty-edge oracle coalesce; neardup_keep_best_quality and
-    # corpus_token_budget_select share the refactored helpers;
-    # scale_join_strategies gained catalog hygiene; compaction_roundtrip
-    # switched to engine-side file counts); (c) ALL 24 r6-stale rows
-    # enumerated by the r9 verdict — after this window every registered
-    # query's newest driver row is r7 or newer; (d) 15 already-green
-    # family anchors so no SURVEY §2 family goes unwatched.
-    # corpus_quality_drift (landed after the r10 window was frozen and
-    # its 50/50 rehearsal run; green in the local both-SF checks) leads
-    # the r11 queue, followed by the three anchors that ceded slots to
-    # late-r10 additions: multimodal_av_features, keep_first_dedup,
-    # gated_query_counts, then the remaining r6/r7 rows by age.
+    # ROUND 11 WINDOW (r10 verdict #1/#2/#4/#6/#7). Composition:
+    # (a) corpus_quality_drift — the one query without a driver row
+    # (landed after the r10 freeze), leading exactly as promised;
+    # (b) the three r9-green anchors that ceded r10 slots
+    # (multimodal_av_features, keep_first_dedup, gated_query_counts);
+    # (c) the r11 additions — the planted-hot-key skew pair over both
+    # 22-stage BFJ manifests (verdict #1), the heavy-hitter counter
+    # fan-out (#6), the foreachBatch streaming admission (#4), the
+    # windowed streaming drift monitor (#7) — plus every query whose
+    # code changed this round: both uniform BFJ manifests (skew knob
+    # threaded through _events/_tail_stages), the production-TTL pair
+    # (stream_inferred_join gained the indexed candidate lookup and the
+    # shared _decide_ready core);
+    # (d) 37 of the 49 r7-stale rows (every one the rotation machinery
+    # owes a refresh). The 12 r7 rows left for the R12 QUEUE each keep
+    # an in-window family sibling watching their operator:
+    # approx_distinct_buyers_hll (customers twin in), ann_filtered_topk
+    # (brute/PQ in), corpus_prep_manifest_v2 (v3 in), events_profile +
+    # events_zorder_layout + props_json_metrics (events family in),
+    # top_event_types (streaming twin r10-green), topk_parts_per_brand
+    # (TPC-H shapes in), bloom_customer_prefilter (streaming_bloom_
+    # ingest in), decayed_user_counts (streaming twin in),
+    # doc_bigram_logprob (doc text family in), hll_merge_monthly_
+    # sketches (HLL family in). After this window the stale tail is
+    # those 12 rows — r12 clears them.
     # =====================================================================
     # --- (a) never driver-gated, promised the queue head
-    "embedding_cell_purity",
-    "corpus_chunk_overlap",
-    # --- (b) r10 additions + r10-modified code/oracles
-    "streaming_ttl_inferred_join",
-    "corpus_incremental_admit",
-    "corpus_two_batch_ledger",
-    "streaming_ttl_late_channel",
-    "embedding_incremental_assign",
+    "corpus_quality_drift",
+    # --- (b) the three anchors that ceded r10 slots
+    "multimodal_av_features",
+    "keep_first_dedup",
+    "gated_query_counts",
+    # --- (c) r11 additions + r11-modified code
+    "bfj_pipeline_manifest_skewed",
+    "streaming_bfj_pipeline_skewed",
+    "counter_commands_skewed",
+    "streaming_corpus_admission",
+    "streaming_quality_drift",
     "bfj_pipeline_manifest",
     "streaming_bfj_pipeline",
-    "corpus_curation_pipeline",
-    "neardup_keep_best_quality",
-    "corpus_token_budget_select",
-    "scale_join_strategies",
-    "compaction_roundtrip",
-    # --- (c) the 24 r6-stale rows (r9 verdict's enumeration, verbatim)
-    "ann_ivf_kmeans_topk",
-    "bfj_merge_details_drops",
-    "corpus_bpe_encode",
-    "ngram_jaccard_neardup",
-    "streaming_top_event_types",
-    "upsert_mor_snapshot",
-    "cumulated_metrics_envelope",
-    "doc_bm25_topk",
-    "doc_decontaminate",
-    "doc_repetition_stats",
-    "embedding_kmeans_cells",
-    "embedding_outliers",
-    "hourly_dense_series",
-    "hourly_event_metrics",
-    "multimodal_image_stats",
-    "q10_returned_items",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_revenue",
-    "q20_excess_suppliers",
-    "q22_dormant_customers",
-    "user_set_ops",
-    "user_versioned_join",
-    # --- (d) one green anchor per operator family (all r7-r9 rows)
-    "raw_wire_roundtrip",          # envelope codec
-    "upsert_incremental_pull",     # hudi-style upsert
-    "validation_error_split",      # validate + side output
-    # (keep_first_dedup, r9-green, ceded its anchor slot to the
-    # late-r10 streaming_ttl_late_channel — the dedup operator stays
-    # compositely watched as stage 6 of BOTH in-window BFJ manifests;
-    # the standalone row joins the r11 rotation queue)
-    "streaming_cumulate_hourly",   # streaming CUMULATE
-    "streaming_user_asof_join",    # streaming user join
-    "last_time_and_count",         # counter families
-    # (gated_query_counts, r9-green, ceded its anchor slot to the
-    # late-r10 embedding_incremental_assign; it joins the r11 queue)
-    "daily_rollup_metrics",        # unified event metrics
-    "asof_attribution",            # temporal join
-    "cohort_membership_intervals", # SCD2 experiments
-    "hll_segment_overlap",         # engine-exact sketches
-    "minhash_lsh_neardup",         # LSH dedup tier
-    "ann_lsh_recall",              # similarity/recall
-    # (multimodal_av_features, r9-green, ceded its anchor slot to the
-    # late-r10 corpus_two_batch_ledger — new capability driver-green in
-    # its landing round beats refreshing an r9 row; it joins the r11
-    # rotation queue)
+    "streaming_ttl_inferred_join",
+    "streaming_ttl_late_channel",
+    # --- (d) 37 of the 49 r7-stale rows (r12 queue documented above)
+    "counter_commands_full",
+    "counter_commands_weekly",
+    "inferred_view_attribution",
+    "streaming_counter_commands",
+    "streaming_latest_impressions",
+    "sliding_hourly_counter",
+    "counter_backfill_gate",
+    "ann_brute_topk",
+    "ann_pq_adc_topk",
+    "approx_distinct_customers_hll",
+    "approx_heavy_hitters_cms",
+    "approx_value_percentiles",
+    "bfj_combined_delivery_logs",
+    "bfj_joined_actions",
+    "content_lookup_enrich",
+    "corpus_leakage_safe_split",
+    "corpus_prep_manifest_v3",
+    "corpus_upsample_balanced",
+    "corpus_vocab_topk",
+    "doc_dedup_spans_rewrite",
+    "doc_quality_train",
+    "embedding_pq_codes",
+    "events_scd2_enrich",
+    "latest_impressions_negatives",
+    "purchase_attribution_ushape",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
+    "streaming_approx_distinct",
+    "streaming_bloom_ingest",
+    "streaming_decayed_counts",
+    "streaming_heavy_hitters",
+    "streaming_minhash_ingest",
+    "streaming_value_percentiles",
+    "supplier_pagerank",
+    "upsert_time_travel",
+    "user_scd2_intervals",
 )
 
 

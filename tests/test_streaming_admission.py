@@ -1,0 +1,29 @@
+"""streaming_corpus_admission must equal corpus_two_batch_ledger
+row-for-row: the foreachBatch loop with persisted standing state is the
+OPERATIONAL spelling of the same two-step replay, so any divergence is
+a state-plumbing bug (a batch seeing stale/fresh state it shouldn't).
+Both are driver-gated against the same DuckDB full-replay oracle; this
+pins the equivalence locally without DuckDB in the loop."""
+
+from __future__ import annotations
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_streaming_admission_equals_batch_replay(spark, sf_dir):
+    from openmetrics_spark.queries.docs_q import (
+        corpus_two_batch_ledger,
+        streaming_corpus_admission,
+    )
+
+    got = _rows(streaming_corpus_admission(spark, sf_dir))
+    want = _rows(corpus_two_batch_ledger(spark, sf_dir))
+    assert got == want
+    # non-vacuous: both admission steps admitted something, and the
+    # planted-copy gate fired in both directions
+    d = {r[0]: (r[1], r[2]) for r in got}
+    assert d["b1_admitted"][0] > 0
+    assert d["b2_admitted"][0] > 0
+    assert 0 < d["plant_exact_rejected"][0] < d["plant_in"][0]

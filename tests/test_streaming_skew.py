@@ -154,3 +154,86 @@ def test_stream_inferred_join_hot_key_ttl_bounded(spark, tmp_path):
     tightest = min(nv for _u, nv, _np, _wm in hot_probes if _wm > 0)
     assert tightest <= (TTL_MS // HOT_STEP) + 2, tightest
     assert len(hot_ms) > 3 * ((TTL_MS // HOT_STEP) + 2)
+
+
+def test_stream_inferred_join_rocksdb_parity(spark, tmp_path):
+    """The stateful twins must run unchanged on the RocksDB state store
+    — the backend the reference mandates for this operator class
+    (TemporalJoinFunction.java:77-87) and the one a 100 TB keyspace
+    needs (state no longer bounded by executor heap). Same skewed
+    fixture as the TTL-bound test, HDFS-backed default vs RocksDB
+    provider, outputs must be identical."""
+    from openmetrics_spark.streaming.stateful import (
+        ROCKSDB_PROVIDER,
+        stream_inferred_join,
+    )
+
+    views = [(0, i, BASE + i * HOT_STEP) for i in range(0, 100)] + [
+        (u, 10_000 + u * 100 + i, BASE + i * COLD_STEP)
+        for u in range(1, 4)
+        for i in range(5)
+    ]
+    clicks = [(0, 50_000 + i, BASE + 500 + i * 10_000) for i in range(15)] + [
+        (u, 60_000 + u * 100 + i, BASE + 500 + i * 60_000)
+        for u in range(1, 4)
+        for i in range(3)
+    ]
+    vdir, cdir = str(tmp_path / "v"), str(tmp_path / "c")
+    vschema = "user_id LONG, vid LONG, ms LONG"
+    vdf = spark.createDataFrame(views, vschema).withColumn(
+        "ts", F.timestamp_millis("ms")
+    )
+    sentinel = spark.createDataFrame(
+        [(-1, -1, BASE + 400_000)], vschema
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    lo, hi = BASE, BASE + 400_000
+    _staged_write(vdf.unionByName(sentinel), vdir, 5, "ms", lo, hi)
+    cdf = spark.createDataFrame(
+        clicks, "user_id LONG, cid LONG, ms LONG"
+    ).withColumn("ts", F.timestamp_millis("ms"))
+    _staged_write(cdf, cdir, 5, "ms", lo, hi)
+
+    def run(provider: str | None):
+        from openmetrics_spark.streaming import run_to_memory, stream_from_dir
+
+        key = "spark.sql.streaming.stateStore.providerClass"
+        prev = spark.conf.get(key, None)
+        if provider:
+            spark.conf.set(key, provider)
+        try:
+            j = stream_inferred_join(
+                stream_from_dir(spark, vdir, vdf.schema, max_files_per_trigger=1),
+                stream_from_dir(spark, cdir, cdf.schema, max_files_per_trigger=1),
+                user_col="user_id",
+                left_id_col="vid",
+                right_id_col="cid",
+                left_ts_col="ts",
+                right_ts_col="ts",
+                scope_cols=(),
+                window_before_ms=BEFORE_MS,
+                window_after_ms=0,
+                delay_ms=2_000,
+                right_outer=True,
+                left_retention_ms=TTL_MS,
+                ttl_floor=True,
+            )
+            got = run_to_memory(j, output_mode="append").filter(
+                F.col("u") >= 0
+            )
+            return sorted(
+                (tuple((v is None, v) for v in r))
+                for r in got.select(
+                    "right_id", "u", "right_ms", "left_id", "left_ms", "late"
+                ).collect()
+            )
+        finally:
+            if provider:
+                if prev is None:
+                    spark.conf.unset(key)
+                else:
+                    spark.conf.set(key, prev)
+
+    default_rows = run(None)
+    rocks_rows = run(ROCKSDB_PROVIDER)
+    assert len(default_rows) == len(clicks)
+    assert default_rows == rocks_rows

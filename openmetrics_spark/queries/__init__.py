@@ -93,9 +93,12 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # threaded through _events/_tail_stages), the production-TTL pair
     # (stream_inferred_join gained the indexed candidate lookup and the
     # shared _decide_ready core);
-    # (d) 37 of the 49 r7-stale rows (every one the rotation machinery
-    # owes a refresh). The 12 r7 rows left for the R12 QUEUE each keep
+    # (d) 36 of the 49 r7-stale rows (every one the rotation machinery
+    # owes a refresh). The 13 r7 rows left for the R12 QUEUE each keep
     # an in-window family sibling watching their operator:
+    # user_scd2_intervals (ceded its slot to the late-landing
+    # streaming_corpus_admission_n4; events_scd2_enrich + the r10-green
+    # cohort_membership_intervals watch the SCD2 family) plus:
     # approx_distinct_buyers_hll (customers twin in), ann_filtered_topk
     # (brute/PQ in), corpus_prep_manifest_v2 (v3 in), events_profile +
     # events_zorder_layout + props_json_metrics (events family in),
@@ -117,6 +120,7 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_bfj_pipeline_skewed",
     "counter_commands_skewed",
     "streaming_corpus_admission",
+    "streaming_corpus_admission_n4",
     "streaming_quality_drift",
     "bfj_pipeline_manifest",
     "streaming_bfj_pipeline",
@@ -159,7 +163,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_value_percentiles",
     "supplier_pagerank",
     "upsert_time_travel",
-    "user_scd2_intervals",
 )
 
 

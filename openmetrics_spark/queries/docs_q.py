@@ -3547,17 +3547,166 @@ def streaming_quality_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "streaming_corpus_admission",
-    oracle=_TWO_BATCH_ORACLE,
-    tags=("llm", "pipeline", "streaming"),
-)
-def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """corpus_two_batch_ledger as a Structured Streaming foreachBatch
-    loop over staged arrivals, standing state persisted between
-    micro-batches (see block comment). Unites the curation tier with
-    the streaming machinery — the operational form of incremental
-    admission."""
+def _admission_oracle_n(n: int) -> str:
+    """Generate the full-replay oracle for the N-batch admission loop —
+    the same CTE chain as ``_TWO_BATCH_ORACLE`` (which stays the
+    hand-written, r10-gated N=2 instance) unrolled per step: batch k =
+    odd ids with doc_id % 2n == 2k-1, plants ride batch n, and the md5
+    set / band-index membership / ledger CTEs accumulate one step at a
+    time exactly as the handler's persisted state does."""
+    steps = []
+    for k in range(1, n + 1):
+        cond = f"doc_id % {2 * n} = {2 * k - 1} AND doc_id < {_PLANT_OFF}"
+        if k == n:
+            cond = f"({cond}) OR doc_id >= {_PLANT_OFF}"
+        steps.append(f"b{k} AS MATERIALIZED (SELECT * FROM d WHERE {cond})")
+    body = []
+    for k in range(1, n + 1):
+        md5_prev = "emd5" if k == 1 else f"md5_{k - 1}"
+        cl_prev = "cl0" if k == 1 else f"cl{k - 1}"
+        index_ors = "".join(
+            f" OR e.doc_id IN (SELECT doc_id FROM a{j})" for j in range(1, k)
+        )
+        pie_unions = "".join(
+            f" UNION ALL SELECT source, n_tok FROM s2_{j}"
+            for j in range(1, k + 1)
+        )
+        body.append(f"""
+s1_{k} AS MATERIALIZED (
+  SELECT b{k}.* FROM b{k} JOIN t USING (doc_id)
+  WHERE md5(t.text) NOT IN (SELECT h FROM {md5_prev})
+), ndp{k} AS (
+  SELECT DISTINCT i.doc_id AS incoming_id, e.doc_id AS existing_id
+  FROM banded i JOIN banded e USING (bk)
+  WHERE i.doc_id IN (SELECT doc_id FROM s1_{k})
+    AND (e.doc_id % 2 = 0{index_ors})
+), nds{k} AS (
+  SELECT incoming_id,
+         round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))),
+               6) AS j
+  FROM ndp{k}
+  JOIN g a ON a.doc_id = incoming_id
+  JOIN g b ON b.doc_id = existing_id
+), ndrej{k} AS (SELECT DISTINCT incoming_id AS doc_id FROM nds{k} WHERE j >= 0.5),
+s2_{k} AS MATERIALIZED (
+  SELECT * FROM s1_{k} WHERE doc_id NOT IN (SELECT doc_id FROM ndrej{k})
+), tot{k} AS (
+  SELECT source, CAST(sum(n_tok) AS BIGINT) AS pie
+  FROM (SELECT source, n_tok FROM de{pie_unions}) GROUP BY 1
+), rem{k} AS MATERIALIZED (
+  SELECT tot{k}.source,
+         greatest(CAST(0 AS BIGINT),
+                  CAST(floor(0.3 * pie) AS BIGINT)
+                  - coalesce({cl_prev}.c_tok, 0)) AS rem_tokens
+  FROM tot{k} LEFT JOIN {cl_prev} USING (source)
+), adm{k} AS (
+  SELECT s2_{k}.*, r.rem_tokens,
+         sum(n_tok) OVER (PARTITION BY s2_{k}.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM s2_{k} JOIN rem{k} r USING (source)
+), a{k} AS MATERIALIZED (SELECT * FROM adm{k} WHERE cum_tok <= rem_tokens),
+cl{k} AS MATERIALIZED (
+  SELECT c.source,
+         CAST(c.c_tok + coalesce((SELECT sum(a{k}.n_tok) FROM a{k}
+                                  WHERE a{k}.source = c.source), 0)
+              AS BIGINT) AS c_tok
+  FROM {cl_prev} c
+), md5_{k} AS MATERIALIZED (
+  SELECT h FROM {md5_prev}
+  UNION
+  SELECT md5(t.text) AS h FROM a{k} JOIN t USING (doc_id)
+)""")
+    rows = []
+    for k in range(1, n + 1):
+        rows.append(f"""SELECT 'b{k}_in' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS n_tokens FROM b{k}
+UNION ALL SELECT 'b{k}_exact_surv', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s1_{k}
+UNION ALL SELECT 'b{k}_nd_surv', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM s2_{k}
+UNION ALL SELECT 'b{k}_admitted', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM a{k}""")
+    rows.append(f"""SELECT 'plant_in', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM plant
+UNION ALL
+SELECT 'plant_exact_rejected', CAST(count(*) AS BIGINT),
+       CAST(coalesce(sum(n_tok), 0) AS BIGINT)
+FROM plant WHERE doc_id NOT IN (SELECT doc_id FROM s1_{n})
+UNION ALL
+SELECT 'led_' || source, CAST(0 AS BIGINT), c_tok FROM cl{n}
+UNION ALL
+SELECT 'rem_' || source, CAST(0 AS BIGINT), rem_tokens FROM rem{n}""")
+    return f"""
+WITH alldocs AS MATERIALIZED (
+  SELECT doc_id, source, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFF}, source, text
+  FROM documents WHERE doc_id % 20 = 1
+), t AS MATERIALIZED (
+  SELECT doc_id, source, text,
+         regexp_extract_all(lower(text), '[a-z0-9]+') AS tok
+  FROM alldocs
+), d AS MATERIALIZED (
+  SELECT doc_id, source, CAST(len(tok) AS BIGINT) AS n_tok,
+         {_BUDGET_SQL_QINT} AS q_int
+  FROM t
+), de AS MATERIALIZED (SELECT * FROM d WHERE doc_id % 2 = 0),
+{", ".join(steps)},
+be AS (
+  SELECT source, CAST(floor(0.3 * sum(n_tok)) AS BIGINT) AS budget_e
+  FROM de GROUP BY 1
+), ce AS (
+  SELECT de.*, be.budget_e,
+         sum(n_tok) OVER (PARTITION BY de.source
+                          ORDER BY q_int DESC, doc_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM de JOIN be USING (source)
+), c0 AS (
+  SELECT source, CAST(coalesce(sum(n_tok), 0) AS BIGINT) AS c_tok
+  FROM ce WHERE cum_tok <= budget_e GROUP BY source
+), cl0 AS MATERIALIZED (
+  SELECT s.source, CAST(coalesce(c0.c_tok, 0) AS BIGINT) AS c_tok
+  FROM (SELECT DISTINCT source FROM d) s LEFT JOIN c0 USING (source)
+),
+emd5 AS MATERIALIZED (SELECT DISTINCT md5(text) AS h FROM t WHERE doc_id % 2 = 0),
+g AS MATERIALIZED (
+  SELECT doc_id,
+         list_distinct(list_transform(range(len(tok) - 2),
+                                      i -> {_JACCARD_SQL_HASH})) AS sh
+  FROM t WHERE len(tok) >= 3
+), sig AS MATERIALIZED (
+  SELECT doc_id, sh,
+         list_transform(range(16),
+           i -> list_min(list_transform(sh, x -> {_MH_HASH}))) AS sg
+  FROM g
+), banded AS MATERIALIZED (
+  SELECT doc_id, sh,
+         unnest(list_transform(range(4), b ->
+           CAST(('0x' || substr(md5(CAST(b AS VARCHAR) || '_' ||
+             array_to_string(sg[(b*4+1):(b*4+4)], '_')), 1, 15)) AS BIGINT)
+         )) AS bk
+  FROM sig
+),{",".join(body)},
+plant AS (SELECT * FROM b{n} WHERE doc_id >= {_PLANT_OFF})
+{chr(10).join("UNION ALL" + chr(10) + r if i else r for i, r in enumerate(rows))}
+"""
+
+
+_ADMISSION_N4_ORACLE = _admission_oracle_n(4)
+
+
+def _run_streaming_admission(
+    spark: SparkSession, sf_dir: str, n_batches: int
+) -> DataFrame:
+    """The foreachBatch admission loop over ``n_batches`` staged
+    arrivals (see block comment). The handler is N-agnostic — it
+    dedupes whatever arrives against the persisted standing state and
+    appends the admitted set back; only the staging splits the odd ids
+    ``n_batches`` ways (batch k = doc_id % 2n == 2k+1; the planted
+    copies always ride the LAST batch, so their originals' admission
+    decisions have all happened)."""
     import os as _os
 
     from openmetrics_spark.jobs.streaming_flat_output import _restage, _stream
@@ -3567,7 +3716,7 @@ def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         _workdir,
     )
 
-    work = _workdir("corpus_admission")
+    work = _workdir(f"corpus_admission_n{n_batches}")
 
     def p(name: str) -> str:
         return _os.path.join(work, name)
@@ -3618,17 +3767,19 @@ def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ---- the incoming stream: one file per arrival batch ------------
     incoming = (
         alldocs.filter(
-            (F.col("doc_id") % 4 == 1) & (F.col("doc_id") < _PLANT_OFF)
+            (F.col("doc_id") % 2 == 1) & (F.col("doc_id") < _PLANT_OFF)
         )
-        .withColumn("__b", F.lit(0).cast("long"))
+        .withColumn(
+            "__b",
+            ((F.col("doc_id") % (2 * n_batches)) / 2).cast("long"),
+        )
         .unionByName(
-            alldocs.filter(
-                ((F.col("doc_id") % 4 == 3) & (F.col("doc_id") < _PLANT_OFF))
-                | (F.col("doc_id") >= _PLANT_OFF)
-            ).withColumn("__b", F.lit(1).cast("long"))
+            alldocs.filter(F.col("doc_id") >= _PLANT_OFF).withColumn(
+                "__b", F.lit(n_batches - 1).cast("long")
+            )
         )
     )
-    _restage(spark, incoming, p("in"), "__b", [1])
+    _restage(spark, incoming, p("in"), "__b", list(range(1, n_batches)))
 
     manifest = p("manifest")
     _os.makedirs(manifest)
@@ -3769,3 +3920,37 @@ def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("budget_tokens").alias("n_tokens"),
     )
     return spark.read.parquet(manifest).unionByName(led).unionByName(rem)
+
+
+@register(
+    "streaming_corpus_admission",
+    oracle=_TWO_BATCH_ORACLE,
+    tags=("llm", "pipeline", "streaming"),
+)
+def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_two_batch_ledger as a Structured Streaming foreachBatch
+    loop over staged arrivals, standing state persisted between
+    micro-batches (see block comment). Unites the curation tier with
+    the streaming machinery — the operational form of incremental
+    admission. Gated against the SAME full-replay DuckDB oracle as the
+    batch query: the stream must reproduce the replay bit-for-bit
+    (tests/test_streaming_admission.py also pins row-for-row equality
+    with the batch fn locally)."""
+    return _run_streaming_admission(spark, sf_dir, n_batches=2)
+
+
+@register(
+    "streaming_corpus_admission_n4",
+    oracle=_ADMISSION_N4_ORACLE,
+    tags=("llm", "pipeline", "streaming"),
+)
+def streaming_corpus_admission_n4(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The admission loop at FOUR arrival batches (odd ids split
+    doc_id%8 ∈ {1,3,5,7}; planted copies ride batch 4): the ledger,
+    md5 set and band index evolve through three growth steps before
+    the last batch competes, and the generated N-step oracle models
+    every one. Proves the operational loop is genuinely N-agnostic —
+    nothing in the handler knows the batch count."""
+    return _run_streaming_admission(spark, sf_dir, n_batches=4)

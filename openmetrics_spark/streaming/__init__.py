@@ -23,21 +23,31 @@ from openmetrics_spark.streaming.ops import (
     stream_tumbling_metrics,
 )
 from openmetrics_spark.streaming.stateful import (
+    stream_add_latest_impressions,
+    stream_add_latest_impressions_tws,
     stream_combine_delivery_logs,
+    stream_combine_delivery_logs_tws,
     stream_cumulate_counter,
+    stream_cumulate_counter_tws,
     stream_inferred_join,
     stream_inferred_join_tws,
     stream_last_time_and_count,
     stream_late_split,
     stream_reduce_redundant_impressions,
+    stream_reduce_redundant_impressions_tws,
 )
 
 __all__ = [
     "run_to_memory",
     "stream_from_dir",
+    "stream_add_latest_impressions",
+    "stream_add_latest_impressions_tws",
     "stream_combine_delivery_logs",
+    "stream_combine_delivery_logs_tws",
     "stream_cumulate_counter",
+    "stream_cumulate_counter_tws",
     "stream_reduce_redundant_impressions",
+    "stream_reduce_redundant_impressions_tws",
     "stream_inferred_join",
     "stream_inferred_join_tws",
     "stream_interval_join",

@@ -836,6 +836,26 @@ def stream_late_split(
     )
 
 
+def _combine_sweep(
+    rows: list, wm: int, window_ms: int, key
+) -> tuple[list, list]:
+    """CombineDeliveryLog's per-key window-close core, shared by the
+    GroupState path and the transformWithStateInPandas twin: close
+    every window whose end the watermark passed (API over SDK, then
+    earliest, then request_id), return (emitted, still-open rows)."""
+    out = []
+    while rows:
+        w_start = min(r[0] for r in rows)
+        w_end = w_start + window_ms
+        if wm < w_end:
+            break
+        window_rows = [r for r in rows if r[0] <= w_end]
+        rows = [r for r in rows if r[0] > w_end]
+        best = min(window_rows, key=lambda r: (not r[1], r[0], r[2]))
+        out.append((key[0], key[1], key[2], best[2], best[1], best[0]))
+    return out, rows
+
+
 def stream_combine_delivery_logs(
     sdf: DataFrame,
     window_ms: int = 2000,
@@ -914,16 +934,7 @@ def stream_combine_delivery_logs(
             for r in pdf.itertuples(index=False):
                 rows.append([int(r.log_ms), bool(r.api_execution), str(r.request_id)])
         wm = state.getCurrentWatermarkMs()
-        out = []
-        while rows:
-            w_start = min(r[0] for r in rows)
-            w_end = w_start + window_ms
-            if wm < w_end:
-                break
-            window_rows = [r for r in rows if r[0] <= w_end]
-            rows = [r for r in rows if r[0] > w_end]
-            best = min(window_rows, key=lambda r: (not r[1], r[0], r[2]))
-            out.append((key[0], key[1], key[2], best[2], best[1], best[0]))
+        out, rows = _combine_sweep(rows, wm, window_ms, key)
         if rows:
             state.update((json.dumps(rows),))
             state.setTimeoutTimestamp(min(r[0] for r in rows) + window_ms + 1)
@@ -952,6 +963,41 @@ def stream_combine_delivery_logs(
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
     return combined.unionByName(passthrough.select(*out_cols))
+
+
+def _redundant_sweep(
+    epoch: list | None,
+    remap: dict,
+    pending: list,
+    wm: int,
+    ttl_ms: int,
+    retention: int,
+) -> tuple[list, list | None, dict, list]:
+    """ReduceRedundantTinyImpressions' per-key decision core, shared by
+    the GroupState path and the transformWithStateInPandas twin: decide
+    every pending row behind the watermark in event-time order (first
+    impression canonical for ttl, later ones redundant + remapped;
+    actions rewritten through the remap), then TTL-evict closed state.
+    Returns (emitted, epoch, remap, still-pending)."""
+    ready = sorted([p for p in pending if p[0] < wm])
+    pending = [p for p in pending if p[0] >= wm]
+    out = []
+    for ms, side, eid, ref in ready:
+        if side == 0:
+            if epoch is None or ms > epoch[1]:
+                epoch = [eid, ms + ttl_ms]
+                out.append((0, eid, eid, False, ms))
+            else:
+                remap[eid] = [epoch[0], epoch[1]]
+                out.append((0, eid, epoch[0], True, ms))
+        else:
+            rewritten = remap.get(ref, [ref])[0] if ref is not None else None
+            out.append((1, eid, rewritten, ref in remap, ms))
+    # evict: closed epochs + remap entries past retention
+    if epoch is not None and epoch[1] + retention < wm:
+        epoch = None
+    remap = {k: v for k, v in remap.items() if v[1] + retention >= wm}
+    return out, epoch, remap, pending
 
 
 def stream_reduce_redundant_impressions(
@@ -1058,24 +1104,9 @@ def stream_reduce_redundant_impressions(
                     ]
                 )
         wm = state.getCurrentWatermarkMs()
-        ready = sorted([p for p in pending if p[0] < wm])
-        pending = [p for p in pending if p[0] >= wm]
-        out = []
-        for ms, side, eid, ref in ready:
-            if side == 0:
-                if epoch is None or ms > epoch[1]:
-                    epoch = [eid, ms + ttl_ms]
-                    out.append((0, eid, eid, False, ms))
-                else:
-                    remap[eid] = [epoch[0], epoch[1]]
-                    out.append((0, eid, epoch[0], True, ms))
-            else:
-                rewritten = remap.get(ref, [ref])[0] if ref is not None else None
-                out.append((1, eid, rewritten, ref in remap, ms))
-        # evict: closed epochs + remap entries past retention
-        if epoch is not None and epoch[1] + retention < wm:
-            epoch = None
-        remap = {k: v for k, v in remap.items() if v[1] + retention >= wm}
+        out, epoch, remap, pending = _redundant_sweep(
+            epoch, remap, pending, wm, ttl_ms, retention
+        )
         if pending:
             state.setTimeoutTimestamp(min(p[0] for p in pending) + 1)
             state.update(
@@ -1115,6 +1146,42 @@ def stream_reduce_redundant_impressions(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _cumulate_sweep(
+    periods: dict, wm: int, step_ms: int, period_ms: int, key0
+) -> tuple[list, dict, int | None]:
+    """CUMULATE's per-key finalize core, shared by the GroupState path
+    and the transformWithStateInPandas twin: finalize every step bucket
+    the watermark passed (emitting the running cumulative), close
+    periods whose end passed, and compute the next timer. Returns
+    (emitted, live periods, next-timeout-or-None)."""
+    out = []
+    closed = []
+    for p in sorted(periods):
+        cum, buckets = periods[p]
+        for b in sorted(b for b in buckets if b + step_ms <= wm):
+            cum += buckets.pop(b)
+            out.append((p, b, key0, cum))
+        periods[p][0] = cum
+        # a period's cum must survive until the watermark passes its
+        # end: later buckets can still arrive (they are not late) and
+        # must continue the running total
+        if not buckets and wm > p + period_ms:
+            closed.append(p)
+    for p in closed:
+        del periods[p]
+    timeout = None
+    if periods:
+        # earliest event the state is still waiting on: the first
+        # unfinalized bucket end, else the period close
+        timeout = int(
+            min(
+                (min(ent[1]) + step_ms) if ent[1] else (p + period_ms + step_ms)
+                for p, ent in periods.items()
+            )
+        )
+    return out, periods, timeout
 
 
 def stream_cumulate_counter(
@@ -1191,33 +1258,16 @@ def stream_cumulate_counter(
                 ent = periods.setdefault(b // period_ms * period_ms, [0, {}])
                 ent[1][b] = ent[1].get(b, 0) + n
         wm = state.getCurrentWatermarkMs()
-        out = []
-        closed = []
-        for p in sorted(periods):
-            cum, buckets = periods[p]
-            for b in sorted(b for b in buckets if b + step_ms <= wm):
-                cum += buckets.pop(b)
-                out.append((p, b, key[0], cum))
-            periods[p][0] = cum
-            # a period's cum must survive until the watermark passes
-            # its end: later buckets can still arrive (they are not
-            # late) and must continue the running total
-            if not buckets and wm > p + period_ms:
-                closed.append(p)
-        for p in closed:
-            del periods[p]
+        out, periods, timeout = _cumulate_sweep(
+            periods, wm, step_ms, period_ms, key[0]
+        )
         if periods:
-            # earliest event the state is still waiting on: the first
-            # unfinalized bucket end, else the period close
-            timeout = min(
-                (min(ent[1]) + step_ms) if ent[1] else (p + period_ms + step_ms)
-                for p, ent in periods.items()
-            )
             state.update(
                 (json.dumps({p: ent for p, ent in periods.items()}),)
             )
-            # int(): numpy scalars reject pyspark's json timeout codec
-            state.setTimeoutTimestamp(int(timeout))
+            # int() in the sweep: numpy scalars reject pyspark's json
+            # timeout codec
+            state.setTimeoutTimestamp(timeout)
         else:
             state.remove()
         if out:
@@ -1240,6 +1290,52 @@ def stream_cumulate_counter(
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+def _latest_imps_sweep(
+    imps: list,
+    first_act: dict,
+    pending: list,
+    wm: int,
+    *,
+    max_state: int,
+    max_output: int,
+    lookback_ms: int,
+    key0,
+) -> tuple[list, list, dict, list]:
+    """AddLatestImpressions' per-key decision core, shared by the
+    GroupState path and the transformWithStateInPandas twin: decide
+    every pending action behind the watermark (state cap before
+    exclusion, output cap after, recency rank with id tie-break), then
+    evict impressions/first-action entries past the lookback horizon.
+    Returns (emitted, imps, first_act, still-pending)."""
+    ready = sorted(a for a in pending if a[0] < wm)
+    pending = [a for a in pending if a[0] >= wm]
+    out = []
+    for ams, aid, _ac in ready:
+        cands = [i for i in imps if ams - lookback_ms <= i[0] < ams]
+        cands.sort(key=lambda i: (-i[0], -i[1]))  # recency, id desc
+        kept = [
+            i
+            for i in cands[:max_state]
+            if first_act.get(i[2]) is None or first_act[i[2]] > ams
+        ][:max_output]
+        for rank, (ims, iid, ic) in enumerate(kept, 1):
+            out.append((aid, key0, rank, iid, ic, ams - ims))
+    floor = min([wm] + [a[0] for a in pending]) - lookback_ms
+    imps = [i for i in imps if i[0] >= floor]
+    # first_act entries share the lookback horizon as a state TTL
+    # (the reference bounds this map the same way —
+    # AddLatestImpressions' Flink state TTL). Consequence, same as
+    # the reference: a content actioned longer than the lookback
+    # ago stops being excluded. Only impressions within the
+    # lookback are candidates anyway, so an evicted entry can only
+    # matter for a content re-impressed after the horizon — the
+    # batch twin (which sees all history) may exclude a pair this
+    # twin keeps. Without the TTL the map grows with distinct
+    # actioned contents for the stream's lifetime.
+    first_act = {c: t for c, t in first_act.items() if t >= floor}
+    return out, imps, first_act, pending
 
 
 def stream_add_latest_impressions(
@@ -1321,34 +1417,16 @@ def stream_add_latest_impressions(
                     if c not in first_act or row.ms < first_act[c]:
                         first_act[c] = int(row.ms)
         wm = state.getCurrentWatermarkMs()
-        ready = sorted(a for a in pending if a[0] < wm)
-        pending = [a for a in pending if a[0] >= wm]
-        out = []
-        for ams, aid, _ac in ready:
-            cands = [
-                i for i in imps if ams - lookback_ms <= i[0] < ams
-            ]
-            cands.sort(key=lambda i: (-i[0], -i[1]))  # recency, id desc
-            kept = [
-                i
-                for i in cands[:max_state]
-                if first_act.get(i[2]) is None or first_act[i[2]] > ams
-            ][:max_output]
-            for rank, (ims, iid, ic) in enumerate(kept, 1):
-                out.append((aid, key[0], rank, iid, ic, ams - ims))
-        floor = min([wm] + [a[0] for a in pending]) - lookback_ms
-        imps = [i for i in imps if i[0] >= floor]
-        # first_act entries share the lookback horizon as a state TTL
-        # (the reference bounds this map the same way —
-        # AddLatestImpressions' Flink state TTL). Consequence, same as
-        # the reference: a content actioned longer than the lookback
-        # ago stops being excluded. Only impressions within the
-        # lookback are candidates anyway, so an evicted entry can only
-        # matter for a content re-impressed after the horizon — the
-        # batch twin (which sees all history) may exclude a pair this
-        # twin keeps. Without the TTL the map grows with distinct
-        # actioned contents for the stream's lifetime.
-        first_act = {c: t for c, t in first_act.items() if t >= floor}
+        out, imps, first_act, pending = _latest_imps_sweep(
+            imps,
+            first_act,
+            pending,
+            wm,
+            max_state=max_state,
+            max_output=max_output,
+            lookback_ms=lookback_ms,
+            key0=key[0],
+        )
         if pending:
             state.setTimeoutTimestamp(min(a[0] for a in pending) + 1)
         if imps or pending or first_act:
@@ -1371,4 +1449,556 @@ def stream_add_latest_impressions(
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twins for the remaining stateful ops
+# (SURVEY §2.7's migration plan; r10 verdict missing #3). Each twin
+# shares its op's decision core (_combine_sweep / _redundant_sweep /
+# _cumulate_sweep / _latest_imps_sweep) with the driver-gated
+# GroupState path — the twins cannot diverge semantically; only the
+# state plumbing differs: typed value/list/map state handles (no JSON
+# blob serde on the hot path, element-wise RocksDB mapping) and native
+# per-key event-time timers. All raise ImportError without protobuf
+# (HAS_TWS); parity tests in tests/test_streaming.py skip there.
+# ---------------------------------------------------------------------------
+
+
+def _require_tws(op: str) -> None:
+    if not HAS_TWS:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package; "
+            f"use {op} (GroupState) instead"
+        )
+
+
+def stream_combine_delivery_logs_tws(
+    sdf: DataFrame,
+    window_ms: int = 2000,
+    delay_ms: int = 1000,
+) -> DataFrame:
+    """``stream_combine_delivery_logs`` on typed ListState + native
+    event-time timers (decision core shared: ``_combine_sweep``)."""
+    _require_tws("stream_combine_delivery_logs")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_cols = [
+        "platform_id",
+        "log_user_id",
+        "client_request_id",
+        "request_id",
+        "api_execution",
+        "log_ms",
+    ]
+    plat_type = sdf.schema["platform_id"].dataType
+    out_schema = StructType(
+        [
+            StructField("platform_id", plat_type),
+            StructField("log_user_id", StringType()),
+            StructField("client_request_id", StringType()),
+            StructField("request_id", StringType()),
+            StructField("api_execution", BooleanType()),
+            StructField("log_ms", LongType()),
+        ]
+    )
+    rec_schema = StructType(
+        [
+            StructField("log_ms", LongType()),
+            StructField("api", BooleanType()),
+            StructField("request_id", StringType()),
+        ]
+    )
+
+    with_wm = sdf.withWatermark("ts", f"{delay_ms} milliseconds")
+    has_cri = F.col("client_request_id").isNotNull() & (
+        F.col("client_request_id") != ""
+    )
+    passthrough = with_wm.filter(~has_cri).select(
+        *out_cols[:4],
+        "api_execution",
+        F.col("log_timestamp").alias("log_ms"),
+    )
+    keyed = with_wm.filter(has_cri).select(
+        *out_cols[:4],
+        "api_execution",
+        F.col("log_timestamp").alias("log_ms"),
+        "ts",
+    )
+
+    class _CombineProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._rows = handle.getListState("rows", rec_schema)
+
+        def _sweep(self, key, new_rows, wm):
+            import pandas as pd
+
+            rows = [[r[0], r[1], r[2]] for r in self._rows.get()]
+            rows.extend(new_rows)
+            out, rows = _combine_sweep(rows, wm, window_ms, key)
+            self._rows.clear()
+            if rows:
+                self._rows.appendList([tuple(r) for r in rows])
+                self._handle.registerTimer(
+                    max(min(r[0] for r in rows) + window_ms + 1, wm + 1)
+                )
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+        def handleInputRows(self, key, rows, timerValues):
+            new = []
+            for pdf in rows:
+                for r in pdf.itertuples(index=False):
+                    new.append(
+                        [int(r.log_ms), bool(r.api_execution), str(r.request_id)]
+                    )
+            yield from self._sweep(
+                key, new, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield from self._sweep(
+                key, [], timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    combined = keyed.drop("ts").groupBy(
+        "platform_id", "log_user_id", "client_request_id"
+    ).transformWithStateInPandas(
+        statefulProcessor=_CombineProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    return combined.unionByName(passthrough.select(*out_cols))
+
+
+def stream_reduce_redundant_impressions_tws(
+    impressions_sdf: DataFrame,
+    actions_sdf: DataFrame,
+    ttl_ms: int,
+    delay_ms: int = 1000,
+    remap_retention_ms: int | None = None,
+) -> DataFrame:
+    """``stream_reduce_redundant_impressions`` on typed value/map/list
+    state + native timers (decision core shared: ``_redundant_sweep``:
+    epoch = ValueState, remap = MapState keyed by the redundant id —
+    element-wise RocksDB updates instead of re-serializing the whole
+    remap dict per batch — pending = ListState)."""
+    _require_tws("stream_reduce_redundant_impressions")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    retention = ttl_ms if remap_retention_ms is None else remap_retention_ms
+
+    def norm(df, id_col, ms_col, side):
+        return df.select(
+            F.concat_ws(
+                "\x1f",
+                F.col("platform_id").cast("string"),
+                F.col("log_user_id"),
+                F.when(
+                    F.col("insertion_id").isNotNull() & (F.col("insertion_id") != ""),
+                    F.concat_ws("\x1f", F.col("insertion_id"), F.lit("")),
+                ).otherwise(
+                    F.concat_ws(
+                        "\x1f",
+                        F.coalesce(F.col("view_id"), F.lit("")),
+                        F.coalesce(F.col("content_id"), F.lit("")),
+                    )
+                ),
+            ).alias("rkey"),
+            F.col(id_col).alias("event_id"),
+            F.col(ms_col).cast("long").alias("ms"),
+            (
+                F.col("impression_id")
+                if side == 1
+                else F.lit(None).cast("string")
+            ).alias("ref_impression_id"),
+            F.lit(side).alias("side"),
+            F.col("ts").alias("__ts"),
+        )
+
+    unioned = norm(impressions_sdf, "impression_id", "impression_ts", 0).unionByName(
+        norm(actions_sdf, "action_id", "action_ts", 1)
+    ).withWatermark("__ts", f"{delay_ms} milliseconds")
+
+    out_schema = StructType(
+        [
+            StructField("kind", LongType()),
+            StructField("event_id", StringType()),
+            StructField("canonical_impression_id", StringType()),
+            StructField("is_redundant", BooleanType()),
+            StructField("ms", LongType()),
+        ]
+    )
+    epoch_schema = StructType(
+        [StructField("canon", StringType()), StructField("end_ms", LongType())]
+    )
+    remap_key_schema = StructType([StructField("red_id", StringType())])
+    remap_val_schema = StructType(
+        [StructField("canon", StringType()), StructField("end_ms", LongType())]
+    )
+    pend_schema = StructType(
+        [
+            StructField("ms", LongType()),
+            StructField("side", LongType()),
+            StructField("event_id", StringType()),
+            StructField("ref", StringType()),
+        ]
+    )
+
+    class _RedundantProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._epoch = handle.getValueState("epoch", epoch_schema)
+            self._remap = handle.getMapState(
+                "remap", remap_key_schema, remap_val_schema
+            )
+            self._pending = handle.getListState("pending", pend_schema)
+
+        def _sweep(self, key, new_rows, wm):
+            import pandas as pd
+
+            epoch = list(self._epoch.get()) if self._epoch.exists() else None
+            remap = {
+                k[0]: [v[0], v[1]] for k, v in self._remap.iterator()
+            }
+            pending = [[p[0], p[1], p[2], p[3]] for p in self._pending.get()]
+            pending.extend(new_rows)
+            before = set(remap)
+            out, epoch, remap, pending = _redundant_sweep(
+                epoch, remap, pending, wm, ttl_ms, retention
+            )
+            if epoch is not None:
+                self._epoch.update(tuple(epoch))
+            else:
+                self._epoch.clear()
+            for gone in before - set(remap):
+                self._remap.removeKey((gone,))
+            for rid, v in remap.items():
+                self._remap.updateValue((rid,), tuple(v))
+            self._pending.clear()
+            if pending:
+                self._pending.appendList([tuple(p) for p in pending])
+                self._handle.registerTimer(
+                    max(min(p[0] for p in pending) + 1, wm + 1)
+                )
+            elif epoch is not None or remap:
+                self._handle.registerTimer(wm + retention + ttl_ms + 1)
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "kind",
+                        "event_id",
+                        "canonical_impression_id",
+                        "is_redundant",
+                        "ms",
+                    ],
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            new = []
+            for pdf in rows:
+                for r in pdf.itertuples(index=False):
+                    new.append(
+                        [
+                            int(r.ms),
+                            int(r.side),
+                            str(r.event_id),
+                            None
+                            if pd.isna(r.ref_impression_id)
+                            else str(r.ref_impression_id),
+                        ]
+                    )
+            yield from self._sweep(
+                key, new, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield from self._sweep(
+                key, [], timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    return unioned.drop("__ts").groupBy("rkey").transformWithStateInPandas(
+        statefulProcessor=_RedundantProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def stream_cumulate_counter_tws(
+    sdf: DataFrame,
+    key_col: str,
+    ts_col: str,
+    step_ms: int,
+    period_ms: int,
+    delay_ms: int = 1000,
+    value_col: str | None = None,
+) -> DataFrame:
+    """``stream_cumulate_counter`` on typed map state + native timers
+    (decision core shared: ``_cumulate_sweep``): open step buckets live
+    in one MapState keyed by bucket start (the period is derivable —
+    CUMULATE requires period = k*step), finalized running totals in a
+    second MapState keyed by period. Element-wise bucket increments
+    instead of re-serializing the whole periods dict per batch."""
+    _require_tws("stream_cumulate_counter")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    key_type = sdf.schema[key_col].dataType
+    out_schema = StructType(
+        [
+            StructField("period_ms", LongType()),
+            StructField("window_ms", LongType()),
+            StructField("key", key_type),
+            StructField("n", LongType()),
+        ]
+    )
+    long_key = StructType([StructField("k", LongType())])
+    long_val = StructType([StructField("v", LongType())])
+
+    class _CumulateProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._buckets = handle.getMapState("buckets", long_key, long_val)
+            self._cums = handle.getMapState("cums", long_key, long_val)
+
+        def _sweep(self, key, new_buckets, wm):
+            import pandas as pd
+
+            periods: dict[int, list] = {
+                k[0]: [v[0], {}] for k, v in self._cums.iterator()
+            }
+            for k, v in self._buckets.iterator():
+                b, n = k[0], v[0]
+                ent = periods.setdefault(b // period_ms * period_ms, [0, {}])
+                ent[1][b] = n
+            for b, n in new_buckets:
+                ent = periods.setdefault(b // period_ms * period_ms, [0, {}])
+                ent[1][b] = ent[1].get(b, 0) + n
+            out, periods, timeout = _cumulate_sweep(
+                periods, wm, step_ms, period_ms, key[0]
+            )
+            self._buckets.clear()
+            self._cums.clear()
+            for p, (cum, buckets) in periods.items():
+                self._cums.updateValue((p,), (cum,))
+                for b, n in buckets.items():
+                    self._buckets.updateValue((b,), (n,))
+            if timeout is not None:
+                self._handle.registerTimer(max(timeout, wm + 1))
+            if out:
+                yield pd.DataFrame(
+                    out, columns=["period_ms", "window_ms", "key", "n"]
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import numpy as np
+
+            new: dict[int, int] = {}
+            for pdf in rows:
+                buck = (pdf["__ms"].to_numpy() // step_ms) * step_ms
+                ub, inv = np.unique(buck, return_inverse=True)
+                if value_col is None:
+                    sums = np.bincount(inv, minlength=len(ub)).astype("int64")
+                else:
+                    sums = np.zeros(len(ub), dtype="int64")
+                    np.add.at(sums, inv, pdf["__v"].to_numpy().astype("int64"))
+                for b, n in zip(ub.tolist(), sums.tolist()):
+                    new[b] = new.get(b, 0) + n
+            yield from self._sweep(
+                key, list(new.items()), timerValues.getCurrentWatermarkInMs()
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield from self._sweep(
+                key, [], timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    sel = [
+        F.col(key_col).alias("key"),
+        F.unix_millis(ts_col).alias("__ms"),
+        F.col(ts_col).alias("__ts"),
+    ]
+    if value_col is not None:
+        sel.append(F.col(value_col).alias("__v"))
+    prepared = sdf.withWatermark(ts_col, f"{delay_ms} milliseconds").select(*sel)
+    return prepared.drop("__ts").groupBy("key").transformWithStateInPandas(
+        statefulProcessor=_CumulateProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+
+
+def stream_add_latest_impressions_tws(
+    impressions_sdf: DataFrame,
+    actions_sdf: DataFrame,
+    user_col: str = "user_id",
+    max_state: int = 30,
+    max_output: int = 25,
+    lookback_ms: int = 7 * 86_400_000,
+    delay_ms: int = 1000,
+) -> DataFrame:
+    """``stream_add_latest_impressions`` on typed list/map state +
+    native timers (decision core shared: ``_latest_imps_sweep``:
+    impressions + pending actions = ListState, first-action-per-content
+    = MapState keyed by content)."""
+    _require_tws("stream_add_latest_impressions")
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    user_type = impressions_sdf.schema[user_col].dataType
+
+    def norm(df, id_col, ms_col, side):
+        return df.select(
+            F.col(user_col).alias("u"),
+            F.col(id_col).cast("long").alias("rid"),
+            F.col(ms_col).cast("long").alias("ms"),
+            F.col("content_id").cast("long").alias("content"),
+            F.lit(side).alias("side"),
+            F.col("ts").alias("__ts"),
+        )
+
+    unioned = norm(impressions_sdf, "impression_id", "imp_ms", 0).unionByName(
+        norm(actions_sdf, "action_id", "act_ms", 1)
+    ).withWatermark("__ts", f"{delay_ms} milliseconds")
+
+    out_schema = StructType(
+        [
+            StructField("action_id", LongType()),
+            StructField("u", user_type),
+            StructField("rank", LongType()),
+            StructField("impression_id", LongType()),
+            StructField("content", LongType()),
+            StructField("gap_ms", LongType()),
+        ]
+    )
+    rec_schema = StructType(
+        [
+            StructField("ms", LongType()),
+            StructField("rid", LongType()),
+            StructField("content", LongType()),
+        ]
+    )
+    long_key = StructType([StructField("k", LongType())])
+    long_val = StructType([StructField("v", LongType())])
+
+    class _LatestImpsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._imps = handle.getListState("imps", rec_schema)
+            self._first_act = handle.getMapState(
+                "first_act", long_key, long_val
+            )
+            self._pending = handle.getListState("pending", rec_schema)
+
+        def _sweep(self, key, new_imps, new_pending, new_first, wm):
+            import pandas as pd
+
+            imps = [[r[0], r[1], r[2]] for r in self._imps.get()]
+            imps.extend(new_imps)
+            first_act = {k[0]: v[0] for k, v in self._first_act.iterator()}
+            for c, ms in new_first.items():
+                if c not in first_act or ms < first_act[c]:
+                    first_act[c] = ms
+            pending = [[r[0], r[1], r[2]] for r in self._pending.get()]
+            pending.extend(new_pending)
+            before = set(first_act)
+            out, imps, first_act, pending = _latest_imps_sweep(
+                imps,
+                first_act,
+                pending,
+                wm,
+                max_state=max_state,
+                max_output=max_output,
+                lookback_ms=lookback_ms,
+                key0=key[0],
+            )
+            self._imps.clear()
+            if imps:
+                self._imps.appendList([tuple(i) for i in imps])
+            for gone in before - set(first_act):
+                self._first_act.removeKey((gone,))
+            for c, t in first_act.items():
+                self._first_act.updateValue((c,), (t,))
+            self._pending.clear()
+            if pending:
+                self._pending.appendList([tuple(a) for a in pending])
+                self._handle.registerTimer(
+                    max(min(a[0] for a in pending) + 1, wm + 1)
+                )
+            if out:
+                yield pd.DataFrame(
+                    out,
+                    columns=[
+                        "action_id",
+                        "u",
+                        "rank",
+                        "impression_id",
+                        "content",
+                        "gap_ms",
+                    ],
+                )
+
+        def handleInputRows(self, key, rows, timerValues):
+            new_imps, new_pending, new_first = [], [], {}
+            for pdf in rows:
+                for row in pdf.itertuples(index=False):
+                    rec = [int(row.ms), int(row.rid), int(row.content)]
+                    if row.side == 0:
+                        new_imps.append(rec)
+                    else:
+                        new_pending.append(rec)
+                        c = int(row.content)
+                        if c not in new_first or rec[0] < new_first[c]:
+                            new_first[c] = rec[0]
+            yield from self._sweep(
+                key,
+                new_imps,
+                new_pending,
+                new_first,
+                timerValues.getCurrentWatermarkInMs(),
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            self._handle.deleteTimer(expiredTimerInfo.getExpiryTimeInMs())
+            yield from self._sweep(
+                key, [], [], {}, timerValues.getCurrentWatermarkInMs()
+            )
+
+        def close(self) -> None:
+            pass
+
+    return unioned.drop("__ts").groupBy("u").transformWithStateInPandas(
+        statefulProcessor=_LatestImpsProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="EventTime",
     )

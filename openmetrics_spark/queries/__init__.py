@@ -93,12 +93,15 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # threaded through _events/_tail_stages), the production-TTL pair
     # (stream_inferred_join gained the indexed candidate lookup and the
     # shared _decide_ready core);
-    # (d) 36 of the 49 r7-stale rows (every one the rotation machinery
-    # owes a refresh). The 13 r7 rows left for the R12 QUEUE each keep
+    # (d) 34 of the 49 r7-stale rows (every one the rotation machinery
+    # owes a refresh). The 15 r7 rows left for the R12 QUEUE each keep
     # an in-window family sibling watching their operator:
     # user_scd2_intervals (ceded its slot to the late-landing
     # streaming_corpus_admission_n4; events_scd2_enrich + the r10-green
-    # cohort_membership_intervals watch the SCD2 family) plus:
+    # cohort_membership_intervals watch the SCD2 family),
+    # corpus_vocab_topk + upsert_time_travel (ceded to the two
+    # TWS-core-extraction re-gates; corpus_upsample_balanced and the
+    # r10-green upsert rows watch those families) plus:
     # approx_distinct_buyers_hll (customers twin in), ann_filtered_topk
     # (brute/PQ in), corpus_prep_manifest_v2 (v3 in), events_profile +
     # events_zorder_layout + props_json_metrics (events family in),
@@ -126,6 +129,14 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_bfj_pipeline",
     "streaming_ttl_inferred_join",
     "streaming_ttl_late_channel",
+    # (the TWS-core extraction touched the cumulate/combine/redundant/
+    # ALI GroupState paths; their two consumers not already in-window
+    # re-enter here, displacing corpus_vocab_topk + upsert_time_travel
+    # to the r12 queue — corpus_upsample_balanced and the r10-green
+    # upsert_mor_snapshot / upsert_incremental_pull watch those
+    # families meanwhile)
+    "streaming_cumulate_hourly",
+    "cumulated_metrics_envelope",
     # --- (d) 37 of the 49 r7-stale rows (r12 queue documented above)
     "counter_commands_full",
     "counter_commands_weekly",
@@ -145,7 +156,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "corpus_leakage_safe_split",
     "corpus_prep_manifest_v3",
     "corpus_upsample_balanced",
-    "corpus_vocab_topk",
     "doc_dedup_spans_rewrite",
     "doc_quality_train",
     "embedding_pq_codes",
@@ -162,7 +172,6 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     "streaming_minhash_ingest",
     "streaming_value_percentiles",
     "supplier_pagerank",
-    "upsert_time_travel",
 )
 
 

@@ -3698,7 +3698,10 @@ _ADMISSION_N4_ORACLE = _admission_oracle_n(4)
 
 
 def _run_streaming_admission(
-    spark: SparkSession, sf_dir: str, n_batches: int
+    spark: SparkSession,
+    sf_dir: str,
+    n_batches: int,
+    staged_restart: bool = False,
 ) -> DataFrame:
     """The foreachBatch admission loop over ``n_batches`` staged
     arrivals (see block comment). The handler is N-agnostic — it
@@ -3779,7 +3782,13 @@ def _run_streaming_admission(
             )
         )
     )
-    _restage(spark, incoming, p("in"), "__b", list(range(1, n_batches)))
+    # staged_restart: the arrivals are staged in a holding dir and
+    # MOVED into the source one batch per stream run — the query stops
+    # and RESTARTS between every arrival with the same checkpoint, so
+    # the source offsets and the persisted standing state must both
+    # survive a process boundary (the operational deploy/restart shape)
+    stage_dir = p("in_hold") if staged_restart else p("in")
+    _restage(spark, incoming, stage_dir, "__b", list(range(1, n_batches)))
 
     manifest = p("manifest")
     _os.makedirs(manifest)
@@ -3897,7 +3906,7 @@ def _run_streaming_admission(
         with open(step_file, "w") as fh:
             fh.write(str(k))
 
-    with _stream_shuffle_partitions(spark):
+    def _drain_once() -> None:
         q = (
             _stream(spark, p("in"))
             .writeStream.foreachBatch(handle)
@@ -3906,6 +3915,23 @@ def _run_streaming_admission(
             .start()
         )
         q.awaitTermination()
+
+    with _stream_shuffle_partitions(spark):
+        if staged_restart:
+            import shutil as _shutil
+
+            files = sorted(
+                (f for f in _os.listdir(stage_dir) if not f.startswith("_")),
+                key=lambda f: _os.path.getmtime(_os.path.join(stage_dir, f)),
+            )
+            _os.makedirs(p("in"))
+            for f in files:
+                _shutil.move(
+                    _os.path.join(stage_dir, f), _os.path.join(p("in"), f)
+                )
+                _drain_once()  # one stream lifetime per arrival
+        else:
+            _drain_once()
 
     with open(step_file) as fh:
         k_final = int(fh.read())
@@ -3937,6 +3963,23 @@ def streaming_corpus_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_streaming_admission.py also pins row-for-row equality
     with the batch fn locally)."""
     return _run_streaming_admission(spark, sf_dir, n_batches=2)
+
+
+@register(
+    "streaming_admission_restart",
+    oracle=_TWO_BATCH_ORACLE,
+    tags=("llm", "pipeline", "streaming", "recovery"),
+)
+def streaming_admission_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The admission loop with a STREAM RESTART between every arrival:
+    each batch runs in its own query lifetime against the same
+    checkpoint (source offsets resume; no batch is reprocessed) and the
+    same persisted standing state (md5 set, band index, ledger). The
+    manifest must still reproduce the one-shot full-replay oracle
+    bit-for-bit — the deploy/restart shape of the operational ingest,
+    gated the same way the r8 checkpoint-restart proofs gate the
+    counter streams."""
+    return _run_streaming_admission(spark, sf_dir, 2, staged_restart=True)
 
 
 @register(

@@ -27,3 +27,18 @@ def test_streaming_admission_equals_batch_replay(spark, sf_dir):
     assert d["b1_admitted"][0] > 0
     assert d["b2_admitted"][0] > 0
     assert 0 < d["plant_exact_rejected"][0] < d["plant_in"][0]
+
+
+def test_streaming_admission_restart_equals_one_shot(spark, sf_dir):
+    """Restarting the stream between arrivals (fresh query lifetime per
+    batch, same checkpoint + standing state) must change nothing: the
+    checkpoint resumes the file-source offsets and the persisted state
+    carries the evolution across the process boundary."""
+    from openmetrics_spark.queries.docs_q import (
+        corpus_two_batch_ledger,
+        streaming_admission_restart,
+    )
+
+    got = _rows(streaming_admission_restart(spark, sf_dir))
+    want = _rows(corpus_two_batch_ledger(spark, sf_dir))
+    assert got == want

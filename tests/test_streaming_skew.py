@@ -237,3 +237,49 @@ def test_stream_inferred_join_rocksdb_parity(spark, tmp_path):
     rocks_rows = run(ROCKSDB_PROVIDER)
     assert len(default_rows) == len(clicks)
     assert default_rows == rocks_rows
+
+
+def test_state_operator_metrics_observable(spark, tmp_path):
+    """The state-budget claims must be OBSERVABLE through the engine's
+    own metrics, not just our probes: StreamingQueryProgress
+    stateOperators reports the keyed-state row count for the custom
+    applyInPandasWithState ops, and at end-of-replay it must equal
+    exactly the keys holding live state (the reference reads the same
+    through Flink's state-backend metrics). Uses the CUMULATE op: 3
+    keys, all periods still open at end of input => exactly 3 state
+    rows; a wrong eviction (state leak or over-evict) flips the count."""
+    from openmetrics_spark.streaming.stateful import stream_cumulate_counter
+
+    rows = [(f"k{i % 3}", BASE + i * 1_000) for i in range(90)]
+    df = spark.createDataFrame(rows, "key STRING, ms LONG").withColumn(
+        "ts", F.timestamp_millis("ms")
+    )
+    src = str(tmp_path / "ev")
+    _staged_write(df, src, 3, "ms", BASE, BASE + 90_000)
+
+    j = stream_cumulate_counter(
+        stream_from_dir(spark, src, df.schema, max_files_per_trigger=1),
+        "key",
+        "ts",
+        step_ms=10_000,
+        period_ms=60_000,
+    )
+    q = (
+        j.writeStream.format("memory")
+        .queryName("state_metrics_probe")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progresses = [p for p in q.recentProgress if p["stateOperators"]]
+    assert progresses, "no stateOperators metrics reported"
+    last = progresses[-1]["stateOperators"][0]
+    # every key has an open period at end of input (no sentinel, so no
+    # period ever closed) — the engine must report exactly 3 state rows
+    assert last["numRowsTotal"] == 3, last
+    # and the op actually updated state across the replay
+    assert sum(
+        p["stateOperators"][0]["numRowsUpdated"] for p in progresses
+    ) > 0

@@ -507,7 +507,16 @@ def stream_inferred_join(
                     late_out.append((rec[1], key[0], rec[0], None, None, True))
                 else:
                     pending.append(rec)
-        ready = sorted(c for c in pending if c[0] + after < wm)
+        # key-sort on (ms, id) — never the raw record: a full-tuple sort
+        # falls through to the scope-value lists on (ms, id) ties, and
+        # None-vs-str scope values raise TypeError (duplicate right
+        # rows with null scopes — real pre-dedup traffic). Decision
+        # order beyond (ms, id) is immaterial: each ready row decides
+        # against the same candidate set.
+        ready = sorted(
+            (c for c in pending if c[0] + after < wm),
+            key=lambda c: (c[0], c[1]),
+        )
         pending = [c for c in pending if c[0] + after >= wm]
         out = list(late_out)
 
@@ -704,8 +713,11 @@ def stream_inferred_join_tws(
                     late_out.append((rec[1], key[0], rec[0], None, None, True))
                 else:
                     pending.append(rec)
+            # key-sort: see the GroupState path's note (None scope
+            # values make a full-tuple sort raise on (ms, id) ties)
             ready = sorted(
-                (c[0], c[1], c[2]) for c in pending if c[0] + after < wm
+                ((c[0], c[1], c[2]) for c in pending if c[0] + after < wm),
+                key=lambda c: (c[0], c[1]),
             )
             pending = [c for c in pending if c[0] + after >= wm]
             out = late_out + _decide_ready(
@@ -979,7 +991,16 @@ def _redundant_sweep(
     impression canonical for ttl, later ones redundant + remapped;
     actions rewritten through the remap), then TTL-evict closed state.
     Returns (emitted, epoch, remap, still-pending)."""
-    ready = sorted([p for p in pending if p[0] < wm])
+    # key-sort, None-safe on the ref slot: a full-list sort compares
+    # None refs against strings on (ms, side, eid) ties (duplicate
+    # rows in pre-dedup traffic) and raises. Epoch decisions ARE
+    # order-sensitive, so the key preserves the old lexicographic
+    # order exactly wherever the old sort didn't crash: None refs
+    # sort before any string ref on a full tie.
+    ready = sorted(
+        (p for p in pending if p[0] < wm),
+        key=lambda p: (p[0], p[1], p[2], p[3] is not None, p[3] or ""),
+    )
     pending = [p for p in pending if p[0] >= wm]
     out = []
     for ms, side, eid, ref in ready:

@@ -1702,14 +1702,23 @@ _TTL_TARGET_SPAN = _TTL_SLICE_MS * _TTL_N_SLICES  # compress span to <= this
 # eviction model (fix to either gate lands in both). The prefix builds
 # the compressed-time fixture; the match chain is parameterized on the
 # late-variant's on-time filters.
-_TTL_SQL_PREFIX = f"""span AS (
+def _ttl_sql_prefix(skew: bool = False) -> str:
+    # the skew knob collapses every user_id % 8 == 0 user onto user 0
+    # (~12-13% of all events on ONE state key) — same CASE in the
+    # Spark derivation, so the oracle models the same skewed world
+    u = (
+        "CASE WHEN e.user_id % 8 = 0 THEN 0 ELSE e.user_id END"
+        if skew
+        else "e.user_id"
+    )
+    return f"""span AS (
   SELECT min(epoch_ms(ts)) AS lo, max(epoch_ms(ts)) AS hi FROM events
 ),
 kdiv AS (
   SELECT lo, (hi - lo) // {_TTL_TARGET_SPAN} + 1 AS k FROM span
 ),
 base AS (
-  SELECT e.event_id AS id, e.user_id, e.event_type,
+  SELECT e.event_id AS id, {u} AS user_id, e.event_type,
          kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k AS ms,
          last_value(CASE WHEN e.event_type = 'click'
                          THEN 'm' || CAST(e.event_id AS VARCHAR)
@@ -1718,7 +1727,7 @@ base AS (
                          THEN 'c' || CAST(e.event_id % 40 AS VARCHAR)
                     END IGNORE NULLS) OVER w AS prev_content
   FROM events e, kdiv kd
-  WINDOW w AS (PARTITION BY e.user_id
+  WINDOW w AS (PARTITION BY {u}
                ORDER BY kd.lo + (epoch_ms(e.ts) - kd.lo) // kd.k, e.event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ),
@@ -1727,6 +1736,9 @@ lefts AS (
          'c' || CAST(id % 40 AS VARCHAR) AS content_id
   FROM base WHERE event_type = 'click'
 )"""
+
+
+_TTL_SQL_PREFIX = _ttl_sql_prefix()
 
 _TTL_SQL_WT = f"""wt AS (
   SELECT t.i, max(p.ms) - {_TTL_DELAY_MS} AS wv
@@ -1766,8 +1778,9 @@ sc1 AS (SELECT id, lid, lms FROM scm WHERE rn = 1),
 m AS (SELECT * FROM fk1 UNION ALL SELECT * FROM sc1)"""
 
 
-_TTL_JOIN_ORACLE = f"""
-WITH {_TTL_SQL_PREFIX},
+def _ttl_join_oracle(skew: bool = False) -> str:
+    return f"""
+WITH {_ttl_sql_prefix(skew)},
 rights AS (
   SELECT user_id, id, ms,
          CASE WHEN id % 2 = 0 THEN prev_imp END AS fk,
@@ -1792,9 +1805,10 @@ FROM rights r LEFT JOIN m ON r.id = m.id
 """
 
 
+_TTL_JOIN_ORACLE = _ttl_join_oracle()
 
 
-def _ttl_frames(spark, sf_dir):
+def _ttl_frames(spark, sf_dir, skew: bool = False):
     """Shared fixture for the production-TTL join gates: compressed-
     time click candidates and purchase rights with the explicit
     prev-click FK (see streaming_ttl_inferred_join's block comment).
@@ -1803,9 +1817,16 @@ def _ttl_frames(spark, sf_dir):
 
     lo, hi = _events_span(spark, sf_dir)
     k = (hi - lo) // _TTL_TARGET_SPAN + 1
+    uid = (
+        F.when(F.col("user_id") % 8 == 0, F.lit(0))
+        .otherwise(F.col("user_id"))
+        .cast("long")
+        if skew
+        else F.col("user_id")
+    )
     e = table(spark, sf_dir, "events").select(
         "event_id",
-        "user_id",
+        uid.alias("user_id"),
         "event_type",
         F.expr(f"{lo} + (unix_millis(ts) - {lo}) DIV {k}").alias("ms"),
     )
@@ -1860,26 +1881,13 @@ def _ttl_frames(spark, sf_dir):
 
 
 
-@register(
-    "streaming_ttl_inferred_join",
-    oracle=_TTL_JOIN_ORACLE,
-    tags=("streaming", "join", "scale"),
-)
-def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The inferred-reference join under PRODUCTION state budgeting:
-    45 min candidate TTL with evict-before-decide semantics
-    (``ttl_floor=True``) over a compressed-time 8-slice replay, so
-    windowed inference survives (TTL > window + decision latency, the
-    reference's summed-budget guarantee) while long-reach explicit FKs
-    are genuinely dropped — and the oracle models every eviction (see
-    block comment; reference FlatOutputJob.java:808-882). 100 TB:
-    state per key is bounded by TTL x arrival rate — the steady-state
-    budget the reference runs with — instead of the replay span the
-    parity twins use."""
+def _run_ttl_join(
+    spark: SparkSession, sf_dir: str, skew: bool = False
+) -> DataFrame:
     from openmetrics_spark.streaming.stateful import stream_inferred_join
 
-    lefts, rights, lo = _ttl_frames(spark, sf_dir)
-    work = _workdir("ttl_join")
+    lefts, rights, lo = _ttl_frames(spark, sf_dir, skew)
+    work = _workdir("ttl_join_skew" if skew else "ttl_join")
     boundaries = [lo + i * _TTL_SLICE_MS for i in range(1, _TTL_N_SLICES)]
     pl, pr = os.path.join(work, "l"), os.path.join(work, "r")
     _restage(spark, lefts, pl, "ms", boundaries)
@@ -1943,6 +1951,44 @@ def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("fk_dropped"),
     )
+
+
+@register(
+    "streaming_ttl_inferred_join",
+    oracle=_TTL_JOIN_ORACLE,
+    tags=("streaming", "join", "scale"),
+)
+def streaming_ttl_inferred_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inferred-reference join under PRODUCTION state budgeting:
+    45 min candidate TTL with evict-before-decide semantics
+    (``ttl_floor=True``) over a compressed-time 8-slice replay, so
+    windowed inference survives (TTL > window + decision latency, the
+    reference's summed-budget guarantee) while long-reach explicit FKs
+    are genuinely dropped — and the oracle models every eviction (see
+    block comment; reference FlatOutputJob.java:808-882). 100 TB:
+    state per key is bounded by TTL x arrival rate — the steady-state
+    budget the reference runs with — instead of the replay span the
+    parity twins use."""
+    return _run_ttl_join(spark, sf_dir)
+
+
+@register(
+    "streaming_ttl_inferred_join_skewed",
+    oracle=_ttl_join_oracle(skew=True),
+    tags=("streaming", "join", "scale", "skew"),
+)
+def streaming_ttl_inferred_join_skewed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production-TTL join under a PLANTED HOT KEY: every
+    user_id % 8 == 0 user collapses onto user 0 (~12-13% of all events
+    on ONE state key — the logged-out/bot shape, KeyUtil.java:27-98),
+    in both the Spark derivation and the oracle's eviction model. The
+    eviction arithmetic must hold row-for-row on the hot key too:
+    TTL-bounded candidate state, long-reach FKs dropped, windowed
+    inference unaffected — the driver-gated complement of the
+    state-probe pytest (tests/test_streaming_skew.py)."""
+    return _run_ttl_join(spark, sf_dir, skew=True)
 
 
 # ---------------------------------------------------------------------------

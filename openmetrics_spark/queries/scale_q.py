@@ -186,3 +186,79 @@ def scale_join_strategies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bucketed = _priority_agg(_bucketed_leg(spark, sf_dir), "bucketed")
     return plain.unionByName(salted).unionByName(bucketed)
+
+
+# ---------------------------------------------------------------------------
+# Hot-key detection — the monitoring complement of the r11 skew gates:
+# find the power-law key BEFORE it concentrates a task. The reference
+# meets this failure mode reactively (the logged-out/bot shared id,
+# KeyUtil.java:27-98); a deployment wants the detector running over
+# the same keyed stream the stateful ops consume.
+# ---------------------------------------------------------------------------
+
+_HOT_KEY_ORACLE = """
+WITH k AS (
+  SELECT user_id % 4 AS platform_id,
+         CASE WHEN user_id % 8 = 0 THEN 'uhot'
+              ELSE 'u' || CAST(user_id AS VARCHAR) END AS log_user_id,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2
+), t AS (SELECT CAST(sum(n_events) AS BIGINT) AS total FROM k)
+SELECT platform_id, log_user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events * 10000 // total AS BIGINT) AS share_bp,
+       CAST(n_events * 100 > total AS BIGINT) AS is_hot
+FROM k, t
+ORDER BY n_events DESC, platform_id, log_user_id
+LIMIT 20
+"""
+
+
+@register(
+    "events_hot_key_report",
+    oracle=_HOT_KEY_ORACLE,
+    tags=("scale", "monitor", "skew"),
+)
+def events_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 (platform_id, log_user_id) keys by event share over the
+    SKEWED derivation (the bfj_pipeline_manifest_skewed key space, so
+    there is a genuine hot key to detect), share in exact integer basis
+    points, ``is_hot`` = share > 1%. 100 TB: one map-combinable
+    (platform, user) count, a one-row broadcast total, and a
+    TakeOrderedAndProject over the aggregated key frame — the raw
+    stream is scanned once and never re-shuffled; this is the report a
+    deployment alerts on before the hot key reaches the stateful ops
+    (reference failure shape: KeyUtil.java:27-98)."""
+    from openmetrics_spark.tables import table
+
+    k = (
+        table(spark, sf_dir, "events")
+        .select(
+            (F.col("user_id") % 4).alias("platform_id"),
+            F.when(F.col("user_id") % 8 == 0, F.lit("uhot"))
+            .otherwise(F.concat(F.lit("u"), F.col("user_id")))
+            .alias("log_user_id"),
+        )
+        .groupBy("platform_id", "log_user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    total = k.agg(F.sum("n_events").alias("total"))
+    rep = (
+        k.crossJoin(F.broadcast(total))
+        .select(
+            "platform_id",
+            "log_user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.floor(F.col("n_events") * 10000 / F.col("total"))
+            .cast("long")
+            .alias("share_bp"),
+            (F.col("n_events") * 100 > F.col("total"))
+            .cast("long")
+            .alias("is_hot"),
+        )
+        .orderBy(
+            F.col("n_events").desc(), "platform_id", "log_user_id"
+        )
+        .limit(20)
+    )
+    return rep

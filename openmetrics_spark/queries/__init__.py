@@ -94,10 +94,11 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # (stream_inferred_join gained the indexed candidate lookup and the
     # shared _decide_ready core);
     # R12 QUEUE HEAD: streaming_admission_restart,
-    # streaming_ttl_inferred_join_skewed and events_hot_key_report (all
-    # landed after this window froze and its 50/50 rehearsal; green in
-    # the local driver-strict checks at both SFs) lead the r12
-    # rotation, followed by the 15 deferred r7 rows below.
+    # streaming_ttl_inferred_join_skewed, events_hot_key_report and
+    # streaming_hot_key_report (all landed after this window froze and
+    # its 50/50 rehearsal; green in the local driver-strict checks at
+    # both SFs) lead the r12 rotation, followed by the 15 deferred r7
+    # rows below.
     # (d) 34 of the 49 r7-stale rows (every one the rotation machinery
     # owes a refresh). The 15 r7 rows left for the R12 QUEUE each keep
     # an in-window family sibling watching their operator:

@@ -262,3 +262,103 @@ def events_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return rep
+
+
+_STREAM_HOT_KEY_ORACLE = """
+WITH k AS (
+  SELECT (epoch_ms(ts) // 21600000) * 21600000 AS window_start_ms,
+         user_id % 4 AS platform_id,
+         CASE WHEN user_id % 8 = 0 THEN 'uhot'
+              ELSE 'u' || CAST(user_id AS VARCHAR) END AS log_user_id,
+         count(*) AS n_events
+  FROM events GROUP BY 1, 2, 3
+), t AS (
+  SELECT window_start_ms, CAST(sum(n_events) AS BIGINT) AS total
+  FROM k GROUP BY 1
+)
+SELECT window_start_ms, platform_id, log_user_id,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events * 10000 // total AS BIGINT) AS share_bp
+FROM k JOIN t USING (window_start_ms)
+WHERE n_events * 100 > total
+ORDER BY window_start_ms, n_events DESC, platform_id, log_user_id
+"""
+
+
+@register(
+    "streaming_hot_key_report",
+    oracle=_STREAM_HOT_KEY_ORACLE,
+    tags=("scale", "monitor", "skew", "streaming"),
+)
+def streaming_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_hot_key_report as a WINDOWED STREAMING monitor: per
+    6-hour tumbling window, every key above 1% of the window's events
+    (exact integer-bp share). The streaming stage is the same one
+    map-combinable (window, key) count behind a watermark as
+    streaming_quality_drift; the per-window total + share gate runs as
+    a batch post-pass over the tiny drained key frame. This is the
+    alert cadence a deployment actually runs — a hot key detected one
+    window after it appears, not at end-of-day."""
+    import os as _os
+
+    from openmetrics_spark.jobs.streaming_flat_output import (
+        _drain,
+        _restage,
+        _stream,
+    )
+    from openmetrics_spark.queries.streaming_q import (
+        _events_grid,
+        _stream_shuffle_partitions,
+        _workdir,
+    )
+    from openmetrics_spark.tables import pin, table
+
+    win_ms = 21_600_000
+    ev = table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 4).alias("platform_id"),
+        F.when(F.col("user_id") % 8 == 0, F.lit("uhot"))
+        .otherwise(F.concat(F.lit("u"), F.col("user_id")))
+        .alias("log_user_id"),
+        "ts",
+        F.unix_millis("ts").alias("ms"),
+    )
+    work = _workdir("hot_key_stream")
+    staged = _os.path.join(work, "ev")
+    _restage(spark, ev, staged, "ms", _events_grid(spark, sf_dir), sentinel=True)
+
+    s = _stream(spark, staged).withWatermark("ts", "1 millisecond")
+    counts = (
+        s.groupBy(
+            F.window("ts", f"{win_ms} milliseconds").alias("w"),
+            "platform_id",
+            "log_user_id",
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.unix_millis(F.col("w.start")).alias("window_start_ms"),
+            "platform_id",
+            "log_user_id",
+            "n_events",
+        )
+    )
+    out = _os.path.join(work, "k")
+    with _stream_shuffle_partitions(spark):
+        _drain(counts, out, _os.path.join(work, "_chk", "k"))
+
+    k = pin(spark.read.parquet(out))
+    t = k.groupBy("window_start_ms").agg(
+        F.sum("n_events").cast("long").alias("total")
+    )
+    return (
+        k.join(t, "window_start_ms")
+        .filter(F.col("n_events") * 100 > F.col("total"))
+        .select(
+            "window_start_ms",
+            "platform_id",
+            "log_user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.floor(F.col("n_events") * 10000 / F.col("total"))
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )

@@ -440,6 +440,8 @@ def unified_last_commands(
     horizon_ms: int = _90D_S * 1000,
     ts_col: str = "ts",
     metric_col: str = "agg_metric",
+    hot_keys: DataFrame | None = None,
+    route_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """All 4 Last* families in ONE window+aggregate pass: each event
     explodes into one (fidx, key-parts) struct per family before the
@@ -454,8 +456,46 @@ def unified_last_commands(
     distinct groups — encoding the concat_ws key before the groupBy
     collapsed them) plus the family index; the per-family fid types
     and TTLs are constants, decoded from fidx after the aggregate,
-    which also narrows the shuffled rows."""
+    which also narrows the shuffled rows.
+
+    HOT-KEY MITIGATION (``hot_keys`` + ``route_cols``): the window
+    function is the one stage of the counter job that does NOT
+    pre-aggregate — every row of a (family-key, metric) group ships to
+    ONE reducer and sorts there, so a single key holding 50% of the
+    stream serializes half the job. Given a flagged key frame (the
+    ``detect_hot_keys`` output over ``route_cols``; <= top_n rows,
+    broadcast), rows whose ``route_cols`` values are flagged AND whose
+    family key contains all ``route_cols`` are routed to a TWO-PHASE
+    form: anchors = groupBy.max (map-side partial — a monster group
+    ships O(partitions) rows), broadcast the anchors back (bounded by
+    flagged-keys x their distinct subkeys x metrics), then the
+    horizon count as a second map-side-combining aggregate. No full
+    row of a hot key is ever shuffled or sorted. Families whose key
+    lacks a ``route_col`` never route (splitting their groups across
+    paths would corrupt the anchor). Cold keys keep the single-pass
+    window plan. Output is bit-identical either way (exact integer
+    aggregates) — gated by counter_commands_skewed_mitigated
+    hash-matching counter_commands_skewed's oracle."""
     from pyspark.sql import Window
+
+    routable: set[int] = set()
+    if hot_keys is not None:
+        if not route_cols:
+            raise ValueError("hot_keys requires route_cols")
+        routable = {
+            i
+            for i, f in enumerate(last_families)
+            if set(route_cols) <= set(f.key_cols)
+        }
+        flat = flat.join(
+            F.broadcast(
+                hot_keys.select(*route_cols).distinct().withColumn(
+                    "__hot", F.lit(True)
+                )
+            ),
+            list(route_cols),
+            "left",
+        ).withColumn("__hot", F.coalesce(F.col("__hot"), F.lit(False)))
 
     structs = [
         F.struct(
@@ -472,20 +512,52 @@ def unified_last_commands(
             c = F.lit(v).cast("long")
             expr = F.when(cond, c) if expr is None else expr.when(cond, c)
         return expr
-    base = flat.select(
+
+    base_cols = [
         F.explode(F.array(*structs)).alias("__f"),
         F.col(metric_col).alias("__metric"),
         F.unix_millis(F.col(ts_col)).alias("__ms"),
-    )
-    w = Window.partitionBy(F.col("__f"), F.col("__metric"))
-    anchored = base.withColumn("__anchor", F.max("__ms").over(w))
-    in_h = (F.col("__ms") > F.col("__anchor") - F.lit(horizon_ms)) & (
-        F.col("__ms") <= F.col("__anchor")
-    )
-    ltc = anchored.groupBy("__f", "__metric").agg(
-        F.max("__ms").alias("last_ms"),
-        F.sum(F.when(in_h, 1).otherwise(0)).alias("n_horizon"),
-    )
+    ]
+    if hot_keys is not None:
+        base_cols.append(F.col("__hot"))
+    base = flat.select(*base_cols)
+
+    def _window_ltc(rows: DataFrame) -> DataFrame:
+        w = Window.partitionBy(F.col("__f"), F.col("__metric"))
+        anchored = rows.withColumn("__anchor", F.max("__ms").over(w))
+        in_h = (F.col("__ms") > F.col("__anchor") - F.lit(horizon_ms)) & (
+            F.col("__ms") <= F.col("__anchor")
+        )
+        return anchored.groupBy("__f", "__metric").agg(
+            F.max("__ms").alias("last_ms"),
+            F.sum(F.when(in_h, 1).otherwise(0)).alias("n_horizon"),
+        )
+
+    def _two_phase_ltc(rows: DataFrame) -> DataFrame:
+        anchors = rows.groupBy("__f", "__metric").agg(
+            F.max("__ms").alias("__anchor")
+        )
+        in_h = (F.col("__ms") > F.col("__anchor") - F.lit(horizon_ms)) & (
+            F.col("__ms") <= F.col("__anchor")
+        )
+        return (
+            rows.join(F.broadcast(anchors), ["__f", "__metric"])
+            .groupBy("__f", "__metric")
+            .agg(
+                F.max("__ms").alias("last_ms"),
+                F.sum(F.when(in_h, 1).otherwise(0)).alias("n_horizon"),
+            )
+        )
+
+    if hot_keys is None:
+        ltc = _window_ltc(base)
+    else:
+        is_routed = F.col("__hot") & F.col("__f.fidx").isin(
+            *sorted(routable)
+        ) if routable else F.lit(False)
+        hot_rows = base.filter(is_routed).drop("__hot")
+        cold_rows = base.filter(~is_routed).drop("__hot")
+        ltc = _window_ltc(cold_rows).unionByName(_two_phase_ltc(hot_rows))
     cmd = F.when(F.col("n_horizon") != 0, F.lit("HSET")).otherwise(F.lit("HDEL"))
     key = F.concat_ws(JOIN_CHAR, F.col("__f.karr"))
     ts_fid = _by_fidx([int(f.ts_fid_type) for f in last_families]).bitwiseOR(
@@ -574,6 +646,8 @@ def full_counter_commands(
     ts_col: str = "ts",
     metric_col: str = "agg_metric",
     with_metadata: bool = True,
+    hot_keys: DataFrame | None = None,
+    route_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """The counter job end-to-end (CounterJob.defineJob:388-500):
     temporal LogUserUser enrichment, then the sliding-count fan-out
@@ -582,7 +656,13 @@ def full_counter_commands(
 
     ``flat`` must carry platform_id, log_user_id, content_id,
     query_hex, os, user_agent_family, ``metric_col`` and ``ts_col``
-    (user_id too unless ``log_user_user`` supplies it)."""
+    (user_id too unless ``log_user_user`` supplies it).
+
+    ``hot_keys``/``route_cols`` wire the detect_hot_keys output into
+    the Last* pass (see unified_last_commands). The sliding families
+    need no routing: they are hash aggregates, which ALWAYS partial-
+    aggregate map-side, so a hot key ships O(partitions) pre-combined
+    rows per (window, slide) regardless of skew."""
     if log_user_user is not None:
         flat = enrich_with_log_user_user(flat, log_user_user, ts_col=ts_col)
         # cut the lineage once the as-of shuffle (and any Python-UDF
@@ -601,7 +681,15 @@ def full_counter_commands(
     out = unified_sliding_commands(flat, families, window_configs, ts_col, metric_col)
     if last_families:
         out = out.unionByName(
-            unified_last_commands(flat, last_families, last_horizon_ms, ts_col, metric_col)
+            unified_last_commands(
+                flat,
+                last_families,
+                last_horizon_ms,
+                ts_col,
+                metric_col,
+                hot_keys=hot_keys,
+                route_cols=route_cols,
+            )
         )
     if with_metadata:
         windows = [w for _, _, w, _ in window_configs]

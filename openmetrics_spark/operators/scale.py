@@ -59,6 +59,37 @@ def salted_join(
     return l_s.join(r_s, [*on, _SALT], how).drop(_SALT)
 
 
+def detect_hot_keys(
+    df: DataFrame,
+    key_cols: list[str],
+    threshold_bp: int = 100,
+    top_n: int = 20,
+) -> DataFrame:
+    """The hot-key detector as a ROUTING pre-stage: the top-``top_n``
+    key tuples whose share of ``df`` exceeds ``threshold_bp`` basis
+    points (exact integer arithmetic, same as events_hot_key_report).
+    Returns a DataFrame of just the flagged key columns — bounded by
+    ``top_n`` rows by construction, so the caller broadcasts it and
+    routes the flagged keys' work to a skew-safe path (the reference's
+    TopNFilter shape: compute top keys, broadcast the set, gate the
+    stream — TopNFilter.java:17-100).
+
+    100 TB: one map-combinable key count + a one-row broadcast total +
+    TakeOrderedAndProject; the input is scanned once, nothing wide is
+    shuffled, and the output is a <= top_n-row frame."""
+    k = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    total = k.agg(F.sum("__n").alias("__total"))
+    return (
+        k.crossJoin(F.broadcast(total))
+        .filter(
+            F.expr("__n * 10000 DIV __total") >= F.lit(threshold_bp)
+        )
+        .orderBy(F.col("__n").desc(), *key_cols)
+        .limit(top_n)
+        .select(*key_cols)
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     name: str,

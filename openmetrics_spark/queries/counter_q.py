@@ -396,6 +396,43 @@ def counter_commands_skewed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "counter_commands_skewed_mitigated",
+    oracle=_counter_oracle(skew=True),
+    tags=("counter", "skew", "mitigation"),
+)
+def counter_commands_skewed_mitigated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """counter_commands_skewed with the DETECTOR WIRED TO A MITIGATION:
+    ``detect_hot_keys`` flags content ids holding >10% of the stream
+    (exactly the planted 'chot' here; the TopNFilter broadcast shape),
+    and the Last* pass routes flagged keys' content-bearing families to
+    the two-phase anchor aggregate — no full row of the hot key is
+    shuffled or sorted (see unified_last_commands). The output must
+    hash-match the SAME oracle as the unmitigated skewed row: routing
+    is a pure physical-plan decision. The sliding families stay
+    unrouted by design (hash aggregates partial-aggregate map-side at
+    any skew). The harsher-skew wall probe (one user at 50%+, where
+    the window form's single-reducer sort actually bites) is in
+    docs/SCALE.md; tests/test_counter_mitigation.py pins equality and
+    the plan shape."""
+    from openmetrics_spark.operators.scale import detect_hot_keys
+
+    flat, luu = _flat_and_luu(spark, sf_dir, skew=True)
+    flagged = detect_hot_keys(
+        flat, ["content_id"], threshold_bp=1000, top_n=20
+    )
+    return full_counter_commands(
+        flat,
+        log_user_user=luu,
+        window_configs=DRIVER_WINDOWS,
+        last_horizon_ms=_90D_MS,
+        hot_keys=flagged,
+        route_cols=("content_id",),
+    )
+
+
 # the reference's 7 d and 30 d daily-counter configs at full fidelity
 # (4 h emit slide; TTL only on the 30 d bucket — expiry() returns 0
 # for the 7 d one, SlidingDailyCounter.java:52-56: redis EXPIRE is

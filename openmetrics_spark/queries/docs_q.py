@@ -3702,6 +3702,7 @@ def _run_streaming_admission(
     sf_dir: str,
     n_batches: int,
     staged_restart: bool = False,
+    replay_batches: bool = False,
 ) -> DataFrame:
     """The foreachBatch admission loop over ``n_batches`` staged
     arrivals (see block comment). The handler is N-agnostic — it
@@ -3746,6 +3747,15 @@ def _run_streaming_admission(
         )
 
     # ---- standing state at deploy time (the evens corpus) ----------
+    # Every standing-state surface is VERSIONED PER BATCH (b0 = deploy
+    # state, b{k} = batch k's delta, ledger_v{k} = batch k's snapshot)
+    # and every batch write is mode("overwrite") of its own version
+    # directory. Batch k reads exactly versions 0..k-1, so a micro-
+    # batch REPLAYED after a mid-batch failure sees the same as-of-k-1
+    # state as the failed attempt and overwrites the partial outputs it
+    # left behind — exact-once state evolution under at-least-once
+    # batch execution, with the step number derived from the
+    # CHECKPOINTED batch_id rather than a side-channel counter.
     evens = base.filter(F.col("doc_id") % 2 == 0)
     de = enrich(evens)
     adm_e, _ = _grid_budget_admitted(de.drop("text"), 0.3)
@@ -3760,12 +3770,25 @@ def _run_streaming_admission(
         F.coalesce(F.col("c_tok"), F.lit(0).cast("long")).alias("c_tok"),
     ).write.parquet(p("ledger_v0"))
     evens.select(F.md5("text").alias("__h")).distinct().write.parquet(
-        p("md5")
+        p(_os.path.join("md5", "b0"))
     )
-    evens.write.parquet(p("index"))
+    evens.write.parquet(p(_os.path.join("index", "b0")))
     de.groupBy("source").agg(
         F.sum("n_tok").cast("long").alias("tok")
-    ).write.parquet(p("pie"))
+    ).write.parquet(p(_os.path.join("pie", "b0")))
+
+    def state_versions(name: str, k: int) -> list[str]:
+        """The state surface as of step k-1: version dirs b0..b{k-1}.
+        Enumerating EXACTLY this range (not a recursive listing) is
+        what excludes a failed attempt's own partial b{k} delta on
+        replay. Empty arrival batches write no delta (they also add no
+        manifest rows), so missing intermediate versions are skipped."""
+        out = [
+            p(_os.path.join(name, f"b{j}"))
+            for j in range(k)
+            if _os.path.isdir(p(_os.path.join(name, f"b{j}")))
+        ]
+        return out
 
     # ---- the incoming stream: one file per arrival batch ------------
     incoming = (
@@ -3792,7 +3815,6 @@ def _run_streaming_admission(
 
     manifest = p("manifest")
     _os.makedirs(manifest)
-    step_file = p("step.txt")
 
     def row(df: DataFrame, name: str) -> DataFrame:
         return df.agg(
@@ -3800,26 +3822,27 @@ def _run_streaming_admission(
             F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias("n_tokens"),
         ).select(F.lit(name).alias("stage"), "n_docs", "n_tokens")
 
-    def handle(batch_df: DataFrame, _batch_id: int) -> None:
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
         raw = batch_df.drop("__b").localCheckpoint(eager=True)
         if raw.isEmpty():
             return
-        k = 1
-        if _os.path.exists(step_file):
-            with open(step_file) as fh:
-                k = int(fh.read()) + 1
+        # the step IS the checkpointed batch id: one staged file per
+        # micro-batch (maxFilesPerTrigger=1), ids monotonic within the
+        # checkpoint across restarts — a replayed batch re-derives the
+        # same k instead of double-incrementing a side-channel counter
+        k = int(batch_id) + 1
         dq = enrich(raw).localCheckpoint(eager=True)
 
-        # exact dedup against the standing md5 set
+        # exact dedup against the standing md5 set (versions 0..k-1)
         s1 = (
             dq.withColumn("__h", F.md5("text"))
-            .join(spark.read.parquet(p("md5")), "__h", "left_anti")
+            .join(spark.read.parquet(*state_versions("md5", k)), "__h", "left_anti")
             .drop("__h")
             .localCheckpoint(eager=True)
         )
         # LSH probe against the standing band index
         nd = minhash_incremental_pairs(
-            spark.read.parquet(p("index")),
+            spark.read.parquet(*state_versions("index", k)),
             raw.join(s1.select("doc_id"), "doc_id", "left_semi"),
             "doc_id",
             "text",
@@ -3837,7 +3860,7 @@ def _run_streaming_admission(
         # the budget pie grows by this batch's dedup survivors; the
         # ledger holds what previous steps consumed
         tot = (
-            spark.read.parquet(p("pie"))
+            spark.read.parquet(*state_versions("pie", k))
             .unionByName(
                 s2.groupBy("source").agg(
                     F.sum("n_tok").cast("long").alias("tok")
@@ -3877,18 +3900,24 @@ def _run_streaming_admission(
                     "plant_exact_rejected",
                 )
             )
-        out.coalesce(1).write.mode("append").parquet(manifest)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(manifest, f"b{k}")
+        )
 
-        # ---- evolve the standing state (appends + versioned ledger) --
+        # ---- evolve the standing state: every surface writes ONLY its
+        # own version directory, mode overwrite — a replayed batch
+        # rewrites the same deltas instead of double-appending ----
         raw.join(adm.select("doc_id"), "doc_id", "left_semi").select(
             F.md5("text").alias("__h")
-        ).distinct().write.mode("append").parquet(p("md5"))
+        ).distinct().write.mode("overwrite").parquet(
+            p(_os.path.join("md5", f"b{k}"))
+        )
         raw.join(adm.select("doc_id"), "doc_id", "left_semi").write.mode(
-            "append"
-        ).parquet(p("index"))
+            "overwrite"
+        ).parquet(p(_os.path.join("index", f"b{k}")))
         s2.groupBy("source").agg(
             F.sum("n_tok").cast("long").alias("tok")
-        ).write.mode("append").parquet(p("pie"))
+        ).write.mode("overwrite").parquet(p(_os.path.join("pie", f"b{k}")))
         ledger.join(
             adm.groupBy("source").agg(
                 F.sum("n_tok").cast("long").alias("__a")
@@ -3901,15 +3930,22 @@ def _run_streaming_admission(
                 F.col("c_tok")
                 + F.coalesce(F.col("__a"), F.lit(0).cast("long"))
             ).alias("c_tok"),
-        ).write.parquet(p(f"ledger_v{k}"))
+        ).write.mode("overwrite").parquet(p(f"ledger_v{k}"))
         remb.write.mode("overwrite").parquet(p("rem_last"))
-        with open(step_file, "w") as fh:
-            fh.write(str(k))
+
+    def handle_maybe_replayed(batch_df: DataFrame, batch_id: int) -> None:
+        handle(batch_df, batch_id)
+        if replay_batches:
+            # test hook: re-execute the batch with the SAME checkpointed
+            # id — the at-least-once shape a mid-batch failure produces.
+            # Idempotent state evolution means the second run reads the
+            # same as-of-k-1 versions and overwrites the same deltas.
+            handle(batch_df, batch_id)
 
     def _drain_once() -> None:
         q = (
             _stream(spark, p("in"))
-            .writeStream.foreachBatch(handle)
+            .writeStream.foreachBatch(handle_maybe_replayed)
             .option("checkpointLocation", p("_chk"))
             .trigger(availableNow=True)
             .start()
@@ -3933,8 +3969,11 @@ def _run_streaming_admission(
         else:
             _drain_once()
 
-    with open(step_file) as fh:
-        k_final = int(fh.read())
+    k_final = max(
+        int(d[len("ledger_v"):])
+        for d in _os.listdir(work)
+        if d.startswith("ledger_v")
+    )
     led = spark.read.parquet(p(f"ledger_v{k_final}")).select(
         F.concat(F.lit("led_"), F.col("source")).alias("stage"),
         F.lit(0).cast("long").alias("n_docs"),
@@ -3945,7 +3984,12 @@ def _run_streaming_admission(
         F.lit(0).cast("long").alias("n_docs"),
         F.col("budget_tokens").alias("n_tokens"),
     )
-    return spark.read.parquet(manifest).unionByName(led).unionByName(rem)
+    batch_manifests = sorted(
+        _os.path.join(manifest, d) for d in _os.listdir(manifest)
+    )
+    return (
+        spark.read.parquet(*batch_manifests).unionByName(led).unionByName(rem)
+    )
 
 
 @register(
@@ -3978,7 +4022,10 @@ def streaming_admission_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest must still reproduce the one-shot full-replay oracle
     bit-for-bit — the deploy/restart shape of the operational ingest,
     gated the same way the r8 checkpoint-restart proofs gate the
-    counter streams."""
+    counter streams. State evolution is also idempotent under
+    MID-BATCH re-execution (step = checkpointed batch_id; per-batch
+    versioned overwrites — see _run_streaming_admission), proven by
+    tests/test_streaming_admission.py's double-invocation replay."""
     return _run_streaming_admission(spark, sf_dir, 2, staged_restart=True)
 
 

@@ -249,9 +249,10 @@ def events_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "platform_id",
             "log_user_id",
             F.col("n_events").cast("long").alias("n_events"),
-            F.floor(F.col("n_events") * 10000 / F.col("total"))
-            .cast("long")
-            .alias("share_bp"),
+            # integer division end-to-end: double-precision floor(a*1e4/b)
+            # can round an exact-boundary quotient UP at 100 TB counts
+            # (53-bit mantissa), flipping a basis point vs the oracle
+            F.expr("n_events * 10000 DIV total").cast("long").alias("share_bp"),
             (F.col("n_events") * 100 > F.col("total"))
             .cast("long")
             .alias("is_hot"),
@@ -357,8 +358,7 @@ def streaming_hot_key_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "platform_id",
             "log_user_id",
             F.col("n_events").cast("long").alias("n_events"),
-            F.floor(F.col("n_events") * 10000 / F.col("total"))
-            .cast("long")
-            .alias("share_bp"),
+            # exact integer division (see events_hot_key_report)
+            F.expr("n_events * 10000 DIV total").cast("long").alias("share_bp"),
         )
     )

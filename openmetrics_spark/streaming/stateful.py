@@ -11,6 +11,14 @@ reference implements them as keyed ProcessFunctions with RocksDB state
   the ``protobuf`` Python package at runtime; ``HAS_TWS`` gates it so
   environments without protobuf fall back to the GroupState path.
 
+EXPERIMENTAL: the seven ``tws_*`` twins share their decision cores
+with the verified GroupState operators (the cores are property-tested
+independently), but the TWS-specific plumbing — ListState/MapState
+round-trips, registerTimer/deleteTimer, pandas dtype handling — has
+never executed in an environment with protobuf; the parity tests in
+tests/test_streaming_tws.py skip until one is available. Treat the
+``tws_*`` entry points as unverified until those tests run green.
+
 The reference mandates RocksDB for the same class of ops
 (common/functions/TemporalJoinFunction.java:77-87); on Spark set
 ``spark.sql.streaming.stateStore.providerClass`` to RocksDB for

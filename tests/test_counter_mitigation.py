@@ -1,0 +1,79 @@
+"""The hot-key detector wired to its mitigation (r11 verdict #2).
+
+Three gates:
+- the mitigated counter job equals the unmitigated one row-for-row
+  (routing is a physical-plan decision, never a semantic one);
+- the detector actually flags the planted heavy hitter and nothing
+  uniform (non-vacuous routing);
+- with every key routed, the Last* plan contains the broadcast anchor
+  join (the two-phase branch) — the hot path never ships a full row
+  of a hot key to a single sorting reducer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_mitigated_counter_equals_unmitigated(spark, sf_dir):
+    from openmetrics_spark.queries.counter_q import (
+        counter_commands_skewed,
+        counter_commands_skewed_mitigated,
+    )
+
+    got = _rows(counter_commands_skewed_mitigated(spark, sf_dir))
+    want = _rows(counter_commands_skewed(spark, sf_dir))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_detector_flags_exactly_the_planted_content(spark, sf_dir):
+    from openmetrics_spark.operators.scale import detect_hot_keys
+    from openmetrics_spark.queries.counter_q import _flat_and_luu
+
+    flat, _ = _flat_and_luu(spark, sf_dir, skew=True)
+    flagged = [
+        r.content_id
+        for r in detect_hot_keys(
+            flat, ["content_id"], threshold_bp=1000, top_n=20
+        ).collect()
+    ]
+    # 'chot' carries ~50% of the stream; every uniform content ~5%
+    assert flagged == ["chot"]
+
+
+def test_routed_last_pass_uses_broadcast_two_phase(spark):
+    """Route EVERYTHING (flag all platforms on a platform_id route —
+    platform_id is in every Last* family key) and assert the physical
+    plan gained the broadcast anchor join (the two-phase hot branch;
+    the cold branch still plans its Window over an empty filter), while
+    the output stays identical to the window form."""
+    from openmetrics_spark.jobs.counter import unified_last_commands
+
+    rows = [
+        (0, "u1", "c1", "q1", 32, i * 1000) for i in range(50)
+    ] + [(1, "u2", "c2", "q2", 64, i * 7000) for i in range(20)]
+    flat = spark.createDataFrame(
+        rows,
+        "platform_id INT, user_id STRING, content_id STRING, "
+        "query_hex STRING, agg_metric LONG, ms LONG",
+    ).withColumn("ts", F.timestamp_millis("ms")).withColumn(
+        "log_user_id", F.col("user_id")
+    )
+    hot = spark.createDataFrame([(0,), (1,)], "platform_id INT")
+    routed = unified_last_commands(
+        flat, hot_keys=hot, route_cols=("platform_id",)
+    )
+    plain = unified_last_commands(flat)
+    assert _rows(routed) == _rows(plain)
+
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    # the cold branch is empty-by-construction here but still planned;
+    # the HOT branch must be the broadcast-join two-phase form
+    assert "BroadcastHashJoin" in plan
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plain_plan  # the single-path form windows

@@ -42,3 +42,22 @@ def test_streaming_admission_restart_equals_one_shot(spark, sf_dir):
     got = _rows(streaming_admission_restart(spark, sf_dir))
     want = _rows(corpus_two_batch_ledger(spark, sf_dir))
     assert got == want
+
+
+def test_streaming_admission_replayed_batches_idempotent(spark, sf_dir):
+    """Every micro-batch re-executed with the SAME checkpointed batch_id
+    (the at-least-once shape a mid-batch failure produces) must leave
+    the manifest and all standing state bit-identical: the step derives
+    from batch_id and every state surface is a per-batch versioned
+    overwrite, so the replay reads the same as-of-k-1 state and
+    rewrites the same deltas."""
+    from openmetrics_spark.queries.docs_q import (
+        _run_streaming_admission,
+        corpus_two_batch_ledger,
+    )
+
+    got = _rows(
+        _run_streaming_admission(spark, sf_dir, n_batches=2, replay_batches=True)
+    )
+    want = _rows(corpus_two_batch_ledger(spark, sf_dir))
+    assert got == want

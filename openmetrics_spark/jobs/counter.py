@@ -475,7 +475,16 @@ def unified_last_commands(
     paths would corrupt the anchor). Cold keys keep the single-pass
     window plan. Output is bit-identical either way (exact integer
     aggregates) — gated by counter_commands_skewed_mitigated
-    hash-matching counter_commands_skewed's oracle."""
+    hash-matching counter_commands_skewed's oracle.
+
+    Measured regimes (scripts/probe_hot_last.py, sf0.1, 55% skew,
+    docs/SCALE.md): with the monster group at ~27k rows the WINDOW
+    form wins 2.33x (its serial sort is sub-second; routing pays two
+    extra fully-parallel scans of the hot subset) — at ~3.3M rows the
+    ROUTED form wins 0.67x and the gap widens linearly with group
+    size, because the window's single-task sort grows while every
+    routed stage stays parallel. This is why the mitigation is
+    detector-GATED (high share threshold) rather than always-on."""
     from pyspark.sql import Window
 
     routable: set[int] = set()

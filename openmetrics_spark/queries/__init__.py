@@ -80,104 +80,86 @@ DRIVER_WINDOW = 50
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND 11 WINDOW (r10 verdict #1/#2/#4/#6/#7). Composition:
-    # (a) corpus_quality_drift — the one query without a driver row
-    # (landed after the r10 freeze), leading exactly as promised;
-    # (b) the three r9-green anchors that ceded r10 slots
-    # (multimodal_av_features, keep_first_dedup, gated_query_counts);
-    # (c) the r11 additions — the planted-hot-key skew pair over both
-    # 22-stage BFJ manifests (verdict #1), the heavy-hitter counter
-    # fan-out (#6), the foreachBatch streaming admission (#4), the
-    # windowed streaming drift monitor (#7) — plus every query whose
-    # code changed this round: both uniform BFJ manifests (skew knob
-    # threaded through _events/_tail_stages), the production-TTL pair
-    # (stream_inferred_join gained the indexed candidate lookup and the
-    # shared _decide_ready core);
-    # R12 QUEUE HEAD: streaming_admission_restart,
-    # streaming_ttl_inferred_join_skewed, events_hot_key_report and
-    # streaming_hot_key_report (all landed after this window froze and
-    # its 50/50 rehearsal; green in the local driver-strict checks at
-    # both SFs) lead the r12 rotation, followed by the 15 deferred r7
-    # rows below.
-    # (d) 34 of the 49 r7-stale rows (every one the rotation machinery
-    # owes a refresh). The 15 r7 rows left for the R12 QUEUE each keep
-    # an in-window family sibling watching their operator:
-    # user_scd2_intervals (ceded its slot to the late-landing
-    # streaming_corpus_admission_n4; events_scd2_enrich + the r10-green
-    # cohort_membership_intervals watch the SCD2 family),
-    # corpus_vocab_topk + upsert_time_travel (ceded to the two
-    # TWS-core-extraction re-gates; corpus_upsample_balanced and the
-    # r10-green upsert rows watch those families) plus:
-    # approx_distinct_buyers_hll (customers twin in), ann_filtered_topk
-    # (brute/PQ in), corpus_prep_manifest_v2 (v3 in), events_profile +
-    # events_zorder_layout + props_json_metrics (events family in),
-    # top_event_types (streaming twin r10-green), topk_parts_per_brand
-    # (TPC-H shapes in), bloom_customer_prefilter (streaming_bloom_
-    # ingest in), decayed_user_counts (streaming twin in),
-    # doc_bigram_logprob (doc text family in), hll_merge_monthly_
-    # sketches (HLL family in). After this window the stale tail is
-    # those 12 rows — r12 clears them.
+    # ROUND 12 WINDOW (r11 verdict #1/#2/#4). Clears the ENTIRE
+    # rotation backlog: after this window every registered query's
+    # newest driver row is r8 or newer and no query is never-gated.
+    # Composition:
+    # (a) the 6 never-gated rows: the 4 promised the queue head by the
+    # r11 window comment (streaming_admission_restart,
+    # streaming_ttl_inferred_join_skewed, both hot-key reports) plus
+    # the two NEW r12 gates — the detector-wired hot-key mitigation
+    # twin (verdict #2) and the full-chain streaming BFJ restart
+    # (verdict #4);
+    # (b) all 15 r7-stale rows named in the r11 queue, name-for-name —
+    # this empties the r7 tail;
+    # (c) every query whose code changed in r12: the admission loop
+    # (idempotent batch replay — step from checkpointed batch_id,
+    # versioned-overwrite state), the counter job (unified_last_
+    # commands grew the routed two-phase path; full/weekly/skewed all
+    # plan through it), and both streaming BFJ manifests (the drain
+    # call sites went restart-aware);
+    # (d) 22 of the 48 r8-stale rows as family anchors — the oldest
+    # remaining tail, chosen to keep every SURVEY §2 family watched
+    # (flat ops, raw ingest/splitter, sinks, sliding/daily counters,
+    # streaming keep-first/LTC/cumulate, the five BFJ stage rows,
+    # multimodal, text stats, near-dup, ANN, upsert). The 26 r8 rows
+    # still deferred lead the R13 QUEUE (they are the whole remaining
+    # stale tail; every one keeps an in-window family sibling).
     # =====================================================================
-    # --- (a) never driver-gated, promised the queue head
-    "corpus_quality_drift",
-    # --- (b) the three anchors that ceded r10 slots
-    "multimodal_av_features",
-    "keep_first_dedup",
-    "gated_query_counts",
-    # --- (c) r11 additions + r11-modified code
-    "bfj_pipeline_manifest_skewed",
-    "streaming_bfj_pipeline_skewed",
-    "counter_commands_skewed",
+    # --- (a) never driver-gated: r11 queue head + the two r12 gates
+    "streaming_admission_restart",
+    "streaming_ttl_inferred_join_skewed",
+    "events_hot_key_report",
+    "streaming_hot_key_report",
+    "counter_commands_skewed_mitigated",
+    "streaming_bfj_pipeline_restart",
+    # --- (b) the 15 r7-stale rows (empties the r7 tail)
+    "user_scd2_intervals",
+    "corpus_vocab_topk",
+    "upsert_time_travel",
+    "approx_distinct_buyers_hll",
+    "ann_filtered_topk",
+    "corpus_prep_manifest_v2",
+    "events_profile",
+    "events_zorder_layout",
+    "props_json_metrics",
+    "top_event_types",
+    "topk_parts_per_brand",
+    "bloom_customer_prefilter",
+    "decayed_user_counts",
+    "doc_bigram_logprob",
+    "hll_merge_monthly_sketches",
+    # --- (c) r12-modified code consumers
     "streaming_corpus_admission",
     "streaming_corpus_admission_n4",
-    "streaming_quality_drift",
-    "bfj_pipeline_manifest",
-    "streaming_bfj_pipeline",
-    "streaming_ttl_inferred_join",
-    "streaming_ttl_late_channel",
-    # (the TWS-core extraction touched the cumulate/combine/redundant/
-    # ALI GroupState paths; their two consumers not already in-window
-    # re-enter here, displacing corpus_vocab_topk + upsert_time_travel
-    # to the r12 queue — corpus_upsample_balanced and the r10-green
-    # upsert_mor_snapshot / upsert_incremental_pull watch those
-    # families meanwhile)
-    "streaming_cumulate_hourly",
-    "cumulated_metrics_envelope",
-    # --- (d) 37 of the 49 r7-stale rows (r12 queue documented above)
     "counter_commands_full",
     "counter_commands_weekly",
-    "inferred_view_attribution",
-    "streaming_counter_commands",
-    "streaming_latest_impressions",
-    "sliding_hourly_counter",
-    "counter_backfill_gate",
-    "ann_brute_topk",
-    "ann_pq_adc_topk",
-    "approx_distinct_customers_hll",
-    "approx_heavy_hitters_cms",
-    "approx_value_percentiles",
-    "bfj_combined_delivery_logs",
-    "bfj_joined_actions",
-    "content_lookup_enrich",
-    "corpus_leakage_safe_split",
-    "corpus_prep_manifest_v3",
-    "corpus_upsample_balanced",
-    "doc_dedup_spans_rewrite",
-    "doc_quality_train",
-    "embedding_pq_codes",
-    "events_scd2_enrich",
-    "latest_impressions_negatives",
-    "purchase_attribution_ushape",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "streaming_approx_distinct",
-    "streaming_bloom_ingest",
-    "streaming_decayed_counts",
-    "streaming_heavy_hitters",
-    "streaming_minhash_ingest",
-    "streaming_value_percentiles",
-    "supplier_pagerank",
+    "counter_commands_skewed",
+    "streaming_bfj_pipeline",
+    "streaming_bfj_pipeline_skewed",
+    # --- (d) 22 r8-stale family anchors
+    "flat_ops_gates",
+    "streaming_raw_ingest",
+    "raw_split_archive",
+    "csv_sink_roundtrip",
+    "upsert_two_batches",
+    "sliding_daily_counter",
+    "streaming_sliding_counter",
+    "streaming_keep_first",
+    "streaming_last_time_and_count",
+    "cumulate_hourly",
+    "streaming_hourly_content_metrics",
+    "bfj_joined_impressions",
+    "bfj_tiny_actions",
+    "bfj_redundant_remap",
+    "bfj_flat_sessions",
+    "bfj_join_side_outputs",
+    "multimodal_resize_stats",
+    "doc_token_stats",
+    "doc_lang_guess",
+    "doc_fingerprint",
+    "simhash_neardup",
+    "ann_ivf_topk",
 )
 
 

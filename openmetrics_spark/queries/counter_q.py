@@ -413,10 +413,13 @@ def counter_commands_skewed_mitigated(
     hash-match the SAME oracle as the unmitigated skewed row: routing
     is a pure physical-plan decision. The sliding families stay
     unrouted by design (hash aggregates partial-aggregate map-side at
-    any skew). The harsher-skew wall probe (one user at 50%+, where
-    the window form's single-reducer sort actually bites) is in
-    docs/SCALE.md; tests/test_counter_mitigation.py pins equality and
-    the plan shape."""
+    any skew). The harsher-skew wall probe (55% of the stream on one
+    (platform, user, content) identity, where the window form's
+    single-task sort actually bites: routed 0.67x at a ~3.3M-row
+    monster group, window 2.33x faster at ~27k — the two regimes that
+    justify detector gating) is in docs/SCALE.md;
+    tests/test_counter_mitigation.py pins equality and the plan
+    shape."""
     from openmetrics_spark.operators.scale import detect_hot_keys
 
     flat, luu = _flat_and_luu(spark, sf_dir, skew=True)

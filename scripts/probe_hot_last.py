@@ -16,9 +16,16 @@ detect_hot_keys -> two-phase routing winning there, while the gated
 changes a byte of output.
 
 Events are replicated ``xfactor`` ways with ms jitter so the monster
-group is large enough for the serial sort to dominate scheduling
-noise. Median of 3 per variant, caches cleared between shots; outputs
-verified equal (count + order-free xxhash64 sum) on every shot.
+group reaches MILLIONS of rows — sf0.1 events are only 100k rows, and
+a sub-second single-task sort hides behind the routing's two extra
+(fully parallel) scans: the first probe run at xfactor 6 (monster
+~27k rows/group) measured the WINDOW form 2.33x FASTER, which is the
+honest small-scale answer and exactly why the mitigation is detector-
+GATED rather than always-on. The hot identity maps to one platform
+and one metric so the hot stream is ONE window partition per content
+family. Median of 3 per variant, caches cleared between shots;
+outputs verified equal (count + order-free xxhash64 digest) on every
+shot.
 
 Usage: python scripts/probe_hot_last.py [SF_DIR] [XFACTOR]
 """
@@ -39,7 +46,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if len(sys.argv) > 1:
         sf_dir = sys.argv[1]
-    xfactor = int(sys.argv[2]) if len(sys.argv) > 2 else 6
+    xfactor = int(sys.argv[2]) if len(sys.argv) > 2 else 60
 
     from pyspark.sql import functions as F
 
@@ -64,13 +71,16 @@ def main() -> int:
     ).withColumn(
         "ts", F.timestamp_millis(F.unix_millis("ts") + F.col("__r") * 7)
     )
-    # 55% of the stream on ONE (platform, user, content) identity;
-    # queries stay diverse so only the two content-bearing families
-    # hold monster groups — exactly the families a content_id route
-    # covers
+    # 55% of the stream on ONE (platform, user, content) identity with
+    # a single metric, so the hot stream is ONE window partition per
+    # content-bearing family; queries stay diverse so only the two
+    # content families hold monster groups — exactly the families a
+    # content_id route covers
     hot = (F.col("user_id") % 20) < 11
     flat = ev.select(
-        (F.col("user_id") % 4).alias("platform_id"),
+        F.when(hot, F.lit(0))
+        .otherwise(F.col("user_id") % 4)
+        .alias("platform_id"),
         F.when(hot, F.lit("ubot"))
         .otherwise(F.concat(F.lit("u"), F.col("user_id")))
         .alias("user_id"),
@@ -81,11 +91,7 @@ def main() -> int:
         .otherwise(F.concat(F.lit("c"), (F.col("__k") % 10)))
         .alias("content_id"),
         F.concat(F.lit("q"), F.col("__k")).alias("query_hex"),
-        F.when(F.col("event_type") == "view", 32)
-        .when(F.col("event_type") == "click", 64)
-        .otherwise(96)
-        .cast("long")
-        .alias("agg_metric"),
+        F.lit(32).cast("long").alias("agg_metric"),
         "ts",
     ).localCheckpoint(eager=True)
 
@@ -95,9 +101,10 @@ def main() -> int:
     print("flagged:", [r.content_id for r in flagged.collect()])
 
     def digest(df):
+        # bit_xor: order-free and overflow-free under ANSI mode
         return df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(
+            F.bit_xor(
                 F.xxhash64("command", "key", "field", "value", "ttl_s")
             ).alias("h"),
         ).first()

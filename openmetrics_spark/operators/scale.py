@@ -66,8 +66,12 @@ def detect_hot_keys(
     top_n: int = 20,
 ) -> DataFrame:
     """The hot-key detector as a ROUTING pre-stage: the top-``top_n``
-    key tuples whose share of ``df`` exceeds ``threshold_bp`` basis
-    points (exact integer arithmetic, same as events_hot_key_report).
+    key tuples whose share of ``df`` is AT LEAST ``threshold_bp``
+    basis points (``floor(share_bp) >= threshold``, exact integer
+    arithmetic — same share formula as events_hot_key_report, whose
+    ``is_hot`` alert uses the strict ``share > 1%`` form; routing is
+    deliberately inclusive at the boundary because routing a
+    borderline key is plan-only while missing one is a stall).
     Returns a DataFrame of just the flagged key columns — bounded by
     ``top_n`` rows by construction, so the caller broadcasts it and
     routes the flagged keys' work to a skew-safe path (the reference's

@@ -3703,6 +3703,7 @@ def _run_streaming_admission(
     n_batches: int,
     staged_restart: bool = False,
     replay_batches: bool = False,
+    insert_empty_batch: bool = False,
 ) -> DataFrame:
     """The foreachBatch admission loop over ``n_batches`` staged
     arrivals (see block comment). The handler is N-agnostic — it
@@ -3790,6 +3791,20 @@ def _run_streaming_admission(
         ]
         return out
 
+    def ledger_as_of(k: int) -> DataFrame:
+        """The newest ledger version <= k-1. An EMPTY micro-batch
+        consumes a batch_id but changes no state (and writes no ledger
+        version), so the ledger chain may have gaps under batch_id
+        numbering — the newest surviving version IS the as-of-k-1
+        state. Scanning down from k-1 (never k) also keeps replay
+        exclusion exact: a failed attempt's own partial ledger_v{k}
+        is never read back."""
+        for j in range(k - 1, -1, -1):
+            path = p(f"ledger_v{j}")
+            if _os.path.isdir(path):
+                return spark.read.parquet(path)
+        raise FileNotFoundError(f"no ledger version <= {k - 1} under {work}")
+
     # ---- the incoming stream: one file per arrival batch ------------
     incoming = (
         alldocs.filter(
@@ -3811,7 +3826,21 @@ def _run_streaming_admission(
     # the source offsets and the persisted standing state must both
     # survive a process boundary (the operational deploy/restart shape)
     stage_dir = p("in_hold") if staged_restart else p("in")
-    _restage(spark, incoming, stage_dir, "__b", list(range(1, n_batches)))
+    boundaries = list(range(1, n_batches))
+    if insert_empty_batch:
+        # test hook: push the second arrival to slice 2, leaving slice
+        # 1 as an aligned 0-row file — an EMPTY micro-batch that
+        # consumes a batch_id but evolves no state. Exercises the
+        # ledger_as_of gap walk (batch 3 must read ledger_v1, since
+        # ledger_v2 was never written).
+        incoming = incoming.withColumn(
+            "__b",
+            F.when(F.col("__b") == 1, F.lit(2).cast("long")).otherwise(
+                F.col("__b")
+            ),
+        )
+        boundaries = [1, 2]
+    _restage(spark, incoming, stage_dir, "__b", boundaries)
 
     manifest = p("manifest")
     _os.makedirs(manifest)
@@ -3869,7 +3898,7 @@ def _run_streaming_admission(
             .groupBy("source")
             .agg(F.sum("tok").cast("long").alias("pie"))
         )
-        ledger = spark.read.parquet(p(f"ledger_v{k - 1}"))
+        ledger = ledger_as_of(k)
         remb = (
             tot.join(ledger, "source", "left")
             .select(

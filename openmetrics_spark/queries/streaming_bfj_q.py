@@ -838,6 +838,8 @@ def streaming_bfj_pipeline_skewed(
         for q in parts[1:]:
             out = out.unionByName(q)
         return out.localCheckpoint(eager=True)
+
+
 @register(
     "streaming_bfj_pipeline_restart",
     oracle=_PIPELINE_ORACLE,

@@ -61,3 +61,25 @@ def test_streaming_admission_replayed_batches_idempotent(spark, sf_dir):
     )
     want = _rows(corpus_two_batch_ledger(spark, sf_dir))
     assert got == want
+
+
+def test_streaming_admission_survives_empty_batch(spark, sf_dir):
+    """An EMPTY micro-batch consumes a batch_id but evolves no state
+    and writes no ledger version — the next batch must walk past the
+    gap (ledger_as_of) instead of crashing on a hard-coded
+    ledger_v{k-1} read. Content must equal the gapless two-batch
+    replay; only the step numbering shifts (the second real arrival
+    runs as batch id 2, so its manifest rows are b3_*)."""
+    from openmetrics_spark.queries.docs_q import (
+        _run_streaming_admission,
+        corpus_two_batch_ledger,
+    )
+
+    got = _rows(
+        _run_streaming_admission(
+            spark, sf_dir, n_batches=2, insert_empty_batch=True
+        )
+    )
+    got = [(s.replace("b3_", "b2_"), n, t) for s, n, t in got]
+    want = _rows(corpus_two_batch_ledger(spark, sf_dir))
+    assert sorted(got) == sorted(want)

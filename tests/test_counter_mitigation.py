@@ -46,6 +46,57 @@ def test_detector_flags_exactly_the_planted_content(spark, sf_dir):
     assert flagged == ["chot"]
 
 
+def test_routing_equality_randomized(spark):
+    """Seeded random frames x random route axes x random thresholds:
+    the routed Last* pass must equal the window form row-for-row in
+    every configuration — flag-everything (threshold 0, capped top_n),
+    flag-nothing (threshold above any share), partial flags, and axes
+    that tie-break ((platform_id) routes all families, (query_hex)
+    only the two query families, (content_id) only the two content
+    families)."""
+    import random
+
+    from openmetrics_spark.jobs.counter import unified_last_commands
+    from openmetrics_spark.operators.scale import detect_hot_keys
+
+    cases = [
+        (0, ("content_id",), 0),
+        (1, ("content_id",), 2000),
+        (2, ("user_id",), 1500),
+        (3, ("platform_id",), 2500),
+        (4, ("query_hex",), 999999),
+    ]
+    for seed, route_cols, threshold in cases:
+        rng = random.Random(seed)
+        rows = [
+            (
+                rng.randrange(3),
+                f"u{rng.randrange(6)}",
+                # skewed content draw so some thresholds flag a subset
+                f"c{min(rng.randrange(8), rng.randrange(8))}",
+                f"q{rng.randrange(6)}",
+                rng.choice([32, 64]),
+                rng.randrange(1_000_000),
+            )
+            for _ in range(150)
+        ]
+        flat = spark.createDataFrame(
+            rows,
+            "platform_id INT, user_id STRING, content_id STRING, "
+            "query_hex STRING, agg_metric LONG, ms LONG",
+        ).withColumn("ts", F.timestamp_millis("ms")).withColumn(
+            "log_user_id", F.col("user_id")
+        )
+        flagged = detect_hot_keys(
+            flat, list(route_cols), threshold_bp=threshold, top_n=3
+        )
+        routed = unified_last_commands(
+            flat, hot_keys=flagged, route_cols=route_cols
+        )
+        plain = unified_last_commands(flat)
+        assert _rows(routed) == _rows(plain), (seed, route_cols, threshold)
+
+
 def test_routed_last_pass_uses_broadcast_two_phase(spark):
     """Route EVERYTHING (flag all platforms on a platform_id route —
     platform_id is in every Last* family key) and assert the physical

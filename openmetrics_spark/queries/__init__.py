@@ -102,9 +102,20 @@ _WINDOW_PRIORITY: tuple[str, ...] = (
     # remaining tail, chosen to keep every SURVEY §2 family watched
     # (flat ops, raw ingest/splitter, sinks, sliding/daily counters,
     # streaming keep-first/LTC/cumulate, the five BFJ stage rows,
-    # multimodal, text stats, near-dup, ANN, upsert). The 26 r8 rows
-    # still deferred lead the R13 QUEUE (they are the whole remaining
-    # stale tail; every one keeps an in-window family sibling).
+    # multimodal, text stats, near-dup, ANN, upsert).
+    # R13 QUEUE (the 26 deferred r8 rows — the WHOLE remaining stale
+    # tail, name-for-name; every one keeps an in-window family
+    # sibling): corpus_prep_manifest, embedding_neardup, ann_lsh_topk,
+    # embedding_quantize, embedding_dedup_clusters,
+    # dedup_cluster_size_histogram, value_percentiles_by_type,
+    # daily_type_pivot, value_histogram, user_retention_cohorts,
+    # funnel_conversion, hourly_anomaly_zscore, orders_rfm_segments,
+    # orders_rfm_ntile_spec, session_rollup_30m, interval_click_counts,
+    # pick_best_15m, daily_event_metrics, streaming_interval_join,
+    # value_stats_winsorized, cohort_experiment_report,
+    # q5_local_supplier_volume, q12_priority_lines, q14_promo_effect,
+    # corpus_distinct_ngrams, doc_quality_train_eval. 26 < 50, so r13
+    # clears the entire tail with ~24 slots left for new work.
     # =====================================================================
     # --- (a) never driver-gated: r11 queue head + the two r12 gates
     "streaming_admission_restart",

@@ -88,6 +88,26 @@ def exploded_shingles(
     ).select("doc", _hash_expr(F.col("g")).alias("s"))
 
 
+def exploded_shingles_from_tok(
+    docs: DataFrame, id_col: str, tok_col: str, n: int = 3
+) -> DataFrame:
+    """:func:`exploded_shingles` for frames that already carry the
+    token array — identical output (same gram join, same distinct,
+    same post-explode hash) without re-running the tokenize regex,
+    which is the dominant projection cost wherever a pipeline has
+    already tokenized the corpus once (the curation manifests' pinned
+    ``t``)."""
+    tok = F.col(tok_col)
+    idx = F.when(
+        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
+    return docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(grams)).alias("g"),
+    ).select("doc", _hash_expr(F.col("g")).alias("s"))
+
+
 def minhash_signature(shingle_col: Column, k: int, seed: int = 7) -> Column:
     """Array of k min-hash values (null-safe: empty shingle set → all
     MINHASH_EMPTY sentinels). Pure column expressions over a shingle

@@ -1098,7 +1098,10 @@ WHERE {_manifest_sample_gate_sql()}
 
 
 def _manifest_survivors(
-    spark: SparkSession, sf_dir: str, t: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    t: DataFrame | None = None,
+    sample_gated: bool = False,
 ) -> DataFrame:
     """Spark twin of the oracle's ``surv`` CTE — stages 1-5 of the
     curation chain (quality/language gating, benchmark exclusion,
@@ -1106,7 +1109,18 @@ def _manifest_survivors(
     shared by the v2/v3 manifests. Returns the chain survivors with
     (doc_id, text, lang, tok, n_tokens, quality). Pass a (pinned)
     pre-tokenized ``t`` (doc_id, text, lang, tok) to share the corpus
-    tokenize scan with other stages (v3 reuses it for the NB fit)."""
+    tokenize scan with other stages (v3 reuses it for the NB fit).
+
+    ``sample_gated=True`` applies the deterministic per-doc sample
+    gate BEFORE the decontamination stage and returns only GATED
+    survivors (r12 optimization, guide §1.2: don't compute things you
+    throw away). Output-equivalent for consumers that apply the same
+    gate afterwards: the gate is a pure per-doc hash predicate and
+    contamination is decided per doc against the (ungated) benchmark
+    shingle set, so gate(k3 \\ contaminated) == gate(k3) \\
+    contaminated(gate(k3)) — only ~35% of docs pay the 5-gram explode
+    and contamination join. v3 CANNOT use this: its span-dup detection
+    must see the full survivor set."""
     from openmetrics_spark.llm.dedup import (
         connected_components,
         ngram_jaccard_pairs,
@@ -1161,20 +1175,32 @@ def _manifest_survivors(
     # bypasses AQE's size check and dies at the broadcast ceiling).
     # AQE still picks broadcast at any SF where it actually fits.
     k3 = k2.join(near_drop, "doc_id", "left_anti")
+    if sample_gated:
+        # per-doc hash gate BEFORE decontam: contamination is decided
+        # per doc, so un-gated docs' 5-gram work is thrown away
+        k3 = k3.filter(_manifest_sample_gate())
     # decontamination against the ORIGINAL (ungated) benchmark docs;
-    # hash post-explode (codegen), not inside the shingle array
-    from openmetrics_spark.llm.dedup import exploded_shingles
+    # hash post-explode (codegen), not inside the shingle array.
+    # Both shingle branches derive from the ALREADY-TOKENIZED frames
+    # (t / k3 carry `tok`) instead of re-running the tokenize regex
+    # over the full corpus twice (r12: the old exploded_shingles(docs)
+    # fed both branches from the raw scan — two extra corpus tokenize
+    # passes, the chain's single most expensive projection); the
+    # benchmark side also only tokenize-explodes the 10% benchmark
+    # slice rather than filtering a full-corpus posting list.
+    from openmetrics_spark.llm.dedup import exploded_shingles_from_tok
 
-    sh5 = exploded_shingles(docs, "doc_id", "text", _DECONTAM_N)
     bench = (
-        sh5.filter(F.col("doc") % _BENCH_MOD == 0)
+        exploded_shingles_from_tok(
+            t.filter(F.col("doc_id") % _BENCH_MOD == 0),
+            "doc_id", "tok", _DECONTAM_N,
+        )
         .select(F.col("s").alias("s5"))
         .distinct()
     )
     contaminated = (
-        sh5.withColumnRenamed("doc", "doc_id")
-        .join(k3.select("doc_id"), "doc_id", "left_semi")
-        .select("doc_id", F.col("s").alias("s5"))
+        exploded_shingles_from_tok(k3, "doc_id", "tok", _DECONTAM_N)
+        .select(F.col("doc").alias("doc_id"), F.col("s").alias("s5"))
         .join(F.broadcast(bench), "s5")
         .select("doc_id")
         .distinct()
@@ -1218,7 +1244,11 @@ def corpus_prep_manifest_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast decontam semi-join over dedup survivors only, and the
     final sample is a narrow hash filter — every expensive stage sees
     the smallest possible input."""
-    survivors = _manifest_survivors(spark, sf_dir)
+    # sample_gated: the deterministic per-doc sample gate commutes
+    # with the per-doc decontam stage, so it runs BEFORE it (r12) —
+    # the returned frame is already gated; the filter below is
+    # idempotent and kept for the output contract's readability.
+    survivors = _manifest_survivors(spark, sf_dir, sample_gated=True)
     return survivors.filter(_manifest_sample_gate()).select(
         "doc_id", "n_tokens", "quality"
     )
@@ -1303,12 +1333,21 @@ def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _span_kept(t: DataFrame) -> DataFrame:
+def _span_kept(t: DataFrame, t_out: DataFrame | None = None) -> DataFrame:
     """Core of the span-dedup rewrite over ``t(doc_id, tok)`` (caller
     pins ``t`` — it is read by three branches): tokens covered by a
     cross-document repeated ``_SPAN_N``-window are removed; returns
     (doc_id, n_kept, cleaned) with docs that kept ≥1 token. Shared by
-    doc_dedup_spans_rewrite and corpus_prep_manifest_v3."""
+    doc_dedup_spans_rewrite and corpus_prep_manifest_v3.
+
+    ``t_out`` (r12, guide §1.2): optional subset of ``t`` whose
+    rewrites are actually CONSUMED. Duplicate-window DETECTION always
+    runs over all of ``t`` (df >= 2 is a global property), but the
+    cover explode, the token posting and the ordered reassembly — the
+    expensive output side — run only over ``t_out``. Per-doc outputs
+    depend only on (the doc's tokens, the global dup-hash set), so
+    rows emitted for ``t_out`` docs are bit-identical to the full
+    run's; v3 passes its sample-gated survivors (~35%) here."""
     idx = F.when(
         F.size("tok") >= _SPAN_N,
         F.sequence(F.lit(1), F.size("tok") - (_SPAN_N - 1)),
@@ -1333,9 +1372,14 @@ def _span_kept(t: DataFrame) -> DataFrame:
         .filter(F.col("d") >= 2)
         .select("w")
     )
+    src = t if t_out is None else t_out
+    pc = p.join(dup_w, "w")
+    if t_out is not None:
+        # only emitted docs' covered positions matter downstream —
+        # shrink the explode and the (doc,pos) distinct to them
+        pc = pc.join(t_out.select("doc_id"), "doc_id", "left_semi")
     cover = (
-        p.join(dup_w, "w")
-        .select(
+        pc.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
@@ -1343,7 +1387,7 @@ def _span_kept(t: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    toks = t.select("doc_id", F.posexplode("tok").alias("p0", "token")).select(
+    toks = src.select("doc_id", F.posexplode("tok").alias("p0", "token")).select(
         "doc_id", (F.col("p0") + 1).alias("pos"), "token"
     )
     return (
@@ -1465,6 +1509,17 @@ def doc_quality_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.unionByName(const)
 
 
+def _nb_present(t: DataFrame) -> DataFrame:
+    """Distinct (d, bucket) presence pairs of ``t(d, tok)`` — the
+    hash-trick feature extraction shared by the model fit (full
+    corpus) and any scoring pass (which may run it over a subset)."""
+    return (
+        t.select("d", F.explode("tok").alias("tk"))
+        .select("d", (portable_hash60(F.col("tk")) % _NB_BUCKETS).alias("b"))
+        .distinct()
+    )
+
+
 def _nb_model(t: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Bernoulli-NB fit core over ``t(d, tok)``: returns ``(present,
     w, const)`` — ``present`` = distinct (d, b) doc-bucket pairs,
@@ -1475,11 +1530,7 @@ def _nb_model(t: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
     labels = t.select(
         "d", F.array_contains("tok", _NB_LABEL).cast("int").alias("y")
     )
-    present = (
-        t.select("d", F.explode("tok").alias("tk"))
-        .select("d", (portable_hash60(F.col("tk")) % _NB_BUCKETS).alias("b"))
-        .distinct()
-    )
+    present = _nb_present(t)
     # pin both aggregates: the weight projection, the absent-sum and
     # the const row are separate plan branches (no cross-branch
     # exchange reuse) — without the pins the corpus tokenize/explode
@@ -1637,13 +1688,39 @@ def corpus_prep_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = pin(
         docs.select("doc_id", "text", "lang", tokens("text").alias("tok"))
     )
-    surv = pin(_manifest_survivors(spark, sf_dir, t=t))
-    kept = _span_kept(surv.select("doc_id", "tok"))
+    # EAGER localCheckpoint, not pin: surv is read by FOUR downstream
+    # branches and its plan subtree is the whole 5-stage curation
+    # chain — with pin() each consumer REPRINTS the chain into the
+    # final plan (hundreds of Exchange/InMemoryTableScan reprints,
+    # a >10 MB plan string), and Catalyst re-optimizes that tree per
+    # action; checkpointing truncates the lineage so downstream plans
+    # start from the materialized rows (guide §3.3 — same rationale as
+    # the counter job's enrichment checkpoint). A/B at sf0.1
+    # (median-of-7): pin 8.59 s, eager checkpoint 8.09 s; the LAZY
+    # form (eager=False) is a trap here — concurrent first-use from
+    # the sibling branches raced it into repeated full-chain
+    # recomputes (shots of 18-41 s observed).
+    surv = _manifest_survivors(spark, sf_dir, t=t).localCheckpoint()
+    # the sample gate is a deterministic per-doc hash predicate and
+    # every downstream stage here is per-doc given global inputs, so
+    # gate FIRST and run the expensive output sides over ~35% of
+    # survivors (r12, guide §1.2): span-dup DETECTION still sees all
+    # survivors (global df >= 2), only the cover/reassembly side and
+    # the NB scoring shrink. Outputs for gated docs are bit-identical.
+    gated = surv.filter(_manifest_sample_gate())
+    kept = _span_kept(
+        surv.select("doc_id", "tok"), t_out=gated.select("doc_id", "tok")
+    )
 
     t_nb = t.select(F.col("doc_id").alias("d"), "tok")
     present, w, const = _nb_model(t_nb)
     score = (
-        present.join(w.select(F.col("bucket").alias("b"), "w_e6"), "b")
+        _nb_present(
+            t_nb.join(
+                gated.select(F.col("doc_id").alias("d")), "d", "left_semi"
+            )
+        )
+        .join(w.select(F.col("bucket").alias("b"), "w_e6"), "b")
         .groupBy("d")
         .agg(F.sum("w_e6").cast("long").alias("s"))
         .withColumnRenamed("d", "doc_id")
@@ -1651,7 +1728,7 @@ def corpus_prep_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fitted prior+absent constant is ONE row — broadcast is bounded
     const_c = const.select(F.col("w_e6").alias("c"))
     return (
-        surv.filter(_manifest_sample_gate())
+        gated
         .join(kept, "doc_id", "left")
         .join(score, "doc_id", "left")
         .crossJoin(F.broadcast(const_c))

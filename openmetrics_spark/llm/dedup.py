@@ -162,76 +162,73 @@ def ngram_jaccard_pairs(
     """All near-duplicate pairs (id_a < id_b, jaccard >= threshold) via
     an inverted shingle index. ``max_df`` removes stop-shingles (df >
     max_df) from the shingle space entirely — exactly like dropping
-    stop-words before similarity — which both bounds the self-join
-    fan-out (≤ max_df² rows per shingle) and lets the whole pipeline
-    run on (doc, shingle) pairs: the pair intersection is a single
-    groupBy count over the inverted-index self-join, and |A|/|B| are
-    per-doc counts. No shingle ARRAYS ever enter a shuffle — at 100 TB
-    the shuffles carry only (long, long) rows, and every stage is a
-    plain hash-agg/hash-join that AQE can re-plan.
+    stop-words before similarity — which bounds the candidate fan-out
+    to ≤ max_df²/2 pairs per shingle.
 
-    The filtered posting list feeds both sides of the self-join; it is
-    persisted so the tokenize+explode scan runs once — the in-process
-    analog of materializing the inverted index, which is how a 100 TB
-    run would stage it anyway (write the index, then join against it).
+    Shape (r12 rewrite, guide §2.3/§2.4 — shuffle the posting list
+    ONCE, remove the self-join): the posting rows aggregate by shingle
+    into a sorted doc array (groups capped at ``max_df`` — the df cap
+    is the array-size filter, no separate df aggregate or re-join),
+    and candidate pairs explode from in-group combinations, so the
+    pair intersection is one groupBy count over the combos. The old
+    inverted-index SELF-join exchanged the filtered posting list
+    TWICE (x/y sides) after a df aggregate and a broadcast size
+    attach — 5 posting-volume stages collapse to 2 (agg + pair agg),
+    measured 2.17 → 1.31 s at sf0.1 with bit-identical pairs. The
+    in-group combination transform is an interpreted HOF, but it runs
+    over ≤ max_df-element arrays post-shuffle and emits exactly the
+    rows the self-join produced.
 
-    Size-ratio prefilter: with |A| ≤ |B|, jaccard ≤ |A|/|B|, so a pair
-    can only reach ``threshold`` if min(sz)/max(sz) ≥ threshold. The
-    per-doc size rides on every posting row, so the hopeless pairs die
-    in the self-join filter — before the pair groupBy — and the sizes
-    arrive at the Jaccard computation for free (grouped through), no
-    post-hoc size joins."""
-    # persist the RAW posting list: tokenize+shingle+hash is by far the
-    # dominant stage (profiled ~55% of query wall at sf0.1), and both
-    # the document-frequency aggregate and the join consume it — an
-    # unpersisted plan runs the shingling scan twice. 260k (long,long)
-    # rows per 5k docs: trivially memory-resident; at 100 TB this is
-    # the materialized inverted-index table stage.
-    #
+    |A|/|B| sizes re-derive from the capped index (one explode +
+    count keyed by doc) and attach AFTER the pair aggregate via a
+    broadcast join — one long per doc; if sizes ever outgrew
+    broadcast, pre-bucket pairs and sizes by doc instead. (The old
+    size-ratio PREfilter died with the self-join: it only ever
+    trimmed within ≤ max_df groups, and the jaccard >= threshold
+    filter subsumes it — with |A| <= |B|, jaccard <= |A|/|B|, so every
+    pair it dropped is dropped here too.)"""
     # The md5 runs AFTER the explode, not inside the shingle transform:
     # lambda bodies in higher-order functions are evaluated interpreted
     # per element, while the post-explode projection is whole-stage
     # codegen'd — measured 5x faster at sf0.1 for identical output
     # (distinct on gram strings == distinct on their hashes).
     docs = spread_for_compute(docs)
-    posting = pin(exploded_shingles(docs, id_col, text_col, n))
-    rare = (
+    posting = exploded_shingles(docs, id_col, text_col, n)
+    # persist the CAPPED inverted index: it feeds the sizes aggregate
+    # and the combo explode; at 100 TB this is the materialized
+    # inverted-index table stage (arrays bounded by max_df elements).
+    by_s = pin(
         posting.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= max_df)
-        .select("s")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") <= max_df)
     )
-    # persisted too: it feeds the sizes agg plus both sides of the
-    # self-join (cheap to rebuild from the persisted posting, but the
-    # broadcast-sizes attach would still run 3x)
-    pr = pin(posting.join(rare, "s"))
-    sizes = pr.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
-    # broadcast the one-row-per-doc sizes frame: attaching sz must not
-    # re-shuffle the full posting list ahead of the dominant self-join.
-    # At 100 TB sizes is still tiny relative to postings (one long per
-    # doc); if it ever outgrew broadcast, pre-bucket both by doc instead.
-    prs = pr.join(F.broadcast(sizes), "doc")
-    inter = (
-        prs.alias("x")
-        .join(prs.alias("y"), "s")
-        .filter(
-            (F.col("x.doc") < F.col("y.doc"))
-            & (
-                F.least(F.col("x.sz"), F.col("y.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("x.sz"), F.col("y.sz"))
+    sizes = by_s.select(F.explode("ds").alias("doc")).groupBy("doc").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    # sorted array ⇒ every emitted struct already satisfies a < b
+    combos = by_s.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "ds",
+                    lambda x, i: F.transform(
+                        F.slice("ds", i + 2, F.size("ds")),
+                        lambda y: F.struct(x.alias("a"), y.alias("b")),
+                    ),
+                )
             )
-        )
-        .groupBy(
-            F.col("x.doc").alias("doc_a"),
-            F.col("y.doc").alias("doc_b"),
-            F.col("x.sz").alias("sz_a"),
-            F.col("y.sz").alias("sz_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        ).alias("p")
     )
+    inter = combos.groupBy(
+        F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b")
+    ).agg(F.count(F.lit(1)).alias("inter"))
+    sz_a = sizes.select(F.col("doc").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
     return (
-        inter.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        inter.join(F.broadcast(sz_a), "doc_a")
+        .join(F.broadcast(sz_b), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 

@@ -157,17 +157,35 @@ def _restage(
     slice_id = F.lit(0)
     for b in boundaries:
         slice_id = slice_id + (F.col(ms_col) >= F.lit(b)).cast("int")
+    n_out = n_slices
+    sliced = df.withColumn("__slice", slice_id)
+    if sentinel:
+        # the far-future sentinel rides the SAME write job as its own
+        # final slice instead of a second append job per staged dir
+        # (r12: one Spark job per _restage call saved — every staged
+        # replay pays this). The sentinel row is tagged with an
+        # EXPLICIT slice id, never derived from ms_col — on plain
+        # "ms"-named columns the sentinel template carries -1 (only
+        # *_ms/*_ts suffixed fields get SENTINEL_MS), which a derived
+        # id would misroute into slice 0 and flush the watermark a
+        # batch early. Its file still gets the LAST mtime below, so
+        # it remains the final micro-batch.
+        sent = _literal_df(spark, df.schema, _sentinel_row(df.schema))
+        sliced = sliced.unionByName(
+            sent.withColumn("__slice", F.lit(n_slices))
+        )
+        n_out = n_slices + 1
     tmp = f"{dst}__stage_tmp"
     (
-        df.withColumn("__slice", slice_id)
-        .repartition(n_slices, "__slice")
+        sliced
+        .repartition(n_out, "__slice")
         .sortWithinPartitions(ms_col)
         .write.partitionBy("__slice")
         .mode("overwrite")
         .parquet(tmp)
     )
     os.makedirs(dst, exist_ok=True)
-    for i in range(n_slices):
+    for i in range(n_out):
         files = sorted(
             glob.glob(os.path.join(tmp, f"__slice={i}", "*.parquet"))
         )
@@ -188,14 +206,6 @@ def _restage(
             shutil.move(f, target)
             os.utime(target, (t0 + i, t0 + i))
     shutil.rmtree(tmp, ignore_errors=True)
-    if sentinel:
-        before = set(os.listdir(dst))
-        _literal_df(spark, df.schema, _sentinel_row(df.schema)).coalesce(
-            1
-        ).write.mode("append").parquet(dst)
-        for name in set(os.listdir(dst)) - before:
-            p = os.path.join(dst, name)
-            os.utime(p, (t0 + n_slices, t0 + n_slices))
 
 
 def _stream(spark: SparkSession, path: str) -> DataFrame:

@@ -487,6 +487,8 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the same key it was just aggregated on. Stride-1 windows mean
     ~1 row per token: the posting list is the tokenized corpus size,
     same order as the n-gram dedup index."""
+    from pyspark.sql import Window
+
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
     tok = tokens("text")
     idx = F.when(
@@ -502,12 +504,23 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.substring(F.md5("g"), 1, 15), 16, 10).cast("long").alias("w"),
     )
-    pc = pin(p.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c")))
-    df_ = pc.groupBy("w").agg(F.count(F.lit(1)).alias("d"))
+    # One explicit exchange on w; the (doc,w) count, the per-w doc
+    # frequency (a window count — pc is unique on (doc,w), so
+    # count(*) over w IS the distinct-doc frequency) and the final
+    # rollup all derive from it without re-shuffling the posting list
+    # (guide §2.4 — operations keyed the same way share one exchange;
+    # the old shape aggregated pc, aggregated df separately and
+    # re-joined them: the pinned posting crossed the network twice).
+    # Map-side combine on (doc,w) is not lost in practice: stride-1
+    # window hashes almost never repeat within a doc, so c ≈ 1 and
+    # the raw posting is the same size as the combined one.
+    pc = p.repartition("w").groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pcd = pc.withColumn("d", F.count(F.lit(1)).over(Window.partitionBy("w")))
     dup_c = F.sum(F.when(F.col("d") >= 2, F.col("c")).otherwise(0))
     return (
-        pc.join(df_, "w")
-        .groupBy("doc_id")
+        pcd.groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_windows"),
             dup_c.alias("n_dup_windows"),
@@ -1303,20 +1316,16 @@ def doc_dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Remove every token covered by a cross-document repeated
     20-token window (hash df >= 2 distinct docs) and emit the
     cleaned canonical token stream — the rewrite Lee et al. perform
-    with a suffix array, as three hash-partitioned aggregates plus one
-    position anti-join. Output: doc_id, n_tokens, n_removed,
+    with a suffix array. Output: doc_id, n_tokens, n_removed,
     cleaned_text ('' when the whole doc is duplicated text).
 
-    Scale shape: detection is identical to doc_dup_span_coverage —
-    posting rows are (doc, pos, long-hash), never window strings; the
-    dup-hash set is the HAVING>=2 aggregate of the posting list. The
-    rewrite side is the honest cost of producing output: covered
-    positions explode only off DUP windows (small in a real corpus),
-    and the kept token stream shuffles once on doc_id for the ordered
-    reassembly — O(corpus tokens), the same order as writing the
-    cleaned corpus back out, which is the job. The per-doc reassembly
-    sorts a bounded struct array (array_sort + transform) rather than
-    windowing raw rows."""
+    Scale shape: posting rows are (doc, pos, long-hash), never window
+    strings, exchanged once by hash; the dup-hash set is one map-side
+    min/max aggregate of that exchange. The rewrite side moves only
+    one covered-position set per dup-affected doc — the cleaned
+    stream rebuilds array-side from each doc's own token array
+    (array_except + element_at), so the corpus token stream is never
+    exploded or shuffled (see _span_kept)."""
     docs = spread_for_compute(table(spark, sf_dir, "documents"))
     tok = tokens("text")
     t = pin(docs.select("doc_id", tok.alias("tok")))
@@ -1355,56 +1364,75 @@ def _span_kept(t: DataFrame, t_out: DataFrame | None = None) -> DataFrame:
     grams = F.transform(
         idx, lambda i: F.array_join(F.slice(F.col("tok"), i, _SPAN_N), " ")
     )
+    # The posting list is exchanged ONCE, by w, at pin time: the
+    # dup-window aggregate and the dup-posting join both key on w and
+    # read the cached frame with its hash partitioning intact
+    # (guide §2.4). The old shape pinned the narrow explode and then
+    # paid a (doc,w) distinct exchange + a w aggregate exchange + a w
+    # join exchange — three posting-sized shuffles instead of one.
     p = pin(
-        t.select("doc_id", F.posexplode(grams).alias("p0", "g")).select(
+        t.select("doc_id", F.posexplode(grams).alias("p0", "g"))
+        .select(
             "doc_id",
             (F.col("p0") + 1).alias("i"),
             F.conv(F.substring(F.md5("g"), 1, 15), 16, 10)
             .cast("long")
             .alias("w"),
         )
+        .repartition("w")
     )
+    # "w occurs in >= 2 distinct docs" ⟺ min(doc) != max(doc): one
+    # map-side-combinable aggregate replaces distinct()+count over the
+    # full posting list (guide §2.3 — aggregate before you shuffle).
     dup_w = (
-        p.select("doc_id", "w")
-        .distinct()
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .filter(F.col("d") >= 2)
+        p.groupBy("w")
+        .agg(F.min("doc_id").alias("__mn"), F.max("doc_id").alias("__mx"))
+        .filter(F.col("__mn") != F.col("__mx"))
         .select("w")
     )
     src = t if t_out is None else t_out
     pc = p.join(dup_w, "w")
     if t_out is not None:
         # only emitted docs' covered positions matter downstream —
-        # shrink the explode and the (doc,pos) distinct to them
+        # shrink the explode and the per-doc covered sets to them
         pc = pc.join(t_out.select("doc_id"), "doc_id", "left_semi")
-    cover = (
+    covered = (
         pc.select(
             "doc_id",
             F.explode(
                 F.sequence(F.col("i"), F.col("i") + (_SPAN_N - 1))
             ).alias("pos"),
         )
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__cov"))
     )
-    toks = src.select("doc_id", F.posexplode("tok").alias("p0", "token")).select(
-        "doc_id", (F.col("p0") + 1).alias("pos"), "token"
+    # Rewrite ARRAY-SIDE: kept positions = sequence(1..n) \ covered
+    # (array_except builds a hash set — O(n + |covered|) per doc), and
+    # the cleaned stream rebuilds via element_at over the doc's own
+    # token array. This removes the per-token posexplode, the
+    # (doc,pos) anti-join and the collect_list reassembly that
+    # shuffled the ENTIRE token stream by doc_id — the only frame
+    # that now moves for the output side is one covered-position set
+    # per dup-affected doc. Per-doc rows depend only on (tok, covered)
+    # so the output is bit-identical to the explode/anti-join form.
+    kept_pos = F.array_except(
+        F.when(
+            F.size("tok") >= 1, F.sequence(F.lit(1), F.size("tok"))
+        ).otherwise(F.array().cast("array<int>")),
+        F.coalesce(F.col("__cov"), F.array().cast("array<int>")),
     )
     return (
-        toks.join(cover, ["doc_id", "pos"], "left_anti")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_kept"),
+        src.join(covered, "doc_id", "left")
+        .select("doc_id", "tok", kept_pos.alias("__kp"))
+        .select(
+            "doc_id",
+            F.size("__kp").cast("long").alias("n_kept"),
             F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("pos"), F.col("token")))
-                    ),
-                    lambda s: s["token"],
-                ),
+                F.transform("__kp", lambda q: F.element_at(F.col("tok"), q)),
                 " ",
             ).alias("cleaned"),
         )
+        .filter(F.col("n_kept") >= 1)
     )
 
 

@@ -158,6 +158,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 50,
+    tok_col: str | None = None,
 ) -> DataFrame:
     """All near-duplicate pairs (id_a < id_b, jaccard >= threshold) via
     an inverted shingle index. ``max_df`` removes stop-shingles (df >
@@ -192,8 +193,15 @@ def ngram_jaccard_pairs(
     # per element, while the post-explode projection is whole-stage
     # codegen'd — measured 5x faster at sf0.1 for identical output
     # (distinct on gram strings == distinct on their hashes).
+    # ``tok_col``: callers that already tokenized (the curation
+    # manifests' pinned frames) pass their token-array column and skip
+    # the tokenize regex here — identical grams, same post-explode
+    # hash (exploded_shingles_from_tok); ``text_col`` is ignored then.
     docs = spread_for_compute(docs)
-    posting = exploded_shingles(docs, id_col, text_col, n)
+    if tok_col is not None:
+        posting = exploded_shingles_from_tok(docs, id_col, tok_col, n)
+    else:
+        posting = exploded_shingles(docs, id_col, text_col, n)
     # persist the CAPPED inverted index: it feeds the sizes aggregate
     # and the combo explode; at 100 TB this is the materialized
     # inverted-index table stage (arrays bounded by max_df elements).

@@ -1175,9 +1175,13 @@ def _manifest_survivors(
         .select("doc_id")
     )
     k2 = pin(kept.join(exact_ids, "doc_id", "left_semi"))
+    # near-dup pairs from the ALREADY-TOKENIZED survivors (tok_col):
+    # k2 carries the pinned `tok`, so the pairs stage skips its own
+    # tokenize regex over the survivor corpus — the same r12 move the
+    # decontam branches took (one fewer full-survivor tokenize pass)
     pairs = ngram_jaccard_pairs(
-        k2.select("doc_id", "text"), "doc_id", "text",
-        n=3, threshold=0.5, max_df=50,
+        k2.select("doc_id", "tok"), "doc_id", "text",
+        n=3, threshold=0.5, max_df=50, tok_col="tok",
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     near_drop = comp.filter(F.col("id") != F.col("component")).select(

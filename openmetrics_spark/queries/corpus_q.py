@@ -133,6 +133,7 @@ def corpus_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = t.select(
         "doc_id",
         "text",
+        "tok",
         token_count(tok).alias("n_tokens"),
         quality_score("text", tok).alias("quality"),
         marker_hits(tok, LANG_MARKERS["en"]).alias("en_hits"),
@@ -154,8 +155,11 @@ def corpus_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     k2 = pin(kept.join(exact_ids, "doc_id", "left_semi"))
+    # pairs from the carried token arrays — skips re-running the
+    # tokenize regex over the survivor corpus (r12, guide §1.2)
     pairs = ngram_jaccard_pairs(
-        k2.select("doc_id", "text"), "doc_id", "text", n=3, threshold=0.5, max_df=50
+        k2.select("doc_id", "tok"), "doc_id", "text",
+        n=3, threshold=0.5, max_df=50, tok_col="tok",
     )
     comp = connected_components(pairs, "doc_a", "doc_b")
     drop = comp.filter(F.col("id") != F.col("component")).select(

@@ -44,7 +44,7 @@ from openmetrics_spark.llm.text import (
     tokens,
 )
 from openmetrics_spark.queries import register
-from openmetrics_spark.tables import pin, spread_for_compute, table
+from openmetrics_spark.tables import pin, spread_for_compute, stage_parquet, table
 
 # ---------------------------------------------------------------------------
 # doc_decontaminate — benchmark n-gram overlap
@@ -1720,19 +1720,29 @@ def corpus_prep_manifest_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = pin(
         docs.select("doc_id", "text", "lang", tokens("text").alias("tok"))
     )
-    # EAGER localCheckpoint, not pin: surv is read by FOUR downstream
-    # branches and its plan subtree is the whole 5-stage curation
-    # chain — with pin() each consumer REPRINTS the chain into the
-    # final plan (hundreds of Exchange/InMemoryTableScan reprints,
-    # a >10 MB plan string), and Catalyst re-optimizes that tree per
-    # action; checkpointing truncates the lineage so downstream plans
-    # start from the materialized rows (guide §3.3 — same rationale as
-    # the counter job's enrichment checkpoint). A/B at sf0.1
-    # (median-of-7): pin 8.59 s, eager checkpoint 8.09 s; the LAZY
-    # form (eager=False) is a trap here — concurrent first-use from
-    # the sibling branches raced it into repeated full-chain
-    # recomputes (shots of 18-41 s observed).
-    surv = _manifest_survivors(spark, sf_dir, t=t).localCheckpoint()
+    # STAGED PARQUET materialization, not pin or localCheckpoint: surv
+    # is read by FOUR downstream branches and its plan subtree is the
+    # whole 5-stage curation chain — with pin() each consumer REPRINTS
+    # the chain into the final plan (hundreds of
+    # Exchange/InMemoryTableScan reprints, a >10 MB plan string) and
+    # Catalyst re-optimizes that tree per action; an r12 eager
+    # localCheckpoint() truncated the lineage (pin 8.59 s vs ckpt
+    # 8.09 s, median-of-7 at sf0.1) but stores blocks on executors
+    # with NO lineage fallback — at cluster scale one lost executor
+    # kills the job. The write+read-back keeps the truncated plan AND
+    # survives executor loss (guide §3.3); `text` is projected out
+    # first because no v3 consumer reads it (the gate needs doc_id +
+    # lang, span rewrite needs tok, the manifest needs
+    # n_tokens/quality) — it was the bulk of the materialized bytes.
+    # (The LAZY checkpoint form stays a trap regardless: sibling
+    # branches raced its first materialization into repeated
+    # full-chain recomputes, shots of 18-41 s observed in r12.)
+    surv = stage_parquet(
+        _manifest_survivors(spark, sf_dir, t=t).select(
+            "doc_id", "lang", "tok", "n_tokens", "quality"
+        ),
+        "manifest_v3_surv",
+    )
     # the sample gate is a deterministic per-doc hash predicate and
     # every downstream stage here is per-doc given global inputs, so
     # gate FIRST and run the expensive output sides over ~35% of

@@ -107,6 +107,37 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
+_STAGE_ROOT: str | None = None
+
+
+def stage_parquet(df: DataFrame, tag: str) -> DataFrame:
+    """Materialize ``df`` to a scratch parquet dir and read it back —
+    a RELIABLE lineage cut (guide §3.3: "materialising an intermediate
+    result (write + read back ...) truncates the plan").
+
+    Versus ``localCheckpoint()``: checkpoint blocks live only on
+    executors with no lineage fallback, so at cluster scale one lost
+    executor kills the whole job; staged parquet survives executor
+    loss (re-read is a plain file scan) and downstream plans start
+    from a pruned columnar scan instead of a block fetch. Scratch is
+    per-process and wiped at interpreter exit; re-staging the same tag
+    in one process overwrites, so the result is always THIS run's
+    computation — never a cross-run cache."""
+    global _STAGE_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _STAGE_ROOT is None:
+        _STAGE_ROOT = os.path.join(
+            tempfile.gettempdir(), f"omx_stage_{os.getpid()}"
+        )
+        atexit.register(shutil.rmtree, _STAGE_ROOT, ignore_errors=True)
+    path = os.path.join(_STAGE_ROOT, tag)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def release_caches() -> int:
     """Unpersist every pin()ed frame; returns how many were released."""
     n = 0

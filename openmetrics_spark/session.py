@@ -56,6 +56,26 @@ def get_spark(app_name: str = "openmetrics_spark", cpus: int | None = None) -> S
         # Broadcast threshold: generous — dimension tables (region,
         # nation, supplier, content) should always broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Let the planner pick shuffled-hash over sort-merge when its
+        # size conditions hold (guide §3.1/§9): SHJ skips the per-side
+        # sort, and AQE's skew-join splitting covers SHJ as well. The
+        # r12-deferred flip for inferred_view_attribution's 4
+        # event-subset SMJs; scale-neutral planner preference, not a
+        # local-mode constant. Env-gated for A/B
+        # (SPARK_GRAFT_PREFER_SMJ=true restores the Spark default).
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        # ... and let AQE rewrite a planned SMJ to SHJ at runtime when
+        # every post-shuffle partition's build side is small (default 0
+        # = off; guide §3.1). Catches the joins whose STATIC size
+        # estimate is too bad to flip at plan time (e.g. the
+        # scope-fallback anti-joins on aggregated match ids).
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", str(64 * 1024 * 1024)),
+        )
     )
     # AQE initial shuffle width: start wide, let coalesce shrink.
     # The mid-r8 8x profiling measured the fused counter fan-out ~20%

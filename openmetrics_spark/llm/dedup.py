@@ -39,13 +39,11 @@ from openmetrics_spark.tables import pin, spread_for_compute
 MINHASH_EMPTY = (1 << 61) - 1
 
 
-def distinct_grams(text_col: str, n: int = 3) -> Column:
-    """Distinct n-gram token shingles as STRINGS (array<string>).
-
-    Token n-grams joined with a space. Consumers that explode should
-    hash AFTER the explode (codegen) rather than taking :func:`shingles`
-    (whose in-array hash runs interpreted per element)."""
-    tok = tokens(text_col)
+def distinct_grams_from_tok(tok: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingles (array<string>) from a TOKEN-ARRAY
+    column — THE gram builder; every shingle producer (text or
+    pre-tokenized) routes through this one expression so the gram
+    construction can never silently diverge between caller paths."""
     # shingle i = tokens[i..i+n-1]; build via transform over an index
     # range. Guard: Spark's sequence(1, 0) DESCENDS, so short docs
     # must produce an explicit empty array.
@@ -54,6 +52,15 @@ def distinct_grams(text_col: str, n: int = 3) -> Column:
     ).otherwise(F.array().cast("array<int>"))
     grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
     return F.array_distinct(grams)
+
+
+def distinct_grams(text_col: str, n: int = 3) -> Column:
+    """Distinct n-gram token shingles as STRINGS (array<string>).
+
+    Token n-grams joined with a space. Consumers that explode should
+    hash AFTER the explode (codegen) rather than taking :func:`shingles`
+    (whose in-array hash runs interpreted per element)."""
+    return distinct_grams_from_tok(tokens(text_col), n)
 
 
 def shingles(text_col: str, n: int = 3) -> Column:
@@ -97,14 +104,9 @@ def exploded_shingles_from_tok(
     which is the dominant projection cost wherever a pipeline has
     already tokenized the corpus once (the curation manifests' pinned
     ``t``)."""
-    tok = F.col(tok_col)
-    idx = F.when(
-        F.size(tok) >= n, F.sequence(F.lit(1), F.size(tok) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(tok, i, n), " "))
     return docs.select(
         F.col(id_col).alias("doc"),
-        F.explode(F.array_distinct(grams)).alias("g"),
+        F.explode(distinct_grams_from_tok(F.col(tok_col), n)).alias("g"),
     ).select("doc", _hash_expr(F.col("g")).alias("s"))
 
 
@@ -154,7 +156,7 @@ def jaccard(a: Column, b: Column) -> Column:
 def ngram_jaccard_pairs(
     docs: DataFrame,
     id_col: str,
-    text_col: str,
+    text_col: str | None = None,
     n: int = 3,
     threshold: float = 0.5,
     max_df: int = 50,
@@ -196,7 +198,12 @@ def ngram_jaccard_pairs(
     # ``tok_col``: callers that already tokenized (the curation
     # manifests' pinned frames) pass their token-array column and skip
     # the tokenize regex here — identical grams, same post-explode
-    # hash (exploded_shingles_from_tok); ``text_col`` is ignored then.
+    # hash (exploded_shingles_from_tok). Exactly one input column form
+    # must be named: passing text_col on a tok-only frame (or both)
+    # was accepted-and-ignored before, which hid real column mistakes.
+    assert (text_col is None) != (tok_col is None), (
+        "pass exactly one of text_col / tok_col"
+    )
     docs = spread_for_compute(docs)
     if tok_col is not None:
         posting = exploded_shingles_from_tok(docs, id_col, tok_col, n)

@@ -1180,7 +1180,7 @@ def _manifest_survivors(
     # tokenize regex over the survivor corpus — the same r12 move the
     # decontam branches took (one fewer full-survivor tokenize pass)
     pairs = ngram_jaccard_pairs(
-        k2.select("doc_id", "tok"), "doc_id", "text",
+        k2.select("doc_id", "tok"), "doc_id",
         n=3, threshold=0.5, max_df=50, tok_col="tok",
     )
     comp = connected_components(pairs, "doc_a", "doc_b")

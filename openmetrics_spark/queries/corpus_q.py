@@ -154,11 +154,20 @@ def corpus_prep_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    k2 = pin(kept.join(exact_ids, "doc_id", "left_semi"))
+    # pin only what downstream reads (doc_id, tok, n_tokens, quality):
+    # the md5 dedup key is computed from `kept` above, the pair stage
+    # consumes tok, and the manifest projects n_tokens/quality — text
+    # and the lang-marker hit counts in the cached survivor frame were
+    # pure cache footprint (r12 ADVICE)
+    k2 = pin(
+        kept.join(exact_ids, "doc_id", "left_semi").select(
+            "doc_id", "tok", "n_tokens", "quality"
+        )
+    )
     # pairs from the carried token arrays — skips re-running the
     # tokenize regex over the survivor corpus (r12, guide §1.2)
     pairs = ngram_jaccard_pairs(
-        k2.select("doc_id", "tok"), "doc_id", "text",
+        k2.select("doc_id", "tok"), "doc_id",
         n=3, threshold=0.5, max_df=50, tok_col="tok",
     )
     comp = connected_components(pairs, "doc_a", "doc_b")

@@ -2223,7 +2223,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs from the pinned token arrays — skips re-running the
     # tokenize regex over the corpus (r12, guide §1.2)
     pairs = ngram_jaccard_pairs(
-        t.select("doc_id", "tok"), "doc_id", "text",
+        t.select("doc_id", "tok"), "doc_id",
         n=3, threshold=0.5, max_df=50, tok_col="tok",
     )
     comp = connected_components(pairs, "doc_a", "doc_b")

@@ -80,7 +80,82 @@ DRIVER_WINDOW = 50
 
 _WINDOW_PRIORITY: tuple[str, ...] = (
     # =====================================================================
-    # ROUND 12 WINDOW (r11 verdict #1/#2/#4). Clears the ENTIRE
+    # ROUND 13 WINDOW (r12 verdict #5: "run the r13 rotation window
+    # exactly as queued"). Composition:
+    # (a) the 26 r8-stale rows the r12 window comment queued,
+    #     name-for-name — this clears the ENTIRE remaining stale tail
+    #     (after this window no registered query's newest driver row
+    #     is older than r12);
+    # (b) every query whose code changed in r13: the SHJ planner flip
+    #     (inferred_view_attribution — the only headliner with SMJs),
+    #     the manifest-v3 staged-parquet materialization, the
+    #     corpus_prep_manifest pin projection, and every consumer of
+    #     the shared-gram-builder refactor in llm/dedup.py (the ngram
+    #     pair family, minhash/simhash via distinct_grams);
+    # (c) 12 already-green family anchors so every SURVEY §2 family
+    #     stays watched (counter, streaming counter/raw, upsert,
+    #     HLL/sketch x2, BFJ, flat ops, sinks, multimodal, SCD2,
+    #     graph).
+    # =====================================================================
+    # --- (a) the 26 queued r8-stale rows
+    "corpus_prep_manifest",
+    "embedding_neardup",
+    "ann_lsh_topk",
+    "embedding_quantize",
+    "embedding_dedup_clusters",
+    "dedup_cluster_size_histogram",
+    "value_percentiles_by_type",
+    "daily_type_pivot",
+    "value_histogram",
+    "user_retention_cohorts",
+    "funnel_conversion",
+    "hourly_anomaly_zscore",
+    "orders_rfm_segments",
+    "orders_rfm_ntile_spec",
+    "session_rollup_30m",
+    "interval_click_counts",
+    "pick_best_15m",
+    "daily_event_metrics",
+    "streaming_interval_join",
+    "value_stats_winsorized",
+    "cohort_experiment_report",
+    "q5_local_supplier_volume",
+    "q12_priority_lines",
+    "q14_promo_effect",
+    "corpus_distinct_ngrams",
+    "doc_quality_train_eval",
+    # --- (b) r13-modified code consumers
+    "corpus_prep_manifest_v3",
+    "corpus_prep_manifest_v2",
+    "corpus_curation_pipeline",
+    "inferred_view_attribution",
+    "ngram_jaccard_neardup",
+    "doc_dedup_clusters",
+    "corpus_leakage_safe_split",
+    "neardup_keep_best_quality",
+    "corpus_incremental_admit",
+    "corpus_two_batch_ledger",
+    "minhash_lsh_neardup",
+    "simhash_neardup",
+    # --- (c) family anchors (all r12-green)
+    "counter_commands_full",
+    "streaming_counter_commands",
+    "upsert_two_batches",
+    "approx_distinct_customers_hll",
+    "bfj_joined_impressions",
+    "flat_ops_gates",
+    "streaming_raw_ingest",
+    "csv_sink_roundtrip",
+    "multimodal_resize_stats",
+    "user_scd2_intervals",
+    "supplier_pagerank",
+    "hll_segment_overlap",
+)
+
+_WINDOW_R12: tuple[str, ...] = (
+    # =====================================================================
+    # ROUND 12 WINDOW (r11 verdict #1/#2/#4), kept for the rotation
+    # history. Cleared the ENTIRE
     # rotation backlog: after this window every registered query's
     # newest driver row is r8 or newer and no query is never-gated.
     # Composition:

@@ -29,6 +29,7 @@ large keyspaces — state per key here is O(horizon/bucket), so the
 from __future__ import annotations
 
 import json
+import os
 from bisect import bisect_left, bisect_right
 from collections.abc import Sequence
 
@@ -1213,6 +1214,27 @@ def _cumulate_sweep(
     return out, periods, timeout
 
 
+# How many state buckets the CUMULATE machine coarsens its keys into
+# (0 = key the state per user, the pre-r13 shape). Each
+# applyInPandasWithState invocation costs ~1 ms of fixed machinery
+# (JVM group iteration + Arrow framing + Python dispatch + GroupState
+# JSON round-trip) REGARDLESS of group size; with per-user keys a
+# drain pays (users x batches) invocations — the measured wall of the
+# stateful replays (r12 decomposition: 1500 keys x 4 batches ~= each
+# batch's whole addBatch time). Hashing users into a fixed bucket set
+# divides the invocation count by users-per-bucket while the sweep
+# core (and therefore every emitted row) is unchanged per user.
+# Scale note: this trades invocation count against state-write
+# amplitude — a touched bucket round-trips ALL its users' state. For
+# CUMULATE that is near-free: every user with open state has a timer
+# no later than its next step end, so in any replay whose batches
+# advance >= one step, every active user is touched every batch anyway
+# (the per-key form round-trips the same bytes in many more calls).
+# Deployments with micro-batches much shorter than the step should
+# raise the bucket count (env below) toward the active-key count.
+CUMULATE_BUCKETS = int(os.environ.get("SPARK_GRAFT_CUMULATE_BUCKETS", "64"))
+
+
 def stream_cumulate_counter(
     sdf: DataFrame,
     key_col: str,
@@ -1221,6 +1243,7 @@ def stream_cumulate_counter(
     period_ms: int,
     delay_ms: int = 1000,
     value_col: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming CUMULATE(step, period) — intra-period cumulative
     totals emitted at every step boundary that has data (reference:
@@ -1235,7 +1258,20 @@ def stream_cumulate_counter(
     dropped by the watermark, exactly the append-mode contract.
     State is O(open steps) per key and removed once the period's last
     step finalizes. Output matches the batch ``cumulate_metrics``:
-    (period_ms, window_ms, key, n cumulative)."""
+    (period_ms, window_ms, key, n cumulative).
+
+    ``n_buckets`` (default ``CUMULATE_BUCKETS``, env-overridable)
+    coarsens the STATE key to ``pmod(xxhash64(key), n_buckets)``: one
+    group-function invocation then sweeps every user in the bucket
+    instead of paying the per-invocation machinery once per user.
+    Emitted rows are bit-identical to the per-user keying (0 restores
+    it): a bucket's update applies its users' new rows first and then
+    runs the same per-user ``_cumulate_sweep`` against the same global
+    watermark, and a step's finalized sum is invariant to WHEN it is
+    swept — rows for step b are watermark-dropped before wm passes
+    b+step, so any sweep at wm >= b+step sees the identical per-user
+    state. The bucket timer is the min of its users' timers, so no
+    user is swept later than its own timer would have fired."""
     key_type = sdf.schema[key_col].dataType
     out_schema = StructType(
         [
@@ -1304,6 +1340,70 @@ def stream_cumulate_counter(
                 out, columns=["period_ms", "window_ms", "key", "n"]
             )
 
+    # bucketed twin of ``update``: state is {user: periods}; new rows
+    # group by (user, step bucket) — pandas groupby is fine here, its
+    # ~1 ms machinery amortizes over a whole bucket of users where the
+    # per-user form paid it per user — then every user runs the SAME
+    # sweep core and the bucket timer takes the min.
+    key_is_str = isinstance(key_type, StringType)
+
+    def update_bucketed(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        users: dict = {}
+        if state.exists:
+            (pj,) = state.get
+            users = {
+                (u if key_is_str else int(u)): {
+                    int(p): [v[0], {int(b): n for b, n in v[1].items()}]
+                    for p, v in per.items()
+                }
+                for u, per in json.loads(pj).items()
+            }
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            b = (pdf["__ms"] // step_ms) * step_ms
+            if value_col is None:
+                grp = pdf.assign(__b=b).groupby(["key", "__b"], sort=False).size()
+            else:
+                # int64-exact grouped sum (never float-weighted)
+                grp = (
+                    pdf.assign(__b=b)
+                    .groupby(["key", "__b"], sort=False)["__v"]
+                    .sum()
+                )
+            for (u, bb), n in grp.items():
+                u = str(u) if key_is_str else int(u)
+                bb = int(bb)
+                ent = users.setdefault(u, {}).setdefault(
+                    bb // period_ms * period_ms, [0, {}]
+                )
+                ent[1][bb] = ent[1].get(bb, 0) + int(n)
+        wm = state.getCurrentWatermarkMs()
+        out_all: list = []
+        next_t: int | None = None
+        for u in list(users):
+            out, periods, timeout = _cumulate_sweep(
+                users[u], wm, step_ms, period_ms, u
+            )
+            out_all.extend(out)
+            if periods:
+                users[u] = periods
+                if next_t is None or timeout < next_t:
+                    next_t = timeout
+            else:
+                del users[u]
+        if users:
+            state.update((json.dumps(users),))
+            state.setTimeoutTimestamp(int(next_t))
+        else:
+            state.remove()
+        if out_all:
+            yield pd.DataFrame(
+                out_all, columns=["period_ms", "window_ms", "key", "n"]
+            )
+
     sel = [
         F.col(key_col).alias("key"),
         F.unix_millis(ts_col).alias("__ms"),
@@ -1312,6 +1412,25 @@ def stream_cumulate_counter(
     if value_col is not None:
         sel.append(F.col(value_col).alias("__v"))
     prepared = sdf.withWatermark(ts_col, f"{delay_ms} milliseconds").select(*sel)
+    nb = CUMULATE_BUCKETS if n_buckets is None else n_buckets
+    # the bucket key must survive a JSON round-trip: coarsen only the
+    # integral/string keys every caller uses; exotic types keep the
+    # per-user keying
+    if nb and not isinstance(key_type, (LongType, StringType)) and not (
+        key_type.typeName() in ("integer", "short", "byte")
+    ):
+        nb = 0
+    if nb:
+        bucketed = prepared.withColumn(
+            "__bucket", F.pmod(F.xxhash64("key"), F.lit(nb))
+        )
+        return bucketed.groupBy("__bucket").applyInPandasWithState(
+            update_bucketed,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     return prepared.groupBy("key").applyInPandasWithState(
         update,
         outputStructType=out_schema,
